@@ -1,0 +1,70 @@
+"""Audio front-end golden tests against the reference (SURVEY.md §7 step 1)."""
+
+import numpy as np
+import pytest
+
+from velocity_asr_tpu import audio
+
+
+def test_constants():
+    assert audio.SAMPLE_RATE == 16000
+    assert audio.N_FFT == 400
+    assert audio.HOP_LENGTH == 160
+    assert audio.N_MELS == 80
+
+
+def test_mel_shape():
+    wav = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    mel = audio.compute_mel_spectrogram(wav)
+    assert mel.shape == (1 + 16000 // 160, 80)
+
+    batched = audio.compute_mel_spectrogram(np.stack([wav, wav]))
+    assert batched.shape == (2, 1 + 16000 // 160, 80)
+    np.testing.assert_allclose(batched[0], mel, rtol=1e-5, atol=1e-5)
+
+
+def test_pad_or_trim():
+    wav = np.ones(100, np.float32)
+    assert audio.pad_or_trim(wav, 50).shape == (50,)
+    out = audio.pad_or_trim(wav, 150)
+    assert out.shape == (150,)
+    assert out[100:].sum() == 0
+
+
+def test_mel_matches_torch_reference(torch_reference):
+    import torch
+
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+
+    ref = torch_reference.compute_mel_spectrogram(torch.from_numpy(wav)).numpy()
+    ours = np.asarray(audio.compute_mel_spectrogram(wav))
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_mel_unnormalized_matches_torch_reference(torch_reference):
+    import torch
+
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    ref = torch_reference.compute_mel_spectrogram(
+        torch.from_numpy(wav), normalize=False
+    ).numpy()
+    ours = np.asarray(audio.compute_mel_spectrogram(wav, normalize=False))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_filterbank_matches_torch_reference(torch_reference):
+    import torch
+
+    from velocity_asr_tpu.audio import mel_filterbank
+
+    ref_fb = torch_reference.audio._create_mel_filterbank(
+        n_fft=400, n_mels=80, sample_rate=16000, device=torch.device("cpu")
+    ).numpy()
+    # The reference builds the filterbank in fp32; ours uses fp64 then casts,
+    # so edge bins can differ by ~1e-5.
+    np.testing.assert_allclose(mel_filterbank(), ref_fb, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,240 @@
+"""CTC decoding (reference decode.py).
+
+Greedy decoding is vectorized on-device (argmax + collapse mask + cumsum
+scatter) instead of the reference's per-item Python loops
+(decode.py:51-69); beam search is a host-side prefix beam with the
+reference's max-merge semantics (decode.py:171-193), vectorized over the
+vocabulary with numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Default blank token index (reference decode.py:14).
+BLANK_TOKEN = 0
+
+
+@dataclass
+class DecodingResult:
+    """Result of CTC decoding (reference decode.py:17-24)."""
+
+    text: str
+    tokens: List[int]
+    score: float
+    timestamps: Optional[List[Tuple[int, int]]] = None
+
+
+@functools.partial(jax.jit, static_argnames=("blank_token", "collapse_repeated"))
+def ctc_greedy_decode_jax(
+    logits: jnp.ndarray,
+    blank_token: int = BLANK_TOKEN,
+    collapse_repeated: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device greedy CTC decode.
+
+    Semantics match reference decode.py:27-71: argmax per frame, drop
+    blanks, collapse repeats (a blank resets the previous token, so a
+    repeated token after a blank is kept).
+
+    Returns:
+        tokens: (batch, seq_len) int32, left-packed, padded with -1.
+        lengths: (batch,) int32 number of emitted tokens.
+    """
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    prev = jnp.pad(preds[:, :-1], ((0, 0), (1, 0)), constant_values=blank_token)
+    keep = preds != blank_token
+    if collapse_repeated:
+        keep = keep & (preds != prev)
+
+    positions = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1  # target slot
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+    seq_len = preds.shape[1]
+    out = jnp.full(preds.shape, -1, dtype=jnp.int32)
+    # Scatter kept tokens to their packed positions; dropped tokens go to a
+    # dump slot (seq_len - ... clipped writes are masked via mode="drop").
+    scatter_pos = jnp.where(keep, positions, seq_len)
+    batch_idx = jnp.arange(preds.shape[0])[:, None]
+    out = out.at[batch_idx, scatter_pos].set(preds, mode="drop")
+    return out, lengths
+
+
+def ctc_greedy_decode(
+    logits,
+    blank_token: int = BLANK_TOKEN,
+    collapse_repeated: bool = True,
+) -> List[List[int]]:
+    """Greedy CTC decode returning Python lists (reference decode.py:27-71)."""
+    tokens, lengths = ctc_greedy_decode_jax(
+        jnp.asarray(logits), blank_token=blank_token, collapse_repeated=collapse_repeated
+    )
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    return [tokens[b, : lengths[b]].tolist() for b in range(tokens.shape[0])]
+
+
+def ctc_greedy_decode_with_timestamps(
+    logits,
+    blank_token: int = BLANK_TOKEN,
+) -> List[Tuple[List[int], List[Tuple[int, int]]]]:
+    """Greedy decode with (start_frame, end_frame) per emitted token
+    (reference decode.py:74-125).
+
+    A token's span runs from its first frame to the frame where a blank or
+    a different token appears (or seq_len for the final token).
+    """
+    preds = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+    batch, seq_len = preds.shape
+    results = []
+    for b in range(batch):
+        pred = preds[b]
+        # Emission frames: non-blank and != previous frame's token.
+        prev = np.concatenate([[blank_token], pred[:-1]])
+        keep = (pred != blank_token) & (pred != prev)
+        starts = np.nonzero(keep)[0]
+        tokens = pred[starts].tolist()
+        # End frame: first index > start where token changes (or seq_len).
+        change = np.concatenate([np.nonzero(pred[1:] != pred[:-1])[0] + 1, [seq_len]])
+        ends = [int(change[np.searchsorted(change, s, side="right")]) for s in starts]
+        timestamps = [(int(s), int(e)) for s, e in zip(starts, ends)]
+        results.append((tokens, timestamps))
+    return results
+
+
+def _log_softmax_np(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    s = x - m
+    return s - np.log(np.exp(s).sum(axis=-1, keepdims=True))
+
+
+def ctc_beam_search(
+    logits,
+    beam_width: int = 10,
+    blank_token: int = BLANK_TOKEN,
+    lm_weight: float = 0.0,
+    lm_scorer: Optional[Any] = None,
+) -> List[List[DecodingResult]]:
+    """Prefix beam search with max-merge scoring (reference decode.py:128-217).
+
+    Matches the reference's semantics exactly, including max-merge of
+    hypotheses that map to the same (prefix, last-token-collapse) state —
+    not logsumexp — and the optional external LM hook. The per-step vocab
+    loop is vectorized with numpy.
+    """
+    log_probs = np.asarray(_log_softmax_np(np.asarray(jax.device_get(logits), np.float32)))
+    batch_size, seq_len, vocab_size = log_probs.shape
+
+    all_results: List[List[DecodingResult]] = []
+    nonblank = np.array([t for t in range(vocab_size) if t != blank_token])
+
+    for b in range(batch_size):
+        # beams: prefix tuple -> (score, last_token)
+        beams = {(): (0.0, None)}
+
+        for t in range(seq_len):
+            lp = log_probs[b, t]
+            new_beams: dict = {}
+
+            def offer(key, score, last):
+                cur = new_beams.get(key)
+                if cur is None or cur[0] < score:
+                    new_beams[key] = (score, last)
+
+            for prefix, (score, last_token) in beams.items():
+                # Extend with blank: prefix unchanged, last token resets.
+                offer(prefix, score + float(lp[blank_token]), blank_token)
+
+                # Extend with every non-blank token (vectorized scores).
+                token_scores = score + lp[nonblank]
+                if lm_scorer is not None and lm_weight > 0:
+                    for tok, ts in zip(nonblank, token_scores):
+                        tok = int(tok)
+                        key = prefix if last_token == tok else prefix + (tok,)
+                        ts = float(ts) + lm_weight * lm_scorer.score(list(key))
+                        offer(key, ts, tok)
+                else:
+                    for tok, ts in zip(nonblank.tolist(), token_scores.tolist()):
+                        key = prefix if last_token == tok else prefix + (tok,)
+                        offer(key, ts, tok)
+
+            # Prune to beam width (reference decode.py:195-202).
+            pruned = sorted(new_beams.items(), key=lambda kv: kv[1][0], reverse=True)
+            beams = dict(pruned[:beam_width])
+
+        results = [
+            DecodingResult(text="", tokens=list(prefix), score=score)
+            for prefix, (score, _) in sorted(
+                beams.items(), key=lambda kv: kv[1][0], reverse=True
+            )
+        ]
+        all_results.append(results)
+
+    return all_results
+
+
+class CTCDecoder:
+    """Vocabulary-aware decoder wrapper (reference decode.py:220-327)."""
+
+    def __init__(self, vocabulary: List[str], blank_token: int = BLANK_TOKEN):
+        self.vocabulary = vocabulary
+        self.blank_token = blank_token
+        self.vocab_size = len(vocabulary)
+        self.token_to_idx = {token: idx for idx, token in enumerate(vocabulary)}
+
+    def decode_greedy(self, logits, collapse_repeated: bool = True) -> List[str]:
+        token_sequences = ctc_greedy_decode(
+            logits, blank_token=self.blank_token, collapse_repeated=collapse_repeated
+        )
+        return [self._tokens_to_text(tokens) for tokens in token_sequences]
+
+    def decode_beam_search(
+        self, logits, beam_width: int = 10, return_all_beams: bool = False
+    ):
+        beam_results = ctc_beam_search(
+            logits, beam_width=beam_width, blank_token=self.blank_token
+        )
+        if return_all_beams:
+            for batch_results in beam_results:
+                for result in batch_results:
+                    result.text = self._tokens_to_text(result.tokens)
+            return beam_results
+        return [
+            self._tokens_to_text(results[0].tokens) if results else ""
+            for results in beam_results
+        ]
+
+    def _tokens_to_text(self, tokens: List[int]) -> str:
+        chars = [
+            self.vocabulary[t] if 0 <= t < self.vocab_size else "<unk>" for t in tokens
+        ]
+        text = "".join(chars)
+        # Subword marker cleanup (reference decode.py:312-315).
+        return text.replace("▁", " ").strip()
+
+    def text_to_tokens(self, text: str) -> List[int]:
+        tokens = []
+        for char in text:
+            if char in self.token_to_idx:
+                tokens.append(self.token_to_idx[char])
+            elif "<unk>" in self.token_to_idx:
+                tokens.append(self.token_to_idx["<unk>"])
+        return tokens
+
+
+def create_default_vocabulary(vocab_size: int = 50000) -> List[str]:
+    """Default character vocabulary (reference decode.py:330-362)."""
+    vocab = ["<blank>", "<unk>", "<pad>", " "]
+    vocab.extend(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab.extend(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    vocab.extend(list("0123456789"))
+    vocab.extend(list(".,!?;:'\"()-"))
+    for i in range(len(vocab), vocab_size):
+        vocab.append(f"<token_{i}>")
+    return vocab

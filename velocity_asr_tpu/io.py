@@ -1,0 +1,141 @@
+"""Host-side audio file decoding.
+
+The reference relies on torchaudio's C++ decoders (reference
+velocity_asr/audio.py:39-56). Here decoding is provided by a small native
+C++ library (``native/audio_decoder``) exposing WAV and FLAC decode through
+ctypes, with a pure-Python WAV fallback so the package works before the
+native library is built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_LIB: Optional[ctypes.CDLL] = None
+_NATIVE_CHECKED = False
+
+
+def _find_native_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "_native", "libvelocity_audio.so"),
+        os.path.join(here, "..", "native", "build", "libvelocity_audio.so"),
+    ]
+    env = os.environ.get("VELOCITY_ASR_NATIVE_LIB")
+    if env:
+        candidates.insert(0, env)
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _NATIVE_LIB, _NATIVE_CHECKED
+    if _NATIVE_CHECKED:
+        return _NATIVE_LIB
+    _NATIVE_CHECKED = True
+    path = _find_native_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        # int va_decode_file(const char* path, float** out_samples,
+        #                    int64_t* out_frames, int32_t* out_channels,
+        #                    int32_t* out_sample_rate)
+        lib.va_decode_file.restype = ctypes.c_int
+        lib.va_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.va_free.restype = None
+        lib.va_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        _NATIVE_LIB = lib
+    except OSError:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def native_available() -> bool:
+    """Whether the native C++ audio decoder is loaded."""
+    return _load_native() is not None
+
+
+def _decode_native(path: str) -> Tuple[np.ndarray, int]:
+    lib = _load_native()
+    assert lib is not None
+    out_ptr = ctypes.POINTER(ctypes.c_float)()
+    out_frames = ctypes.c_int64(0)
+    out_channels = ctypes.c_int32(0)
+    out_rate = ctypes.c_int32(0)
+    rc = lib.va_decode_file(
+        path.encode("utf-8"),
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_frames),
+        ctypes.byref(out_channels),
+        ctypes.byref(out_rate),
+    )
+    if rc != 0:
+        raise ValueError(f"native decoder failed on {path!r} (code {rc})")
+    n = out_frames.value * out_channels.value
+    try:
+        buf = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    finally:
+        lib.va_free(out_ptr)
+    # Native layout is interleaved (frames, channels); return (channels, frames).
+    data = buf.reshape(out_frames.value, out_channels.value).T
+    return np.ascontiguousarray(data, dtype=np.float32), out_rate.value
+
+
+def _decode_wav_python(path: str) -> Tuple[np.ndarray, int]:
+    """Pure-Python WAV decode (PCM 8/16/24/32-bit and float32)."""
+    with wave.open(path, "rb") as wf:
+        channels = wf.getnchannels()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        nframes = wf.getnframes()
+        raw = wf.readframes(nframes)
+
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        # Could be int32 PCM or float32; wave reports PCM only, assume int32.
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        data = vals.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+
+    data = data.reshape(-1, channels).T
+    return np.ascontiguousarray(data), rate
+
+
+def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an audio file to ((channels, samples) float32, sample_rate)."""
+    if native_available():
+        return _decode_native(path)
+    lower = path.lower()
+    if lower.endswith(".wav"):
+        return _decode_wav_python(path)
+    raise RuntimeError(
+        f"Cannot decode {path!r}: native audio decoder not built "
+        "(run `make -C native`) and pure-Python fallback supports WAV only."
+    )

@@ -1,0 +1,188 @@
+"""Hierarchical global context (reference attention.py).
+
+AdaptivePool / MultiHeadAttention / GatedFusion / HierarchicalGlobalContext
+rebuilt for static shapes: pool sizes are Python constants computed from
+the (static, bucketed) sequence length at trace time, and adaptive pooling
+is a precomputed averaging matmul (ops.pooling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.pooling import adaptive_avg_pool1d, pool_size_level1, pool_size_level2
+from .layers import xavier_uniform
+from .ssm import GlobalSSM
+
+
+def _dense(qat: bool, features: int, dtype, name: str, use_bias: bool = True):
+    if qat:
+        from ..quantize import QuantDense
+
+        return QuantDense(
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+        )
+    return nn.Dense(
+        features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+    )
+
+
+class AdaptivePool(nn.Module):
+    """Adaptive pooling + learnable projection (reference attention.py:17-78).
+
+    Level 1: K1 = max(64, L // 8); Level 2: K2 = min(64, max(16, K1 // 4));
+    both clamped to the input length (attention.py:37-44, 67).
+    """
+
+    level: int = 1
+    d_model: int = 192
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, prev_pool_size: Optional[int] = None, train: bool = False
+    ):
+        seq_len = x.shape[1]
+        if self.level == 1:
+            pool_size = pool_size_level1(seq_len)
+        else:
+            k1 = prev_pool_size if prev_pool_size else pool_size_level1(seq_len)
+            pool_size = min(pool_size_level2(k1), seq_len)
+
+        pooled = adaptive_avg_pool1d(x, pool_size)
+        proj = _dense(self.qat, self.d_model, self.dtype, "pool_proj")
+        pooled = proj(pooled, train=train) if self.qat else proj(pooled)
+        return pooled, pool_size
+
+
+class MultiHeadAttention(nn.Module):
+    """Cross-attention with reduced attention dim (reference attention.py:81-164).
+
+    q/k/v/out projections to attention_dim (4 heads x 12 by default);
+    softmax(q k^T / sqrt(head_dim)); queries are the full sequence, keys and
+    values the <=64 pooled tokens — sub-quadratic in L.
+    """
+
+    d_model: int = 192
+    num_heads: int = 4
+    attention_dim: int = 48
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        batch, q_len, _ = query.shape
+        kv_len = key.shape[1]
+        head_dim = self.attention_dim // self.num_heads
+
+        def proj(name):
+            return _dense(self.qat, self.attention_dim, self.dtype, name)
+
+        def run(layer, x):
+            return layer(x, train=train) if self.qat else layer(x)
+
+        q = run(proj("q_proj"), query)
+        k = run(proj("k_proj"), key)
+        v = run(proj("v_proj"), value)
+
+        q = q.reshape(batch, q_len, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, kv_len, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, kv_len, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(head_dim)
+        if mask is not None:
+            scores = jnp.where(mask == 0, jnp.finfo(scores.dtype).min, scores)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.attention_dim)
+        out_proj = _dense(self.qat, self.d_model, self.dtype, "out_proj")
+        return run(out_proj, out)
+
+
+class GatedFusion(nn.Module):
+    """Gated local/global fusion (reference attention.py:167-220)."""
+
+    d_model: int = 192
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, local_features: jnp.ndarray, global_features: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        def run(layer, x):
+            return layer(x, train=train) if self.qat else layer(x)
+
+        concat = jnp.concatenate([local_features, global_features], axis=-1)
+        gate = nn.sigmoid(run(_dense(self.qat, self.d_model, self.dtype, "gate_proj"), concat))
+        local_t = run(_dense(self.qat, self.d_model, self.dtype, "local_proj"), local_features)
+        global_t = run(_dense(self.qat, self.d_model, self.dtype, "global_proj"), global_features)
+        fused = gate * local_t + (1 - gate) * global_t
+        return run(_dense(self.qat, self.d_model, self.dtype, "out_proj"), fused)
+
+
+class HierarchicalGlobalContext(nn.Module):
+    """Pool -> GlobalSSM -> pool -> cross-attn -> gated fusion
+    (reference attention.py:223-319)."""
+
+    d_model: int = 192
+    num_heads: int = 4
+    attention_dim: int = 48
+    global_ssm_layers: int = 2
+    global_ssm_state_dim: int = 32
+    dropout: float = 0.1
+    scan_mode: str = "parallel"
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(self, local_features: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x_pool1, pool_size1 = AdaptivePool(
+            level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="pool1"
+        )(local_features, train=train)
+
+        x_ssm = GlobalSSM(
+            d_model=self.d_model,
+            num_layers=self.global_ssm_layers,
+            state_dim=self.global_ssm_state_dim,
+            dropout=self.dropout,
+            scan_mode=self.scan_mode,
+            dtype=self.dtype,
+            name="global_ssm",
+        )(x_pool1, train)
+
+        x_pool2, _ = AdaptivePool(
+            level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="pool2"
+        )(x_ssm, prev_pool_size=pool_size1, train=train)
+
+        x_pool2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x_pool2).astype(self.dtype)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(local_features).astype(self.dtype)
+
+        global_context = MultiHeadAttention(
+            d_model=self.d_model,
+            num_heads=self.num_heads,
+            attention_dim=self.attention_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            qat=self.qat,
+            name="cross_attention",
+        )(query, x_pool2, x_pool2, train=train)
+
+        return GatedFusion(
+            d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="fusion"
+        )(local_features, global_context, train=train)

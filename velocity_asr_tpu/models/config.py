@@ -1,0 +1,86 @@
+"""Model configuration (reference model.py:23-68)."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+
+@dataclass
+class VelocityASRConfig:
+    """Configuration for the VELOCITY-ASR model.
+
+    Field names and defaults mirror the reference VelocityASRConfig
+    (model.py:23-68); TPU-specific fields are grouped at the bottom.
+    """
+
+    # Input dimensions
+    mel_bins: int = 80
+
+    # Model dimensions
+    d_model: int = 192
+
+    # SSM configuration
+    ssm_layers: int = 8
+    ssm_state_dim: int = 64
+    ssm_expand_ratio: int = 2
+    ssm_kernel_size: int = 4
+
+    # Global context configuration
+    global_ssm_layers: int = 2
+    global_ssm_state_dim: int = 32
+    attention_heads: int = 4
+    attention_dim: int = 48
+
+    # Output configuration (1000 = character-level default, reference model.py:48)
+    vocab_size: int = 1000
+
+    # Regularization
+    dropout: float = 0.1
+
+    # Memory optimization: jax.checkpoint (remat) each SSM block
+    # (reference uses torch.utils.checkpoint, ssm.py:439-441).
+    gradient_checkpointing: bool = False
+
+    # Scan implementation ladder (reference ssm.py:29 maps
+    # sequential/parallel/mamba -> lax.scan / lax.associative_scan / Pallas).
+    scan_mode: str = "parallel"
+
+    # Kept for checkpoint/API parity with the reference (model.py:62-63);
+    # jit is inherent in this implementation.
+    use_compile: bool = False
+
+    # --- TPU-native additions -------------------------------------------
+    # Compute dtype ("bfloat16" or "float32"); params are always fp32, and
+    # the SSM recurrence always runs fp32 (the quantize module's
+    # ssm_state_fp32 rule, reference quantize.py:29-31, generalized).
+    dtype: str = "float32"
+    # Quantization-aware training: route eligible projections through
+    # fake-quant (reference prepare_model_for_qat, quantize.py:269-322).
+    qat: bool = False
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return self.d_model * self.ssm_expand_ratio
+
+    @classmethod
+    def from_dict(cls, config_dict: Dict[str, Any]) -> "VelocityASRConfig":
+        """Create config from a dict, ignoring unknown keys (model.py:65-68).
+
+        The reference's "mamba" scan mode maps to "pallas" here.
+        """
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in config_dict.items() if k in fields}
+        if kwargs.get("scan_mode") == "mamba":
+            kwargs["scan_mode"] = "pallas"
+        return cls(**kwargs)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,143 @@
+"""Front-end and output layers (reference model.py:71-239)."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv import strided_conv1d
+
+
+def xavier_uniform():
+    """Matches torch nn.init.xavier_uniform_ (reference model.py:309)."""
+    return nn.initializers.xavier_uniform()
+
+
+def kaiming_conv_init():
+    """kaiming_normal_(mode='fan_out', nonlinearity='relu') for conv kernels
+    (reference model.py:312-313). For a kernel of shape (k, in, out),
+    fan_out = out * k, std = sqrt(2 / fan_out)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+        fan_out = shape[-1] * receptive
+        std = math.sqrt(2.0 / fan_out)
+        import jax
+
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def sinusoidal_time_encoding(max_len: int, dim: int) -> np.ndarray:
+    """Fixed sinusoidal table (reference model.py:93-101), shape (max_len, dim)."""
+    pe = np.zeros((max_len, dim), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, dim, 2, dtype=np.float32) * (-math.log(10000.0) / dim))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class PositionalEncoding2D(nn.Module):
+    """2D positional encoding (reference model.py:71-127).
+
+    First d_model/2 dims: fixed sinusoid over time; last d_model/2: a single
+    learnable frequency vector broadcast over time (model.py:94-104).
+    """
+
+    d_model: int = 192
+    max_len: int = 5000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        seq_len = x.shape[1]
+        half = self.d_model // 2
+        pe_time = jnp.asarray(sinusoidal_time_encoding(self.max_len, half))[:seq_len]
+        pe_freq = self.param(
+            "pe_freq",
+            lambda key, shape: __import__("jax").random.normal(key, shape) * 0.02,
+            (1, 1, half),
+        )
+        time_enc = pe_time[None, :, :]  # (1, L, D/2)
+        freq_enc = jnp.broadcast_to(pe_freq, (1, seq_len, half))
+        pos = jnp.concatenate([time_enc, freq_enc], axis=-1).astype(x.dtype)
+        return x + pos
+
+
+class TemporalBindingLayer(nn.Module):
+    """Mel -> embedding front-end (reference model.py:130-202).
+
+    Conv1d(mel_bins -> d_model, k=3, stride=2, pad=1) + GELU + 2D pos-enc +
+    LayerNorm. Output length = (L + 1) // 2 (reference model.py:370-383).
+    """
+
+    mel_bins: int = 80
+    d_model: int = 192
+    kernel_size: int = 3
+    stride: int = 2
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.qat:
+            # The temporal-binding conv is outside the SSM stacks, so the
+            # reference's QAT rewrite quantizes it (quantize.py:288-313).
+            from ..quantize import QuantConv1d
+
+            x = QuantConv1d(
+                self.d_model,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                padding=self.kernel_size // 2,
+                kernel_init=kaiming_conv_init(),
+                dtype=self.dtype,
+                name="conv",
+            )(mel.astype(self.dtype), train=train)
+        else:
+            kernel = self.param(
+                "conv_kernel",
+                kaiming_conv_init(),
+                (self.kernel_size, self.mel_bins, self.d_model),
+            )
+            bias = self.param("conv_bias", nn.initializers.zeros, (self.d_model,))
+            x = strided_conv1d(
+                mel.astype(self.dtype),
+                kernel,
+                bias,
+                stride=self.stride,
+                padding=self.kernel_size // 2,
+            )
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
+        x = PositionalEncoding2D(d_model=self.d_model, dtype=self.dtype, name="pos_encoding")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return x
+
+
+class CTCOutputHead(nn.Module):
+    """LayerNorm -> Dropout -> Linear(vocab) (reference model.py:205-239)."""
+
+    d_model: int = 192
+    vocab_size: int = 1000
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.qat:
+            from ..quantize import QuantDense
+
+            dense = QuantDense(self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj")
+            return dense(x, train=train)
+        return nn.Dense(
+            self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj"
+        )(x)

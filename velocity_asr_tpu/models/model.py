@@ -1,0 +1,189 @@
+"""VELOCITY-ASR model assembly (reference model.py:242-471).
+
+Functional JAX design: `VelocityASR` is a flax module; `init_params` /
+`forward` give the pure init/apply surface; `from_pretrained` /
+`save_pretrained` persist {config, params} (the reference's checkpoint
+contract, model.py:446-465) as config.json + params.msgpack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import HierarchicalGlobalContext
+from .config import VelocityASRConfig
+from .layers import CTCOutputHead, TemporalBindingLayer
+from .ssm import LocalSSMProcessor
+
+PARAMS_FILE = "params.msgpack"
+CONFIG_FILE = "config.json"
+
+
+class VelocityASR(nn.Module):
+    """TemporalBinding -> LocalSSM -> HierarchicalGlobalContext -> CTCHead
+    (reference model.py:333-368)."""
+
+    config: VelocityASRConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        mel_spectrogram: jnp.ndarray,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        cfg = self.config
+        dtype = cfg.compute_dtype
+
+        x = TemporalBindingLayer(
+            mel_bins=cfg.mel_bins, d_model=cfg.d_model, dtype=dtype, qat=cfg.qat,
+            name="temporal_binding",
+        )(mel_spectrogram, train)
+
+        local_features = LocalSSMProcessor(
+            d_model=cfg.d_model,
+            num_layers=cfg.ssm_layers,
+            state_dim=cfg.ssm_state_dim,
+            expand_ratio=cfg.ssm_expand_ratio,
+            kernel_size=cfg.ssm_kernel_size,
+            dropout=cfg.dropout,
+            use_checkpoint=cfg.gradient_checkpointing,
+            scan_mode=cfg.scan_mode,
+            dtype=dtype,
+            name="local_ssm",
+        )(x, train)
+
+        fused_features = HierarchicalGlobalContext(
+            d_model=cfg.d_model,
+            num_heads=cfg.attention_heads,
+            attention_dim=cfg.attention_dim,
+            global_ssm_layers=cfg.global_ssm_layers,
+            global_ssm_state_dim=cfg.global_ssm_state_dim,
+            dropout=cfg.dropout,
+            scan_mode=cfg.scan_mode,
+            dtype=dtype,
+            qat=cfg.qat,
+            name="global_context",
+        )(local_features, train)
+
+        logits = CTCOutputHead(
+            d_model=cfg.d_model,
+            vocab_size=cfg.vocab_size,
+            dropout=cfg.dropout,
+            dtype=dtype,
+            qat=cfg.qat,
+            name="ctc_head",
+        )(fused_features, train)
+        logits = logits.astype(jnp.float32)
+
+        if return_features:
+            return logits, {
+                "temporal_binding": x,
+                "local_features": local_features,
+                "fused_features": fused_features,
+            }
+        return logits
+
+    def get_output_length(self, input_length: int) -> int:
+        """Stride-2 temporal binding halves frames (reference model.py:370-383)."""
+        return (input_length + 1) // 2
+
+
+def create_model(config: Optional[VelocityASRConfig] = None) -> VelocityASR:
+    return VelocityASR(config=config or VelocityASRConfig())
+
+
+def init_params(
+    model: VelocityASR,
+    rng: jax.Array,
+    example_frames: int = 500,
+    batch_size: int = 1,
+) -> Dict[str, Any]:
+    """Initialize parameter pytree (weight-init parity: model.py:305-318)."""
+    mel = jnp.zeros((batch_size, example_frames, model.config.mel_bins), jnp.float32)
+    variables = model.init({"params": rng}, mel, train=False)
+    return variables["params"]
+
+
+def forward(
+    model: VelocityASR,
+    params: Dict[str, Any],
+    mel: jnp.ndarray,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    return_features: bool = False,
+    quant_stats: Optional[Dict[str, Any]] = None,
+):
+    """Pure apply wrapper."""
+    variables = {"params": params}
+    if quant_stats is not None:
+        variables["quant_stats"] = quant_stats
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
+    return model.apply(
+        variables, mel, train=train, return_features=return_features, rngs=rngs
+    )
+
+
+def count_parameters(params: Dict[str, Any]) -> int:
+    """Total trainable parameter count (reference model.py:469-471)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def get_output_length(input_length: int) -> int:
+    return (input_length + 1) // 2
+
+
+def save_pretrained(
+    save_path: str,
+    config: VelocityASRConfig,
+    params: Dict[str, Any],
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Persist {config, params} (reference save_pretrained, model.py:435-467).
+
+    `save_path` is a directory containing config.json + params.msgpack.
+    """
+    os.makedirs(save_path, exist_ok=True)
+    payload = {"config": config.to_dict()}
+    if extra:
+        payload.update(extra)
+    with open(os.path.join(save_path, CONFIG_FILE), "w") as f:
+        json.dump(payload, f, indent=2)
+    params = jax.device_get(params)
+    with open(os.path.join(save_path, PARAMS_FILE), "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+
+
+def from_pretrained(
+    model_name_or_path: str,
+    **overrides,
+) -> Tuple[VelocityASR, Dict[str, Any]]:
+    """Load a pretrained model (reference from_pretrained, model.py:385-433).
+
+    Only local paths are supported (hub download is NotImplemented in the
+    reference too, model.py:409-413).
+    """
+    if not os.path.exists(model_name_or_path):
+        raise NotImplementedError(
+            "Model hub download not implemented; provide a local checkpoint "
+            "directory (config.json + params.msgpack)."
+        )
+    with open(os.path.join(model_name_or_path, CONFIG_FILE)) as f:
+        payload = json.load(f)
+    cfg_dict = dict(payload.get("config", {}))
+    cfg_dict.update(overrides)
+    config = VelocityASRConfig.from_dict(cfg_dict)
+    model = create_model(config)
+
+    template = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    with open(os.path.join(model_name_or_path, PARAMS_FILE), "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    return model, params

@@ -1,0 +1,201 @@
+"""Selective-SSM model components (reference ssm.py).
+
+Flax reimplementation of SelectiveSSM / SSMBlock / LocalSSMProcessor /
+GlobalSSM with the scan itself delegated to ops.scan (lax.scan /
+lax.associative_scan / Pallas kernel).
+
+The SSM recurrence always runs in float32 regardless of the compute dtype
+— the same stability rule the reference enforces for quantization
+(quantize.py:29-31 ssm_state_fp32) and that bf16 TPU training needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv import causal_depthwise_conv1d
+from ..ops.scan import selective_scan
+from .layers import kaiming_conv_init, xavier_uniform
+
+
+class SelectiveSSM(nn.Module):
+    """Mamba-style selective SSM (reference ssm.py:32-132).
+
+    in_proj -> (x, z); input-dependent B, C via x_proj; dt = softplus(dt_proj);
+    A = -exp(A_log) with A_log = log(arange(1..N)) (ssm.py:83-84);
+    scan; gate y * silu(z); out_proj.
+    """
+
+    d_model: int = 192
+    state_dim: int = 64
+    expand_ratio: int = 2
+    scan_mode: str = "parallel"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d_inner = self.d_model * self.expand_ratio
+
+        xz = nn.Dense(
+            d_inner * 2, use_bias=False, kernel_init=xavier_uniform(),
+            dtype=self.dtype, name="in_proj",
+        )(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+
+        bc = nn.Dense(
+            self.state_dim * 2, use_bias=False, kernel_init=xavier_uniform(),
+            dtype=self.dtype, name="x_proj",
+        )(x_in)
+        B, C = jnp.split(bc, 2, axis=-1)
+
+        dt = jax.nn.softplus(
+            nn.Dense(
+                d_inner, use_bias=True, kernel_init=xavier_uniform(),
+                dtype=self.dtype, name="dt_proj",
+            )(x_in)
+        )
+
+        A_log = self.param(
+            "A_log",
+            lambda key: jnp.log(jnp.arange(1, self.state_dim + 1, dtype=jnp.float32)),
+        )
+        A = -jnp.exp(A_log)
+        D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
+
+        # Recurrence in fp32 (see module docstring).
+        y = selective_scan(
+            x_in.astype(jnp.float32),
+            dt.astype(jnp.float32),
+            A,
+            B.astype(jnp.float32),
+            C.astype(jnp.float32),
+            D,
+            mode=self.scan_mode,
+        )
+
+        y = y.astype(self.dtype) * nn.silu(z)
+        return nn.Dense(
+            self.d_model, use_bias=False, kernel_init=xavier_uniform(),
+            dtype=self.dtype, name="out_proj",
+        )(y)
+
+
+class SSMBlock(nn.Module):
+    """Pre-norm SSM block (reference ssm.py:340-441).
+
+    norm1 -> causal depthwise conv (k=4) -> SelectiveSSM -> dropout ->
+    +residual; norm2 -> FFN (d -> 2d GELU -> d, dropouts) -> +residual.
+    """
+
+    d_model: int = 192
+    state_dim: int = 64
+    expand_ratio: int = 2
+    kernel_size: int = 4
+    dropout: float = 0.1
+    scan_mode: str = "parallel"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+
+        conv_kernel = self.param(
+            "conv_kernel", kaiming_conv_init(), (self.kernel_size, 1, self.d_model)
+        )
+        conv_bias = self.param("conv_bias", nn.initializers.zeros, (self.d_model,))
+        h = causal_depthwise_conv1d(h, conv_kernel[:, 0, :], conv_bias)
+
+        h = SelectiveSSM(
+            d_model=self.d_model,
+            state_dim=self.state_dim,
+            expand_ratio=self.expand_ratio,
+            scan_mode=self.scan_mode,
+            dtype=self.dtype,
+            name="ssm",
+        )(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = h + residual
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(
+            self.d_model * self.expand_ratio, kernel_init=xavier_uniform(),
+            dtype=self.dtype, name="ffn_in",
+        )(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(
+            self.d_model, kernel_init=xavier_uniform(), dtype=self.dtype, name="ffn_out"
+        )(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h + residual
+
+
+class LocalSSMProcessor(nn.Module):
+    """Stack of SSM blocks + final LayerNorm (reference ssm.py:444-505)."""
+
+    d_model: int = 192
+    num_layers: int = 8
+    state_dim: int = 64
+    expand_ratio: int = 2
+    kernel_size: int = 4
+    dropout: float = 0.1
+    use_checkpoint: bool = False
+    scan_mode: str = "parallel"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        block_cls = SSMBlock
+        if self.use_checkpoint:
+            # jax.checkpoint per block (reference's torch checkpoint,
+            # ssm.py:439-441).
+            block_cls = nn.remat(SSMBlock, static_argnums=(2,))
+        for i in range(self.num_layers):
+            x = block_cls(
+                d_model=self.d_model,
+                state_dim=self.state_dim,
+                expand_ratio=self.expand_ratio,
+                kernel_size=self.kernel_size,
+                dropout=self.dropout,
+                scan_mode=self.scan_mode,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, train)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+
+
+class GlobalSSM(nn.Module):
+    """Lightweight SSM over pooled tokens (reference ssm.py:508-556).
+
+    expand_ratio=2 and kernel_size=4 are hardcoded as in the reference
+    (ssm.py:529-538).
+    """
+
+    d_model: int = 192
+    num_layers: int = 2
+    state_dim: int = 32
+    dropout: float = 0.1
+    scan_mode: str = "parallel"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = SSMBlock(
+                d_model=self.d_model,
+                state_dim=self.state_dim,
+                expand_ratio=2,
+                kernel_size=4,
+                dropout=self.dropout,
+                scan_mode=self.scan_mode,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, train)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
