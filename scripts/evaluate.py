@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Evaluate VELOCITY-ASR TPU (reference scripts/evaluate.py).
+
+Two modes:
+  --audio-dir: transcribe a directory and dump results
+  --test-set:  WER/CER benchmark over a labeled test set — a JSONL manifest
+               or a LibriSpeech split. (The reference declared this mode but
+               left load_test_data a stub returning [],
+               scripts/evaluate.py:41-57; implemented here.)
+
+Batched eval pads/buckets utterances so XLA compiles a handful of shapes.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("evaluate")
+
+
+def load_test_data(test_set: str, librispeech_root: str, max_utts: int):
+    """Yield (dataset-like, vocab) for a manifest path or LibriSpeech split."""
+    from velocity_asr_tpu.data import ASRDataset, LibriSpeechDataset
+
+    if os.path.isfile(test_set):
+        ds = ASRDataset(test_set, max_duration=None, min_duration=0.0)
+    else:
+        ds = LibriSpeechDataset(root=librispeech_root, split=test_set, max_duration=None)
+    n = len(ds) if max_utts <= 0 else min(len(ds), max_utts)
+    return ds, n
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate VELOCITY-ASR TPU")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--audio-dir", help="directory of audio to transcribe")
+    parser.add_argument("--test-set", help="manifest path or LibriSpeech split name")
+    parser.add_argument("--librispeech-root", default="./data")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--beam-width", type=int, default=0)
+    parser.add_argument("--max-utts", type=int, default=0, help="0 = all")
+    parser.add_argument("--output", help="write per-utterance results (JSON)")
+    args = parser.parse_args()
+
+    if not args.audio_dir and not args.test_set:
+        parser.error("provide --audio-dir or --test-set")
+
+    import jax
+    import jax.numpy as jnp
+
+    from velocity_asr_tpu.data import ASRCollator
+    from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+    from velocity_asr_tpu.models.model import forward, from_pretrained
+    from velocity_asr_tpu.training import compute_cer, compute_wer
+
+    model, params = from_pretrained(args.checkpoint)
+
+    vocab_path = os.path.join(args.checkpoint, "vocabulary.json")
+    if os.path.exists(vocab_path):
+        with open(vocab_path) as f:
+            vocabulary = json.load(f)
+    else:
+        vocabulary = create_default_vocabulary(model.config.vocab_size)
+    decoder = CTCDecoder(vocabulary)
+
+    if args.audio_dir:
+        from scripts.transcribe import Transcriber, collect_files
+
+        pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width)
+        results = []
+        for path in collect_files(args.audio_dir):
+            try:
+                results.append(pipeline.transcribe_file(path))
+            except Exception as e:
+                logger.error("Failed on %s: %s", path, e)
+        for r in results:
+            logger.info("%s -> %s", r.get("file"), r.get("text"))
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(results, f, indent=2)
+        return results
+
+    # ----- WER/CER benchmark -----
+    ds, n = load_test_data(args.test_set, args.librispeech_root, args.max_utts)
+    logger.info("Evaluating %d utterances from %s", n, args.test_set)
+    collator = ASRCollator(frame_bucket=200, target_bucket=1)
+
+    infer = jax.jit(lambda p, mel: forward(model, p, mel, train=False))
+
+    predictions, references = [], []
+    total_audio_s, total_wall = 0.0, 0.0
+    for start in range(0, n, args.batch_size):
+        idx = list(range(start, min(start + args.batch_size, n)))
+        items = [ds[i] for i in idx]
+        batch = collator(items)
+        t0 = time.perf_counter()
+        logits = np.asarray(infer(params, jnp.asarray(batch["mel_spectrogram"])))
+        out_lens = (batch["input_lengths"] + 1) // 2
+        # mask padded frames to blank-friendly decode: slice per utterance
+        for b in range(len(idx)):
+            lg = logits[b : b + 1, : out_lens[b]]
+            if args.beam_width > 1:
+                text = decoder.decode_beam_search(lg, beam_width=args.beam_width)[0]
+            else:
+                text = decoder.decode_greedy(lg)[0]
+            predictions.append(text)
+        total_wall += time.perf_counter() - t0
+        references.extend(batch["texts"])
+        total_audio_s += float(np.sum(batch["input_lengths"])) * 0.01  # 10ms hop
+        if (start // args.batch_size) % 20 == 0:
+            logger.info("  %d/%d", start + len(idx), n)
+
+    wer = compute_wer(predictions, references)
+    cer = compute_cer(predictions, references)
+    rtf = total_wall / max(total_audio_s, 1e-9)
+    logger.info("WER: %.2f%% | CER: %.2f%% | RTF: %.5f | utts/s: %.2f",
+                wer * 100, cer * 100, rtf, n / max(total_wall, 1e-9))
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(
+                {
+                    "wer": wer,
+                    "cer": cer,
+                    "rtf": rtf,
+                    "utterances": n,
+                    "results": [
+                        {"prediction": p, "reference": r}
+                        for p, r in zip(predictions, references)
+                    ],
+                },
+                f,
+                indent=2,
+            )
+    return {"wer": wer, "cer": cer, "rtf": rtf}
+
+
+if __name__ == "__main__":
+    main()

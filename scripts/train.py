@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Train VELOCITY-ASR TPU (reference scripts/train.py).
+
+Data source fallback chain matches the reference (scripts/train.py:216-288):
+JSONL manifest -> LibriSpeech-on-disk -> dummy random dataset. A vocab-size
+mismatch between data and model config re-creates the model
+(reference scripts/train.py:243-252).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("train")
+
+
+class DummyASRDataset:
+    """Random-data smoke dataset (reference scripts/train.py:41-112)."""
+
+    def __init__(self, num_samples=1000, vocab_size=1000, seed=0):
+        self.num_samples = num_samples
+        self.vocab_size = vocab_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed + idx)
+        frames = int(rng.integers(100, 500))
+        n_tokens = int(rng.integers(10, 50))
+        return {
+            "mel_spectrogram": rng.standard_normal((frames, 80)).astype(np.float32),
+            "targets": rng.integers(3, self.vocab_size, size=(n_tokens,)).astype(np.int32),
+            "input_lengths": np.int32(frames),
+            "target_lengths": np.int32(n_tokens),
+            "text": "",
+        }
+
+
+def build_data(data_cfg, model_cfg, batch_size, logger):
+    """Returns (train_loader, eval_loader_or_None, vocab_size_or_None)."""
+    from velocity_asr_tpu.data import (
+        ASRCollator,
+        DataLoader,
+        create_dataloader,
+        create_librispeech_dataloaders,
+    )
+
+    manifest = data_cfg.get("manifest")
+    if manifest and os.path.exists(manifest):
+        logger.info("Using manifest dataset: %s", manifest)
+        train_loader, train_ds = create_dataloader(
+            manifest,
+            batch_size=batch_size,
+            shuffle=True,
+            max_duration=data_cfg.get("max_duration", 30.0),
+            min_duration=data_cfg.get("min_duration", 0.5),
+        )
+        eval_loader = None
+        eval_manifest = data_cfg.get("eval_manifest")
+        if eval_manifest and os.path.exists(eval_manifest):
+            eval_loader, _ = create_dataloader(
+                eval_manifest, batch_size=batch_size, shuffle=False
+            )
+        return train_loader, eval_loader, len(train_ds.vocab)
+
+    root = data_cfg.get("librispeech_root")
+    if root and os.path.isdir(os.path.join(root, "LibriSpeech")):
+        logger.info("Using LibriSpeech at %s", root)
+        train_loader, eval_loader, vocab = create_librispeech_dataloaders(
+            root=root,
+            train_splits=data_cfg.get("train_splits", ["train-clean-100"]),
+            val_splits=data_cfg.get("val_splits", ["dev-clean"]),
+            batch_size=batch_size,
+            max_duration=data_cfg.get("max_duration", 30.0),
+        )
+        return train_loader, eval_loader, len(vocab)
+
+    logger.warning("No dataset configured; using dummy random data "
+                   "(reference scripts/train.py:284-288)")
+    ds = DummyASRDataset(vocab_size=model_cfg.vocab_size)
+    loader = DataLoader(ds, batch_size=batch_size, shuffle=True,
+                        collate_fn=ASRCollator(), drop_last=True)
+    return loader, None, None
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train VELOCITY-ASR TPU")
+    parser.add_argument("--config", default="configs/train.yaml")
+    parser.add_argument("--model-config", default="configs/model.yaml")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    parser.add_argument("--max-steps", type=int, default=None, help="override max_steps")
+    parser.add_argument("--batch-size", type=int, default=None)
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from velocity_asr_tpu.models.model import create_model, save_pretrained
+    from velocity_asr_tpu.quantize import prepare_model_for_qat
+    from velocity_asr_tpu.training import Trainer
+    from velocity_asr_tpu.data import cycle
+    from velocity_asr_tpu.utils.config import (
+        load_yaml,
+        model_config_from_yaml,
+        training_config_from_yaml,
+    )
+
+    train_cfg_dict = load_yaml(args.config) if os.path.exists(args.config) else {}
+    model_cfg_dict = load_yaml(args.model_config) if os.path.exists(args.model_config) else {}
+
+    model_cfg = model_config_from_yaml(model_cfg_dict)
+    train_cfg = training_config_from_yaml(train_cfg_dict)
+    if args.max_steps is not None:
+        train_cfg = dataclasses.replace(train_cfg, max_steps=args.max_steps)
+    if args.batch_size is not None:
+        train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
+
+    logger.info("Devices: %s", jax.devices())
+
+    # Optional QAT (reference scripts/train.py:184-192).
+    if train_cfg_dict.get("quantization", {}).get("enabled", False):
+        logger.info("Enabling quantization-aware training")
+        model_cfg = prepare_model_for_qat(model_cfg)
+
+    train_loader, eval_loader, data_vocab = build_data(
+        train_cfg_dict.get("data", {}), model_cfg, train_cfg.batch_size, logger
+    )
+
+    # Vocab-size mismatch re-creates the model (reference scripts/train.py:243-252).
+    if data_vocab is not None and data_vocab != model_cfg.vocab_size:
+        logger.info(
+            "Dataset vocab size %d != model vocab %d; rebuilding model config",
+            data_vocab, model_cfg.vocab_size,
+        )
+        model_cfg = dataclasses.replace(model_cfg, vocab_size=data_vocab)
+
+    model = create_model(model_cfg)
+    logger.info("Model config: %s", model_cfg)
+
+    eval_batches = (lambda: iter(eval_loader)) if eval_loader is not None else None
+    trainer = Trainer(model, train_cfg, cycle(train_loader), eval_batches)
+    from velocity_asr_tpu.models.model import count_parameters
+
+    logger.info("Parameters: %s", f"{count_parameters(trainer.params):,}")
+
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
+
+    history = trainer.train()
+
+    final = os.path.join(train_cfg.checkpoint_dir, "final_model")
+    trainer.save_checkpoint(final)
+    save_pretrained(
+        os.path.join(train_cfg.checkpoint_dir, "final_pretrained"),
+        model_cfg,
+        trainer.params,
+    )
+    logger.info("Training complete. Final checkpoint: %s", final)
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Transcribe audio with VELOCITY-ASR TPU (reference scripts/transcribe.py).
+
+Single file or recursive --input-dir batch; greedy or beam decoding;
+optional word-level timestamps (frame -> seconds = frame * 2 * hop / sr,
+reference scripts/transcribe.py:42-45); text or JSON output; per-file
+error isolation (reference scripts/transcribe.py:278-279).
+
+TPU-native difference: the mel front-end runs on device inside the same
+jit as the model (the reference computes mel on host CPU before transfer,
+scripts/transcribe.py:73-77), and utterances are padded to frame buckets
+so XLA compiles a handful of shapes.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("transcribe")
+
+AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
+
+
+def frame_to_seconds(frame: int, hop_length: int, sample_rate: int) -> float:
+    """Output frame -> seconds; output frames cover 2 hops after the stride-2
+    temporal binding (reference scripts/transcribe.py:42-45)."""
+    return frame * 2 * hop_length / sample_rate
+
+
+def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
+    """Assemble word-level timings from char tokens + frame spans
+    (reference scripts/transcribe.py:85-119)."""
+    words, current, start_t = [], [], None
+    for tok, (s, e) in zip(tokens, stamps):
+        ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
+        if ch == " ":
+            if current:
+                words.append(
+                    {
+                        "word": "".join(current),
+                        "start": start_t,
+                        "end": frame_to_seconds(e, hop_length, sample_rate),
+                    }
+                )
+                current, start_t = [], None
+            continue
+        if not current:
+            start_t = frame_to_seconds(s, hop_length, sample_rate)
+        current.append(ch)
+        last_end = frame_to_seconds(e, hop_length, sample_rate)
+    if current:
+        words.append({"word": "".join(current), "start": start_t, "end": last_end})
+    return words
+
+
+class Transcriber:
+    """Bucketed jit transcription pipeline."""
+
+    def __init__(self, model, params, decoder, beam_width=0, frame_bucket=200):
+        import jax
+        import jax.numpy as jnp
+
+        from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE, compute_mel_spectrogram_np
+
+        self.model = model
+        self.params = params
+        self.decoder = decoder
+        self.beam_width = beam_width
+        self.frame_bucket = frame_bucket
+        self._jax = jax
+        self._jnp = jnp
+        self._mel = compute_mel_spectrogram_np
+        self.hop = HOP_LENGTH
+        self.sr = SAMPLE_RATE
+
+        from velocity_asr_tpu.models.model import forward
+
+        def infer(params, mel):
+            return forward(model, params, mel, train=False)
+
+        self._infer = jax.jit(infer)
+
+    def logits_for(self, audio: np.ndarray):
+        mel = self._mel(audio)  # per-utterance mel before padding (exact norm)
+        n_frames = mel.shape[0]
+        bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
+        mel_padded = np.zeros((1, bucket, mel.shape[1]), np.float32)
+        mel_padded[0, :n_frames] = mel
+        logits = np.asarray(self._infer(self.params, self._jnp.asarray(mel_padded)))
+        out_len = (n_frames + 1) // 2
+        return logits[:, :out_len], out_len
+
+    def transcribe_array(self, audio: np.ndarray, timestamps: bool = False):
+        from velocity_asr_tpu.decode import (
+            ctc_greedy_decode_with_timestamps,
+        )
+
+        logits, _ = self.logits_for(audio)
+        result = {"duration": len(audio) / self.sr}
+        if timestamps:
+            tokens, stamps = ctc_greedy_decode_with_timestamps(logits)[0]
+            result["text"] = self.decoder._tokens_to_text(tokens)
+            result["words"] = words_with_timestamps(
+                tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
+            )
+        elif self.beam_width > 1:
+            result["text"] = self.decoder.decode_beam_search(
+                logits, beam_width=self.beam_width
+            )[0]
+        else:
+            result["text"] = self.decoder.decode_greedy(logits)[0]
+        return result
+
+    def transcribe_file(self, path: str, timestamps: bool = False):
+        from velocity_asr_tpu.audio import load_audio
+
+        t0 = time.perf_counter()
+        audio = load_audio(path)
+        result = self.transcribe_array(audio, timestamps=timestamps)
+        result["file"] = path
+        result["rtf"] = (time.perf_counter() - t0) / max(result["duration"], 1e-9)
+        return result
+
+
+def collect_files(input_dir: str):
+    out = []
+    for root, _, files in os.walk(input_dir):
+        for f in sorted(files):
+            if f.lower().endswith(AUDIO_EXTS):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Transcribe audio with VELOCITY-ASR TPU")
+    parser.add_argument("audio", nargs="?", help="audio file to transcribe")
+    parser.add_argument("--input-dir", help="transcribe every audio file under a directory")
+    parser.add_argument("--checkpoint", required=True, help="pretrained checkpoint dir")
+    parser.add_argument("--output", help="write results to file")
+    parser.add_argument("--json", action="store_true", help="JSON output")
+    parser.add_argument("--timestamps", action="store_true", help="word-level timestamps")
+    parser.add_argument("--beam-width", type=int, default=0, help=">1 enables beam search")
+    args = parser.parse_args()
+
+    if not args.audio and not args.input_dir:
+        parser.error("provide an audio file or --input-dir")
+
+    from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+    from velocity_asr_tpu.models.model import from_pretrained
+
+    model, params = from_pretrained(args.checkpoint)
+    vocab_path = os.path.join(args.checkpoint, "vocabulary.json")
+    if os.path.exists(vocab_path):
+        with open(vocab_path) as f:
+            vocabulary = json.load(f)
+    else:
+        vocabulary = create_default_vocabulary(model.config.vocab_size)
+    decoder = CTCDecoder(vocabulary)
+    pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width)
+
+    files = [args.audio] if args.audio else collect_files(args.input_dir)
+    results = []
+    for path in files:
+        try:
+            result = pipeline.transcribe_file(path, timestamps=args.timestamps)
+            results.append(result)
+            logger.info("%s -> %s (RTF %.4f)", path, result["text"], result["rtf"])
+        except Exception as e:  # per-file isolation (reference :278-279)
+            logger.error("Failed on %s: %s", path, e)
+            results.append({"file": path, "error": str(e)})
+
+    if args.output:
+        with open(args.output, "w") as f:
+            if args.json:
+                json.dump(results, f, indent=2)
+            else:
+                for r in results:
+                    f.write(f"{r.get('file','')}\t{r.get('text', r.get('error',''))}\n")
+        logger.info("Wrote %s", args.output)
+    elif args.json:
+        print(json.dumps(results, indent=2))
+
+    return results
+
+
+if __name__ == "__main__":
+    main()

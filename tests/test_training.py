@@ -1,0 +1,169 @@
+"""Training runtime tests: CTC loss golden vs torch, scheduler parity,
+overfit smoke, metrics parity, checkpoint resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import velocity_asr_tpu as va
+from velocity_asr_tpu.training import (
+    Trainer,
+    TrainingConfig,
+    compute_cer,
+    compute_wer,
+    ctc_loss,
+    warmup_cosine_schedule,
+)
+
+
+def test_ctc_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    B, T, V, L = 3, 20, 10, 6
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    targets = rng.integers(3, V, size=(B, L)).astype(np.int32)
+    input_lengths = np.array([20, 15, 12], np.int32)
+    target_lengths = np.array([6, 4, 3], np.int32)
+    # pad targets beyond length with <pad>=2
+    for b in range(B):
+        targets[b, target_lengths[b]:] = 2
+
+    lt = torch.from_numpy(logits)
+    ref = torch.nn.CTCLoss(blank=0, reduction="mean", zero_infinity=True)(
+        torch.log_softmax(lt, -1).transpose(0, 1),
+        torch.from_numpy(targets.astype(np.int64)),
+        torch.from_numpy(input_lengths.astype(np.int64)),
+        torch.from_numpy(target_lengths.astype(np.int64)),
+    ).item()
+
+    ours = float(
+        ctc_loss(
+            jnp.asarray(logits),
+            jnp.asarray(targets),
+            jnp.asarray(input_lengths),
+            jnp.asarray(target_lengths),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_ctc_loss_degenerate_lengths_finite():
+    # target longer than input frames -> torch gives inf, zero_infinity zeroes it
+    logits = np.zeros((1, 3, 5), np.float32)
+    targets = np.array([[3, 4, 3, 4, 3, 4]], np.int32)
+    loss = float(
+        ctc_loss(
+            jnp.asarray(logits),
+            jnp.asarray(targets),
+            jnp.asarray([3], np.int32),
+            jnp.asarray([6], np.int32),
+        )
+    )
+    assert np.isfinite(loss)
+    assert loss == 0.0
+
+
+def test_scheduler_matches_reference(torch_reference):
+    import torch
+
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(lin.parameters(), lr=1e-4)
+    from velocity_asr import training as ref_training
+
+    ref_sched = ref_training.WarmupCosineScheduler(
+        opt, warmup_steps=10, total_steps=100
+    )
+    sched = warmup_cosine_schedule(1e-4, warmup_steps=10, total_steps=100)
+
+    for count in range(120):
+        ref_sched.step()
+        ours = float(sched(count))
+        np.testing.assert_allclose(ours, ref_sched.get_lr()[0], rtol=1e-5)
+
+
+def test_wer_cer_match_reference(torch_reference):
+    preds = ["the cat sat", "hello world", ""]
+    refs = ["the cat sat on the mat", "hello word", "abc"]
+    from velocity_asr import training as ref_training
+
+    assert compute_wer(preds, refs) == ref_training.compute_wer(preds, refs)
+    assert compute_cer(preds, refs) == ref_training.compute_cer(preds, refs)
+
+
+def _tiny_setup(accum=1):
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=12, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    rng = np.random.default_rng(0)
+    # batch of 8: divisible across the 8-device data mesh from conftest
+    batch = {
+        "mel_spectrogram": rng.standard_normal((8, 50, 80)).astype(np.float32),
+        "targets": rng.integers(3, 12, size=(8, 8)).astype(np.int32),
+        "input_lengths": np.full((8,), 50, np.int32),
+        "target_lengths": np.full((8,), 8, np.int32),
+    }
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(
+        learning_rate=3e-3, warmup_steps=2, max_steps=30,
+        gradient_accumulation_steps=accum, log_interval=1000,
+        eval_interval=10**9, save_interval=10**9,
+    )
+    trainer = Trainer(model, tconf, batches())
+    return trainer, batch
+
+
+def test_overfit_single_batch():
+    trainer, batch = _tiny_setup()
+    first = trainer.train_step(batch)["loss"]
+    for _ in range(29):
+        last = trainer.train_step(batch)["loss"]
+    assert last < first * 0.9, (first, last)
+
+
+def test_gradient_accumulation_runs():
+    trainer, batch = _tiny_setup(accum=2)
+    for _ in range(4):
+        m = trainer.train_step(batch)
+    assert np.isfinite(m["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, batch = _tiny_setup()
+    for _ in range(3):
+        trainer.train_step(batch)
+    path = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(path)
+
+    trainer2, _ = _tiny_setup()
+    trainer2.load_checkpoint(path)
+    assert trainer2.global_step == trainer.global_step
+    a = jax.tree_util.tree_leaves(trainer.params)
+    b = jax.tree_util.tree_leaves(trainer2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # resumed training continues
+    m = trainer2.train_step(batch)
+    assert np.isfinite(m["loss"])
+
+
+def test_train_step_sharded_over_mesh():
+    # 8 virtual CPU devices from conftest: batch shards over `data`.
+    assert len(jax.devices()) == 8
+    trainer, batch = _tiny_setup()
+    assert trainer.mesh.shape["data"] == 8
+    sharded = trainer.shard_batch(batch)
+    shard_shapes = [
+        s.data.shape for s in sharded["mel_spectrogram"].addressable_shards
+    ]
+    assert all(s[0] == 1 for s in shard_shapes) and len(shard_shapes) == 8
+    m = trainer.train_step(batch)
+    assert np.isfinite(m["loss"])

@@ -161,6 +161,52 @@ def compute_mel_spectrogram(
     return mel
 
 
+def compute_mel_spectrogram_np(
+    audio: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    n_mels: int = N_MELS,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Numpy mirror of compute_mel_spectrogram for the host data pipeline.
+
+    The training data path computes mel per utterance *before* padding
+    (the reference does the same in its Dataset __getitem__,
+    data.py:124-142) because the per-bin time normalization depends on the
+    utterance length; this host-side version avoids device round-trips in
+    data-loader workers. Bit-compatible with the JAX version to ~1e-5.
+    """
+    squeeze_output = audio.ndim == 1
+    if squeeze_output:
+        audio = audio[None, :]
+    audio = np.asarray(audio, np.float32)
+
+    pad = n_fft // 2
+    audio_padded = np.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = 1 + (audio_padded.shape[-1] - n_fft) // hop_length
+    idx = (
+        np.arange(num_frames, dtype=np.int64)[:, None] * hop_length
+        + np.arange(n_fft, dtype=np.int64)[None, :]
+    )
+    frames = audio_padded[:, idx] * hann_window(n_fft)
+    spec = np.fft.rfft(frames, n=n_fft, axis=-1)
+    power = (spec.real**2 + spec.imag**2).astype(np.float32)
+
+    fb = mel_filterbank(n_fft, n_mels, sample_rate)
+    mel = np.einsum("mf,btf->btm", fb, power)
+    mel = np.log(mel + 1e-10)
+
+    if normalize:
+        mean = mel.mean(axis=-2, keepdims=True)
+        std = mel.std(axis=-2, keepdims=True, ddof=1) if mel.shape[-2] > 1 else np.zeros_like(mean)
+        mel = (mel - mean) / (std + 1e-10)
+
+    if squeeze_output:
+        mel = mel[0]
+    return mel.astype(np.float32)
+
+
 class MelSpectrogramTransform:
     """Callable wrapper bundling mel parameters (reference audio.py:202-261).
 

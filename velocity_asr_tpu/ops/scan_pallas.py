@@ -15,11 +15,14 @@ associative-scan path pay for — the kernel's HBM traffic is just the
 inputs plus the output.
 
 Layout notes (see /opt/skills/guides/pallas_guide.md):
-  - state h is kept as (N, D): N=state_dim on sublanes, D=d_inner on
-    lanes, so the per-step broadcast of the (1, D) dt/x rows across
-    sublanes and of the (N, 1) A/B/C columns across lanes are both free.
-  - B and C are passed pre-transposed as (batch, N, L) so the per-step
-    column slice is a natural (N, 1) tile.
+  - state h is (N, D): N=state_dim on sublanes, D=d_inner on lanes.
+  - every per-step access is a SUBLANE (row) slice — Mosaic requires lane
+    offsets to be 128-aligned, so B[t]/C[t] are never sliced out of the
+    lane axis. Instead the (N, D) outer product dt*x*B and the (1, D)
+    contraction C.h are expressed as tiny MXU dot_generals on the (1, N)
+    row slices, which need no transposes or lane gathers.
+  - A is passed pre-shaped as an (N, 1) column (a compile-time constant
+    layout, no per-step relayout).
 
 Gradients: forward runs this kernel; the backward pass currently reuses
 the VJP of the XLA associative-scan formulation (numerically identical
@@ -51,8 +54,8 @@ def _scan_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
     a_ref:  (N, 1)       A column (constant across grid)
     x_ref:  (1, T_c, D)  input chunk
     dt_ref: (1, T_c, D)  timestep chunk
-    b_ref:  (1, N, T_c)  B chunk, transposed
-    c_ref:  (1, N, T_c)  C chunk, transposed
+    b_ref:  (1, T_c, N)  B chunk
+    c_ref:  (1, T_c, N)  C chunk
     y_ref:  (1, T_c, D)  output chunk
     h_ref:  (N, D)       carried state (VMEM scratch)
     """
@@ -66,14 +69,25 @@ def _scan_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
     t_c = x_ref.shape[1]
 
     def step(t, h):
-        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D)
+        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D) row slice
         x_t = x_ref[0, pl.ds(t, 1), :]  # (1, D)
-        b_t = b_ref[0, :, pl.ds(t, 1)]  # (N, 1)
-        c_t = c_ref[0, :, pl.ds(t, 1)]  # (N, 1)
+        b_t = b_ref[0, pl.ds(t, 1), :]  # (1, N)
+        c_t = c_ref[0, pl.ds(t, 1), :]  # (1, N)
 
-        decay = jnp.exp(dt_t * a_col)  # (N, D)
-        h = decay * h + (dt_t * x_t) * b_t  # (N, D)
-        y_t = jnp.sum(h * c_t, axis=0, keepdims=True)  # (1, D)
+        decay = jnp.exp(a_col * dt_t)  # (N, 1)*(1, D) -> (N, D)
+        # Outer product (N, D) = b_t^T @ (dt_t * x_t) via MXU, no transpose.
+        dbx = jax.lax.dot_general(
+            b_t, dt_t * x_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = decay * h + dbx
+        # y_t (1, D) = c_t (1, N) @ h (N, D).
+        y_t = jax.lax.dot_general(
+            c_t, h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         y_ref[:, pl.ds(t, 1), :] = y_t[None]
         return h
 
@@ -103,8 +117,6 @@ def _pallas_scan_core(
     num_chunks = padded_len // chunk
 
     a_col = A.reshape(state_dim, 1).astype(jnp.float32)
-    bt = jnp.swapaxes(B, 1, 2).astype(jnp.float32)  # (batch, N, L)
-    ct = jnp.swapaxes(C, 1, 2).astype(jnp.float32)
 
     grid = (batch, num_chunks)
     y = pl.pallas_call(
@@ -115,15 +127,21 @@ def _pallas_scan_core(
             pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, state_dim, chunk), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, state_dim, chunk), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((state_dim, d_inner), jnp.float32)],
         interpret=_interpret(),
-    )(a_col, x.astype(jnp.float32), dt.astype(jnp.float32), bt, ct)
+    )(
+        a_col,
+        x.astype(jnp.float32),
+        dt.astype(jnp.float32),
+        B.astype(jnp.float32),
+        C.astype(jnp.float32),
+    )
 
     return y[:, :length]
 

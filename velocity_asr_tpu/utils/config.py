@@ -1,0 +1,73 @@
+"""YAML config loading (reference scripts/train.py:35-38, 144-174)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from ..models.config import VelocityASRConfig
+from ..training import TrainingConfig
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    import yaml
+
+    with open(path, "r") as f:
+        return yaml.safe_load(f) or {}
+
+
+def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
+    """Map a model.yaml dict onto VelocityASRConfig with the same explicit
+    .get() defaults as the reference (scripts/train.py:158-174)."""
+    model = cfg.get("model", cfg)
+    ssm = cfg.get("ssm", {})
+    glob = cfg.get("global_context", {})
+    out = cfg.get("output", {})
+    perf = cfg.get("performance", {})
+    scan_mode = perf.get("scan_mode", model.get("scan_mode", "parallel"))
+    if scan_mode == "mamba":  # reference mode name -> TPU kernel tier
+        scan_mode = "pallas"
+    return VelocityASRConfig(
+        mel_bins=model.get("mel_bins", 80),
+        d_model=model.get("d_model", 192),
+        ssm_layers=ssm.get("num_layers", model.get("ssm_layers", 8)),
+        ssm_state_dim=ssm.get("state_dim", model.get("ssm_state_dim", 64)),
+        ssm_expand_ratio=ssm.get("expand_ratio", model.get("ssm_expand_ratio", 2)),
+        ssm_kernel_size=ssm.get("kernel_size", model.get("ssm_kernel_size", 4)),
+        global_ssm_layers=glob.get("ssm_layers", model.get("global_ssm_layers", 2)),
+        global_ssm_state_dim=glob.get("ssm_state_dim", model.get("global_ssm_state_dim", 32)),
+        attention_heads=glob.get("attention_heads", model.get("attention_heads", 4)),
+        attention_dim=glob.get("attention_dim", model.get("attention_dim", 48)),
+        vocab_size=out.get("vocab_size", model.get("vocab_size", 1000)),
+        dropout=model.get("dropout", 0.1),
+        gradient_checkpointing=perf.get(
+            "gradient_checkpointing", model.get("gradient_checkpointing", False)
+        ),
+        scan_mode=scan_mode,
+        dtype=perf.get("dtype", model.get("dtype", "float32")),
+    )
+
+
+def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
+    """Map a train.yaml dict onto TrainingConfig
+    (reference scripts/train.py:195-209)."""
+    opt = cfg.get("optimizer", {})
+    trn = cfg.get("training", {})
+    log = cfg.get("logging", {})
+    ckpt = cfg.get("checkpoint", {})
+    dist = cfg.get("distributed", {})
+    return TrainingConfig(
+        learning_rate=float(opt.get("learning_rate", 1e-4)),
+        weight_decay=float(opt.get("weight_decay", 0.01)),
+        warmup_steps=int(opt.get("warmup_steps", 10000)),
+        max_steps=int(trn.get("max_steps", 80000)),
+        grad_clip_norm=float(opt.get("grad_clip_norm", 1.0)),
+        batch_size=int(trn.get("batch_size", 32)),
+        gradient_accumulation_steps=int(trn.get("gradient_accumulation_steps", 1)),
+        use_amp=bool(trn.get("use_amp", True)),
+        log_interval=int(log.get("log_interval", 100)),
+        eval_interval=int(log.get("eval_interval", 1000)),
+        save_interval=int(ckpt.get("save_interval", 5000)),
+        checkpoint_dir=ckpt.get("dir", "./checkpoints"),
+        keep_last=int(ckpt.get("keep_last", 5)),
+        num_data_shards=dist.get("num_data_shards", None),
+    )
