@@ -1,0 +1,121 @@
+"""Native C++ audio decoder tests: FLAC (via the test-fixture encoder) and
+WAV roundtrips through the ctypes interface."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from velocity_asr_tpu import io as va_io
+from tests.flac_encoder import encode_flac
+
+needs_native = pytest.mark.skipif(
+    not va_io.native_available(), reason="native decoder not built (make -C native)"
+)
+
+
+def make_pcm(n=5000, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(sig * 20000, -32768, 32767).astype(np.int16)
+    if channels == 2:
+        pcm = np.stack([pcm, (pcm * 0.5).astype(np.int16)], axis=1)
+    return pcm
+
+
+@needs_native
+@pytest.mark.parametrize("mode", ["fixed2", "verbatim"])
+def test_flac_mono_roundtrip(tmp_path, mode):
+    pcm = make_pcm()
+    path = str(tmp_path / f"test_{mode}.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, mode=mode))
+    data, rate = va_io.decode_audio_file(path)
+    assert rate == 16000
+    assert data.shape == (1, len(pcm))
+    np.testing.assert_allclose(data[0], pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@needs_native
+def test_flac_constant_subframe(tmp_path):
+    pcm = np.full(3000, 1234, np.int16)
+    path = str(tmp_path / "const.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, mode="constant"))
+    data, rate = va_io.decode_audio_file(path)
+    np.testing.assert_allclose(data[0], 1234 / 32768.0, atol=1e-6)
+
+
+@needs_native
+def test_flac_stereo_independent(tmp_path):
+    pcm = make_pcm(4000, channels=2)
+    path = str(tmp_path / "stereo.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, mode="fixed2"))
+    data, rate = va_io.decode_audio_file(path)
+    assert data.shape == (2, 4000)
+    np.testing.assert_allclose(data.T, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@needs_native
+def test_flac_left_side_stereo(tmp_path):
+    pcm = make_pcm(4096, channels=2, seed=3)
+    path = str(tmp_path / "ls.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, mode="fixed2", stereo_mode="left_side"))
+    data, rate = va_io.decode_audio_file(path)
+    np.testing.assert_allclose(data.T, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@needs_native
+def test_flac_odd_tail_block(tmp_path):
+    # total not a multiple of block_size exercises the short last frame
+    pcm = make_pcm(2500, seed=7)
+    path = str(tmp_path / "tail.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, block_size=1024, mode="fixed2"))
+    data, _ = va_io.decode_audio_file(path)
+    assert data.shape[1] == 2500
+    np.testing.assert_allclose(data[0], pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+@needs_native
+def test_wav_native_matches_python(tmp_path):
+    pcm = make_pcm(3000)
+    path = str(tmp_path / "x.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    native, rate_n = va_io._decode_native(path)
+    pyth, rate_p = va_io._decode_wav_python(path)
+    assert rate_n == rate_p == 16000
+    np.testing.assert_allclose(native, pyth, atol=1e-7)
+
+
+@needs_native
+def test_corrupt_file_raises(tmp_path):
+    path = str(tmp_path / "bad.flac")
+    with open(path, "wb") as f:
+        f.write(b"fLaC" + b"\x00" * 10)
+    with pytest.raises(ValueError):
+        va_io.decode_audio_file(path)
+
+
+def test_load_audio_resamples(tmp_path):
+    # 8 kHz WAV -> load_audio resamples to 16 kHz (python fallback path ok)
+    t = np.arange(8000) / 8000
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    path = str(tmp_path / "8k.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    from velocity_asr_tpu.audio import load_audio
+
+    out = load_audio(path)
+    assert abs(len(out) - 16000) <= 2
