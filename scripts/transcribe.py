@@ -136,6 +136,32 @@ class Transcriber:
         return result
 
 
+def transcribe_streaming(model, params, decoder, path, chunk_seconds=2.0):
+    """Chunked streaming transcription: exact SSM/conv carry, per-chunk
+    global context (velocity_asr_tpu.streaming)."""
+    from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    frames = int(chunk_seconds * 100)
+    frames += frames % 2  # even chunk contract
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=frames)
+    t0 = time.perf_counter()
+    audio = load_audio(path)
+    block = int(chunk_seconds * SAMPLE_RATE)
+    text = ""
+    for i in range(0, len(audio), block):
+        text += st.feed(audio[i : i + block])
+    text += st.finish()
+    duration = len(audio) / SAMPLE_RATE
+    return {
+        "file": path,
+        "text": text,
+        "duration": duration,
+        "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
+        "streaming": True,
+    }
+
+
 def collect_files(input_dir: str):
     out = []
     for root, _, files in os.walk(input_dir):
@@ -154,6 +180,14 @@ def main():
     parser.add_argument("--json", action="store_true", help="JSON output")
     parser.add_argument("--timestamps", action="store_true", help="word-level timestamps")
     parser.add_argument("--beam-width", type=int, default=0, help=">1 enables beam search")
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="chunked streaming decode with carried SSM state (long-form audio)",
+    )
+    parser.add_argument(
+        "--chunk-seconds", type=float, default=2.0,
+        help="streaming chunk size in seconds",
+    )
     args = parser.parse_args()
 
     if not args.audio and not args.input_dir:
@@ -176,7 +210,12 @@ def main():
     results = []
     for path in files:
         try:
-            result = pipeline.transcribe_file(path, timestamps=args.timestamps)
+            if args.streaming:
+                result = transcribe_streaming(
+                    model, params, decoder, path, args.chunk_seconds
+                )
+            else:
+                result = pipeline.transcribe_file(path, timestamps=args.timestamps)
             results.append(result)
             logger.info("%s -> %s (RTF %.4f)", path, result["text"], result["rtf"])
         except Exception as e:  # per-file isolation (reference :278-279)

@@ -1,0 +1,157 @@
+"""Streaming tests: exact chunked conv+SSM path, incremental mel, and the
+end-to-end StreamingTranscriber."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import velocity_asr_tpu as va
+from velocity_asr_tpu.audio import compute_mel_spectrogram_np
+from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+from velocity_asr_tpu.models.ssm import SSMBlock
+from velocity_asr_tpu.models.layers import TemporalBindingLayer
+from velocity_asr_tpu.ops.scan import selective_scan_parallel, selective_scan_sequential
+from velocity_asr_tpu.streaming import StreamingMel, StreamingTranscriber
+
+
+def test_scan_state_carry_exact():
+    rng = np.random.default_rng(0)
+    B, L, D, N = 2, 64, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    dt = jnp.asarray(np.abs(rng.standard_normal((B, L, D))) * 0.4, jnp.float32)
+    A = -jnp.exp(jnp.log(jnp.arange(1, N + 1, dtype=jnp.float32)))
+    Bc = jnp.asarray(rng.standard_normal((B, L, N)), jnp.float32)
+    Cc = jnp.asarray(rng.standard_normal((B, L, N)), jnp.float32)
+    D_ = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+
+    full = selective_scan_parallel(x, dt, A, Bc, Cc, D_)
+    # two chunks with carried state
+    s = L // 2
+    y1, h = selective_scan_parallel(
+        x[:, :s], dt[:, :s], A, Bc[:, :s], Cc[:, :s], D_, return_state=True
+    )
+    y2 = selective_scan_parallel(
+        x[:, s:], dt[:, s:], A, Bc[:, s:], Cc[:, s:], D_, h0=h
+    )
+    chunked = jnp.concatenate([y1, y2], axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5, atol=1e-5)
+
+    # sequential tier agrees too
+    y1s, hs = selective_scan_sequential(
+        x[:, :s], dt[:, :s], A, Bc[:, :s], Cc[:, :s], D_, return_state=True
+    )
+    np.testing.assert_allclose(np.asarray(h), np.asarray(hs), rtol=1e-5, atol=1e-5)
+
+
+def test_ssm_block_streaming_exact():
+    block = SSMBlock(d_model=8, state_dim=4, dropout=0.0)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 40, 8)), jnp.float32
+    )
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+
+    full = block.apply({"params": params}, x)
+
+    state = None
+    outs = []
+    for i in range(0, 40, 10):
+        out, state = block.apply(
+            {"params": params}, x[:, i : i + 10], False, state, True
+        )
+        outs.append(out)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_binding_streaming_exact():
+    tb = TemporalBindingLayer(mel_bins=8, d_model=16)
+    mel = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 48, 8)), jnp.float32
+    )
+    params = tb.init(jax.random.PRNGKey(0), mel)["params"]
+
+    full = tb.apply({"params": params}, mel)
+
+    carry, offset, outs = None, 0, []
+    for i in range(0, 48, 16):
+        out, carry = tb.apply(
+            {"params": params}, mel[:, i : i + 16], False, carry, offset, True
+        )
+        outs.append(out)
+        offset += out.shape[1]
+    chunked = jnp.concatenate(outs, axis=1)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_mel_unnormalized_exact():
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.2
+    offline = compute_mel_spectrogram_np(audio, normalize=False)
+
+    sm = StreamingMel(normalize=False)
+    frames = []
+    for i in range(0, len(audio), 1600):
+        frames.append(sm.feed(audio[i : i + 1600]))
+    frames.append(sm.finish())
+    streamed = np.concatenate(frames)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_mel_normalized_tracks_offline():
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(32000).astype(np.float32) * 0.2
+    offline = compute_mel_spectrogram_np(audio, normalize=True)
+    sm = StreamingMel(normalize=True)
+    streamed = np.concatenate([sm.feed(audio), sm.finish()])
+    assert streamed.shape == offline.shape
+    # causal stats converge to full-utterance stats; tail frames agree closely
+    np.testing.assert_allclose(streamed[-50:], offline[-50:], atol=0.3)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=2, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=30, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    params = va.init_params(model, jax.random.PRNGKey(0), example_frames=64)
+    return model, params
+
+
+def test_model_stream_step_shapes(tiny_model):
+    model, params = tiny_model
+    mel = jnp.zeros((1, 40, 80))
+    logits, state = model.apply(
+        {"params": params}, mel, train=False, return_state=True
+    )
+    assert logits.shape == (1, 20, 30)
+    assert state["mel_carry"].shape == (1, 1, 80)
+    assert len(state["blocks"]) == 2
+    # second step consumes the state
+    logits2, state2 = model.apply(
+        {"params": params}, mel, train=False,
+        stream_state=state, time_offset=20, return_state=True,
+    )
+    assert logits2.shape == (1, 20, 30)
+
+
+def test_streaming_transcriber_end_to_end(tiny_model):
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=100)
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(3 * 16000) * 0.1).astype(np.float32)
+    text = ""
+    for i in range(0, len(audio), 8000):
+        text += st.feed(audio[i : i + 8000])
+    text += st.finish()
+    assert text == st.text
+    assert isinstance(text, str)
+    # ~301 mel frames -> ~151 output frames were decoded
+    assert st._time_offset == (1 + len(audio) // 160 + 1) // 2

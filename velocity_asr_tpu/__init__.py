@@ -120,4 +120,8 @@ def __getattr__(name):
         from . import data
 
         return getattr(data, name)
+    if name in ("StreamingTranscriber", "StreamingMel"):
+        from . import streaming
+
+        return getattr(streaming, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

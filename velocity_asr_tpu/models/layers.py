@@ -6,6 +6,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,10 +56,15 @@ class PositionalEncoding2D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, time_offset=0) -> jnp.ndarray:
         seq_len = x.shape[1]
         half = self.d_model // 2
-        pe_time = jnp.asarray(sinusoidal_time_encoding(self.max_len, half))[:seq_len]
+        # dynamic_slice: time_offset may be a traced scalar in streaming mode
+        # (one compiled step serves every chunk position).
+        table = jnp.asarray(sinusoidal_time_encoding(self.max_len, half))
+        pe_time = jax.lax.dynamic_slice_in_dim(
+            table, jnp.asarray(time_offset, jnp.int32), seq_len, axis=0
+        )
         pe_freq = self.param(
             "pe_freq",
             lambda key, shape: __import__("jax").random.normal(key, shape) * 0.02,
@@ -85,7 +91,48 @@ class TemporalBindingLayer(nn.Module):
     qat: bool = False
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        mel: jnp.ndarray,
+        train: bool = False,
+        carry: jnp.ndarray = None,
+        time_offset: int = 0,
+        return_carry: bool = False,
+    ):
+        """Standard call, or streaming call with a carried mel frame.
+
+        Streaming contract: chunks must have an even number of mel frames;
+        with pad=1 the first chunk left-pads one zero frame, later chunks
+        splice the carried final frame of the previous chunk, making the
+        strided conv exact across boundaries. time_offset is the absolute
+        output-frame offset for the positional encoding.
+        """
+        if return_carry:
+            assert not self.qat, "streaming QAT front-end not supported"
+            assert mel.shape[1] % self.stride == 0, "stream chunks must be even"
+            kernel = self.param(
+                "conv_kernel",
+                kaiming_conv_init(),
+                (self.kernel_size, self.mel_bins, self.d_model),
+            )
+            bias = self.param("conv_bias", nn.initializers.zeros, (self.d_model,))
+            pad = self.kernel_size // 2
+            if carry is None:
+                carry = jnp.zeros((mel.shape[0], pad, self.mel_bins), jnp.float32)
+            mel_ext = jnp.concatenate([carry.astype(mel.dtype), mel], axis=1)
+            new_carry = mel_ext[:, -pad:]
+            # valid conv over [carry | chunk]: outputs cover the chunk exactly
+            x = strided_conv1d(
+                mel_ext.astype(self.dtype), kernel, bias,
+                stride=self.stride, padding=0,
+            )
+            x = nn.gelu(x, approximate=False)
+            x = PositionalEncoding2D(
+                d_model=self.d_model, dtype=self.dtype, name="pos_encoding"
+            )(x, time_offset=time_offset)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            return x, new_carry
+
         if self.qat:
             # The temporal-binding conv is outside the SSM stacks, so the
             # reference's QAT rewrite quantizes it (quantize.py:288-313).

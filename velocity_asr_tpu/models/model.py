@@ -39,16 +39,39 @@ class VelocityASR(nn.Module):
         mel_spectrogram: jnp.ndarray,
         train: bool = False,
         return_features: bool = False,
+        stream_state: Optional[Dict[str, Any]] = None,
+        time_offset: int = 0,
+        return_state: bool = False,
     ):
+        """Full forward, or one streaming chunk step.
+
+        Streaming (return_state=True): mel_spectrogram is one even-length
+        chunk; stream_state carries the temporal-binding conv frame and each
+        SSM block's (conv tail, recurrence state), making the conv+SSM path
+        exact across chunks. The hierarchical global context is recomputed
+        per chunk (an approximation — the full-sequence path pools over the
+        whole utterance). time_offset is the absolute output-frame offset
+        for the positional encoding.
+        """
         cfg = self.config
         dtype = cfg.compute_dtype
+        streaming = return_state or stream_state is not None
 
-        x = TemporalBindingLayer(
+        binding = TemporalBindingLayer(
             mel_bins=cfg.mel_bins, d_model=cfg.d_model, dtype=dtype, qat=cfg.qat,
             name="temporal_binding",
-        )(mel_spectrogram, train)
+        )
+        if streaming:
+            x, mel_carry = binding(
+                mel_spectrogram, train,
+                carry=None if stream_state is None else stream_state["mel_carry"],
+                time_offset=time_offset,
+                return_carry=True,
+            )
+        else:
+            x = binding(mel_spectrogram, train)
 
-        local_features = LocalSSMProcessor(
+        local = LocalSSMProcessor(
             d_model=cfg.d_model,
             num_layers=cfg.ssm_layers,
             state_dim=cfg.ssm_state_dim,
@@ -59,7 +82,15 @@ class VelocityASR(nn.Module):
             scan_mode=cfg.scan_mode,
             dtype=dtype,
             name="local_ssm",
-        )(x, train)
+        )
+        if streaming:
+            local_features, block_states = local(
+                x, train,
+                states=None if stream_state is None else stream_state["blocks"],
+                return_state=True,
+            )
+        else:
+            local_features = local(x, train)
 
         fused_features = HierarchicalGlobalContext(
             d_model=cfg.d_model,
@@ -84,6 +115,8 @@ class VelocityASR(nn.Module):
         )(fused_features, train)
         logits = logits.astype(jnp.float32)
 
+        if return_state:
+            return logits, {"mel_carry": mel_carry, "blocks": block_states}
         if return_features:
             return logits, {
                 "temporal_binding": x,

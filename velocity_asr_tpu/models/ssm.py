@@ -38,7 +38,12 @@ class SelectiveSSM(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        ssm_state: jnp.ndarray = None,
+        return_state: bool = False,
+    ):
         d_inner = self.d_model * self.expand_ratio
 
         xz = nn.Dense(
@@ -68,7 +73,7 @@ class SelectiveSSM(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
         # Recurrence in fp32 (see module docstring).
-        y = selective_scan(
+        scan_out = selective_scan(
             x_in.astype(jnp.float32),
             dt.astype(jnp.float32),
             A,
@@ -76,13 +81,22 @@ class SelectiveSSM(nn.Module):
             C.astype(jnp.float32),
             D,
             mode=self.scan_mode,
+            h0=ssm_state,
+            return_state=return_state,
         )
+        if return_state:
+            y, h_final = scan_out
+        else:
+            y = scan_out
 
         y = y.astype(self.dtype) * nn.silu(z)
-        return nn.Dense(
+        out = nn.Dense(
             self.d_model, use_bias=False, kernel_init=xavier_uniform(),
             dtype=self.dtype, name="out_proj",
         )(y)
+        if return_state:
+            return out, h_final
+        return out
 
 
 class SSMBlock(nn.Module):
@@ -101,7 +115,13 @@ class SSMBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        state: dict = None,
+        return_state: bool = False,
+    ):
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
 
@@ -109,16 +129,33 @@ class SSMBlock(nn.Module):
             "conv_kernel", kaiming_conv_init(), (self.kernel_size, 1, self.d_model)
         )
         conv_bias = self.param("conv_bias", nn.initializers.zeros, (self.d_model,))
-        h = causal_depthwise_conv1d(h, conv_kernel[:, 0, :], conv_bias)
+        if return_state and state is None:
+            state = self.init_stream_state(x.shape[0])
+        if state is not None:
+            # Streaming: splice the carried (k-1) normed frames in front so
+            # the causal conv is exact across chunk boundaries.
+            h_ext = jnp.concatenate([state["conv"].astype(h.dtype), h], axis=1)
+            new_conv_tail = h_ext[:, -(self.kernel_size - 1):]
+            h = causal_depthwise_conv1d(h_ext, conv_kernel[:, 0, :], conv_bias)[
+                :, self.kernel_size - 1 :
+            ]
+        else:
+            h = causal_depthwise_conv1d(h, conv_kernel[:, 0, :], conv_bias)
 
-        h = SelectiveSSM(
+        ssm = SelectiveSSM(
             d_model=self.d_model,
             state_dim=self.state_dim,
             expand_ratio=self.expand_ratio,
             scan_mode=self.scan_mode,
             dtype=self.dtype,
             name="ssm",
-        )(h)
+        )
+        if return_state:
+            h, ssm_final = ssm(
+                h, ssm_state=None if state is None else state["ssm"], return_state=True
+            )
+        else:
+            h = ssm(h, ssm_state=None if state is None else state["ssm"])
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = h + residual
 
@@ -134,7 +171,19 @@ class SSMBlock(nn.Module):
             self.d_model, kernel_init=xavier_uniform(), dtype=self.dtype, name="ffn_out"
         )(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return h + residual
+        out = h + residual
+        if return_state:
+            return out, {"conv": new_conv_tail, "ssm": ssm_final}
+        return out
+
+    def init_stream_state(self, batch: int) -> dict:
+        """Zero streaming state: (k-1) conv-tail frames + SSM state."""
+        return {
+            "conv": jnp.zeros((batch, self.kernel_size - 1, self.d_model), jnp.float32),
+            "ssm": jnp.zeros(
+                (batch, self.d_model * self.expand_ratio, self.state_dim), jnp.float32
+            ),
+        }
 
 
 class LocalSSMProcessor(nn.Module):
@@ -151,14 +200,21 @@ class LocalSSMProcessor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        states: list = None,
+        return_state: bool = False,
+    ):
         block_cls = SSMBlock
-        if self.use_checkpoint:
+        if self.use_checkpoint and not return_state:
             # jax.checkpoint per block (reference's torch checkpoint,
             # ssm.py:439-441).
             block_cls = nn.remat(SSMBlock, static_argnums=(2,))
+        new_states = []
         for i in range(self.num_layers):
-            x = block_cls(
+            block = block_cls(
                 d_model=self.d_model,
                 state_dim=self.state_dim,
                 expand_ratio=self.expand_ratio,
@@ -167,8 +223,19 @@ class LocalSSMProcessor(nn.Module):
                 scan_mode=self.scan_mode,
                 dtype=self.dtype,
                 name=f"layers_{i}",
-            )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            )
+            if return_state:
+                x, st = block(
+                    x, train, state=None if states is None else states[i],
+                    return_state=True,
+                )
+                new_states.append(st)
+            else:
+                x = block(x, train)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        if return_state:
+            return out, new_states
+        return out
 
 
 class GlobalSSM(nn.Module):

@@ -41,7 +41,9 @@ def selective_scan_sequential(
     B: jnp.ndarray,
     C: jnp.ndarray,
     D: jnp.ndarray,
-) -> jnp.ndarray:
+    h0: jnp.ndarray = None,
+    return_state: bool = False,
+):
     """Oracle scan via lax.scan (reference ssm.py:134-171).
 
     Args:
@@ -51,9 +53,13 @@ def selective_scan_sequential(
         B: (batch, L, state_dim) input matrix.
         C: (batch, L, state_dim) output matrix.
         D: (d_inner,) skip connection.
+        h0: optional initial state (batch, d_inner, state_dim) — enables
+            exact chunked/streaming evaluation (the recurrence is
+            associative, so per-chunk scans with carried state compose).
+        return_state: also return the final state.
 
     Returns:
-        y: (batch, L, d_inner)
+        y: (batch, L, d_inner) [, h_final (batch, d_inner, state_dim)]
     """
 
     def step(h, inputs):
@@ -65,16 +71,19 @@ def selective_scan_sequential(
         return h, y_t
 
     batch, _, d_inner = x.shape
-    h0 = jnp.zeros((batch, d_inner, A.shape[0]), dtype=x.dtype)
+    if h0 is None:
+        h0 = jnp.zeros((batch, d_inner, A.shape[0]), dtype=x.dtype)
     xs = (
         jnp.moveaxis(x, 1, 0),
         jnp.moveaxis(dt, 1, 0),
         jnp.moveaxis(B, 1, 0),
         jnp.moveaxis(C, 1, 0),
     )
-    _, ys = jax.lax.scan(step, h0, xs)
-    y = jnp.moveaxis(ys, 0, 1)
-    return y + x * D
+    h_final, ys = jax.lax.scan(step, h0, xs)
+    y = jnp.moveaxis(ys, 0, 1) + x * D
+    if return_state:
+        return y, h_final
+    return y
 
 
 def selective_scan_parallel(
@@ -84,10 +93,16 @@ def selective_scan_parallel(
     B: jnp.ndarray,
     C: jnp.ndarray,
     D: jnp.ndarray,
-) -> jnp.ndarray:
+    h0: jnp.ndarray = None,
+    return_state: bool = False,
+):
     """Parallel scan via lax.associative_scan (replaces reference ssm.py:173-295)."""
     dA = jnp.exp(dt[..., None] * A)  # (b, L, d, n)
     dBx = (dt * x)[..., None] * B[:, :, None, :]  # (b, L, d, n)
+    if h0 is not None:
+        # Fold the carried state into the first step:
+        # h[0] = dA[0] * h0 + dBx[0].
+        dBx = dBx.at[:, 0].add(dA[:, 0] * h0)
 
     def combine(left, right):
         a_l, b_l = left
@@ -95,8 +110,10 @@ def selective_scan_parallel(
         return a_r * a_l, a_r * b_l + b_r
 
     _, h = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
-    y = jnp.einsum("bldn,bln->bld", h, C)
-    return y + x * D
+    y = jnp.einsum("bldn,bln->bld", h, C) + x * D
+    if return_state:
+        return y, h[:, -1]
+    return y
 
 
 def selective_scan(
@@ -107,13 +124,22 @@ def selective_scan(
     C: jnp.ndarray,
     D: jnp.ndarray,
     mode: ScanMode = "parallel",
-) -> jnp.ndarray:
-    """Dispatch to a scan implementation (reference mode ladder, ssm.py:119-126)."""
+    h0: jnp.ndarray = None,
+    return_state: bool = False,
+):
+    """Dispatch to a scan implementation (reference mode ladder, ssm.py:119-126).
+
+    With h0/return_state (the streaming path), the Pallas tier falls back to
+    the XLA parallel scan: streaming chunks are short, and the kernel does
+    not expose its final state yet.
+    """
     if mode == "sequential":
-        return selective_scan_sequential(x, dt, A, B, C, D)
+        return selective_scan_sequential(x, dt, A, B, C, D, h0, return_state)
     if mode == "parallel":
-        return selective_scan_parallel(x, dt, A, B, C, D)
+        return selective_scan_parallel(x, dt, A, B, C, D, h0, return_state)
     if mode == "pallas":
+        if h0 is not None or return_state:
+            return selective_scan_parallel(x, dt, A, B, C, D, h0, return_state)
         from .scan_pallas import selective_scan_pallas
 
         return selective_scan_pallas(x, dt, A, B, C, D)

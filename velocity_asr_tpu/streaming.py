@@ -1,0 +1,228 @@
+"""Streaming / long-form chunked transcription.
+
+The reference lists "Streaming Mode" as future work (reference
+README.md:480-482) and handles long audio only by running the whole graph
+on the full sequence. Here streaming is first-class:
+
+  - the SSM recurrence and every causal conv carry state across chunks, so
+    the local acoustic path is numerically EXACT chunked evaluation (the
+    recurrence is associative; see ops.scan h0 support);
+  - the hierarchical global context is recomputed per chunk (the
+    full-sequence path pools over the whole utterance — a documented
+    approximation);
+  - the mel front-end is incremental: a sample ring buffer supplies each
+    frame's full n_fft window, and per-bin normalization uses running
+    (causal) statistics instead of the full-utterance statistics the
+    offline path uses (documented approximation);
+  - greedy CTC decoding carries its collapse state across chunks.
+
+One compiled step (static chunk shape, dynamic time offset) serves the
+entire stream.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE, hann_window, mel_filterbank
+from .decode import BLANK_TOKEN, CTCDecoder
+from .models.model import VelocityASR
+
+
+class StreamingMel:
+    """Incremental log-mel extraction.
+
+    Matches the offline front-end (audio.compute_mel_spectrogram) except
+    for normalization statistics, which are cumulative-causal rather than
+    whole-utterance. The initial reflect padding is reproduced once enough
+    samples arrive; the final reflect-padded frames are emitted by
+    finish().
+    """
+
+    def __init__(self, n_fft: int = N_FFT, hop: int = HOP_LENGTH, n_mels: int = N_MELS,
+                 sample_rate: int = SAMPLE_RATE, normalize: bool = True):
+        self.n_fft = n_fft
+        self.hop = hop
+        self.pad = n_fft // 2
+        self.normalize = normalize
+        self.window = hann_window(n_fft)
+        self.fb = mel_filterbank(n_fft, n_mels, sample_rate)
+        self._raw = np.zeros(0, np.float32)  # all samples seen (pre-pad space)
+        self._padded: Optional[np.ndarray] = None  # front-padded signal
+        self._next_frame = 0
+        # running normalization stats per mel bin
+        self._count = 0
+        self._sum = np.zeros(n_mels, np.float64)
+        self._sumsq = np.zeros(n_mels, np.float64)
+
+    def _frames_available(self, total_padded: int) -> int:
+        if total_padded < self.n_fft:
+            return 0
+        return 1 + (total_padded - self.n_fft) // self.hop
+
+    def _extract(self, signal: np.ndarray, start: int, count: int) -> np.ndarray:
+        idx = (
+            (start + np.arange(count))[:, None] * self.hop
+            + np.arange(self.n_fft)[None, :]
+        )
+        frames = signal[idx] * self.window
+        spec = np.fft.rfft(frames, n=self.n_fft, axis=-1)
+        power = (spec.real**2 + spec.imag**2).astype(np.float32)
+        mel = np.log(power @ self.fb.T + 1e-10)
+        if self.normalize:
+            self._count += mel.shape[0]
+            self._sum += mel.sum(axis=0)
+            self._sumsq += (mel.astype(np.float64) ** 2).sum(axis=0)
+            mean = self._sum / self._count
+            if self._count > 1:
+                var = (self._sumsq - self._count * mean**2) / (self._count - 1)
+                std = np.sqrt(np.maximum(var, 0.0))
+            else:
+                std = np.zeros_like(mean)
+            mel = (mel - mean.astype(np.float32)) / (std.astype(np.float32) + 1e-10)
+        return mel.astype(np.float32)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Append samples; return newly available mel frames (m, n_mels)."""
+        self._raw = np.concatenate([self._raw, np.asarray(samples, np.float32)])
+        if self._padded is None:
+            if len(self._raw) <= self.pad:
+                return np.zeros((0, self.fb.shape[0]), np.float32)
+            front = self._raw[1 : self.pad + 1][::-1]  # reflect
+            self._padded = np.concatenate([front, self._raw])
+        else:
+            new = self._raw[len(self._padded) - self.pad :]
+            self._padded = np.concatenate([self._padded, new])
+        total = self._frames_available(len(self._padded))
+        count = total - self._next_frame
+        if count <= 0:
+            return np.zeros((0, self.fb.shape[0]), np.float32)
+        mel = self._extract(self._padded, self._next_frame, count)
+        self._next_frame = total
+        return mel
+
+    def finish(self) -> np.ndarray:
+        """Emit the trailing frames that need right reflect padding."""
+        if self._padded is None:
+            if len(self._raw) == 0:
+                return np.zeros((0, self.fb.shape[0]), np.float32)
+            front = np.concatenate([self._raw[1:][::-1], np.zeros(self.pad)])[-self.pad:]
+            self._padded = np.concatenate([front.astype(np.float32), self._raw])
+        back = self._padded[-(self.pad + 1) : -1][::-1]  # reflect right
+        signal = np.concatenate([self._padded, back])
+        # offline frame count: 1 + len(raw) // hop
+        total = 1 + len(self._raw) // self.hop
+        count = total - self._next_frame
+        if count <= 0:
+            return np.zeros((0, self.fb.shape[0]), np.float32)
+        mel = self._extract(signal, self._next_frame, count)
+        self._next_frame = total
+        return mel
+
+
+class StreamingTranscriber:
+    """Low-latency chunked transcription with carried model state.
+
+    Usage:
+        st = StreamingTranscriber(model, params, decoder)
+        for block in audio_blocks:
+            print(st.feed(block), end="")
+        print(st.finish())
+    """
+
+    def __init__(
+        self,
+        model: VelocityASR,
+        params,
+        decoder: CTCDecoder,
+        chunk_frames: int = 200,  # mel frames per step (2 s); must be even
+    ):
+        assert chunk_frames % 2 == 0
+        self.model = model
+        self.params = params
+        self.decoder = decoder
+        self.chunk_frames = chunk_frames
+        self.mel = StreamingMel()
+        self._mel_buf = np.zeros((0, model.config.mel_bins), np.float32)
+        self._state = None
+        self._time_offset = 0
+        self._prev_token = BLANK_TOKEN
+        self._tokens: List[int] = []
+        self._emitted_text = ""
+
+        def step(params, mel_chunk, state, offset):
+            return model.apply(
+                {"params": params}, mel_chunk, train=False,
+                stream_state=state, time_offset=offset, return_state=True,
+            )
+
+        self._step = jax.jit(step)
+
+    def _init_state(self):
+        cfg = self.model.config
+        k = cfg.ssm_kernel_size
+        blocks = [
+            {
+                "conv": jnp.zeros((1, k - 1, cfg.d_model), jnp.float32),
+                "ssm": jnp.zeros((1, cfg.d_inner, cfg.ssm_state_dim), jnp.float32),
+            }
+            for _ in range(cfg.ssm_layers)
+        ]
+        return {
+            "mel_carry": jnp.zeros((1, 1, cfg.mel_bins), jnp.float32),
+            "blocks": blocks,
+        }
+
+    def _run_chunks(self, flush: bool = False) -> str:
+        out = []
+        while self._mel_buf.shape[0] >= self.chunk_frames or (
+            flush and self._mel_buf.shape[0] > 0
+        ):
+            chunk = self._mel_buf[: self.chunk_frames]
+            self._mel_buf = self._mel_buf[self.chunk_frames :]
+            valid = chunk.shape[0]
+            if valid < self.chunk_frames:
+                # final partial chunk: zero-pad to the static shape (the
+                # trailing zero mel frames reproduce the offline right-pad)
+                chunk = np.pad(chunk, ((0, self.chunk_frames - valid), (0, 0)))
+            if self._state is None:
+                self._state = self._init_state()
+            logits, self._state = self._step(
+                self.params, jnp.asarray(chunk[None]), self._state,
+                jnp.asarray(self._time_offset, jnp.int32),
+            )
+            # (valid+1)//2 == valid//2 for even valid; odd only on final flush.
+            out_valid = (valid + 1) // 2
+            preds = np.asarray(jnp.argmax(logits[0, :out_valid], axis=-1))
+            self._time_offset += out_valid
+            for tok in preds:
+                tok = int(tok)
+                if tok != BLANK_TOKEN and tok != self._prev_token:
+                    self._tokens.append(tok)
+                self._prev_token = tok
+        text = self.decoder._tokens_to_text(self._tokens)
+        new = text[len(self._emitted_text) :]
+        self._emitted_text = text
+        return new
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Feed raw audio samples; returns newly finalized text."""
+        frames = self.mel.feed(samples)
+        if frames.shape[0]:
+            self._mel_buf = np.concatenate([self._mel_buf, frames])
+        return self._run_chunks()
+
+    def finish(self) -> str:
+        """Flush trailing audio and return the remaining text."""
+        tail = self.mel.finish()
+        if tail.shape[0]:
+            self._mel_buf = np.concatenate([self._mel_buf, tail])
+        return self._run_chunks(flush=True)
+
+    @property
+    def text(self) -> str:
+        return self._emitted_text
