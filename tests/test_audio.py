@@ -68,3 +68,20 @@ def test_filterbank_matches_torch_reference(torch_reference):
     # The reference builds the filterbank in fp32; ours uses fp64 then casts,
     # so edge bins can differ by ~1e-5.
     np.testing.assert_allclose(mel_filterbank(), ref_fb, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_mel_matches_xla():
+    from velocity_asr_tpu.ops.mel_pallas import mel_spectrogram_pallas
+
+    rng = np.random.default_rng(6)
+    wav = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    ref = np.asarray(audio.compute_mel_spectrogram(wav, normalize=True))
+    ours = np.asarray(mel_spectrogram_pallas(wav, normalize=True))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+    # batched + unnormalized
+    wav2 = np.stack([wav, wav * 0.5])
+    ref2 = np.asarray(audio.compute_mel_spectrogram(wav2, normalize=False))
+    ours2 = np.asarray(mel_spectrogram_pallas(wav2, normalize=False))
+    np.testing.assert_allclose(ours2, ref2, rtol=1e-3, atol=1e-3)
