@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Export VELOCITY-ASR TPU models (reference scripts/export_onnx.py).
+
+Loads a checkpoint, writes a StableHLO artifact (+ optional INT8 weight
+package), reports sizes, and optionally verifies the exported module by
+running it and comparing against the live model
+(reference scripts/export_onnx.py:36-74).
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("export")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Export VELOCITY-ASR TPU model")
+    parser.add_argument("--checkpoint", required=True, help="pretrained checkpoint dir")
+    parser.add_argument("--output-dir", default="./export")
+    parser.add_argument("--frames", type=int, default=500, help="export frame count")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--quantize", action="store_true", help="also write INT8 weights")
+    parser.add_argument("--verify", action="store_true", help="reload + compare outputs")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from velocity_asr_tpu.export import (
+        export_stablehlo,
+        load_exported,
+        save_int8_checkpoint,
+    )
+    from velocity_asr_tpu.models.model import forward, from_pretrained
+    from velocity_asr_tpu.quantize import get_model_size_mb
+
+    model, params = from_pretrained(args.checkpoint)
+    cfg = model.config
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    shape = (args.batch, args.frames, cfg.mel_bins)
+    hlo_path = os.path.join(args.output_dir, "velocity_asr.stablehlo")
+    export_stablehlo(model, params, hlo_path, input_shape=shape)
+    logger.info(
+        "StableHLO: %s (%.2f MB); fp32 weights %.2f MB",
+        hlo_path, os.path.getsize(hlo_path) / 1e6, get_model_size_mb(params),
+    )
+
+    if args.quantize:
+        int8_dir = os.path.join(args.output_dir, "int8")
+        info = save_int8_checkpoint(int8_dir, cfg, params)
+        logger.info(
+            "INT8 package: %s (%d tensors, %.2f MB -> %.2f MB)",
+            int8_dir, info["quantized_tensors"], info["fp32_mb"], info["int8_mb"],
+        )
+
+    if args.verify:
+        mel = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+        live = np.asarray(forward(model, params, jnp.asarray(mel)))
+        fn = load_exported(hlo_path)
+        reloaded = np.asarray(fn(params, jnp.asarray(mel)))
+        diff = np.abs(live - reloaded).max()
+        logger.info("Verification max |live - exported| = %.2e", diff)
+        if diff > 1e-3:
+            raise SystemExit("verification failed")
+        logger.info("Verification OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Model export (the reference's ONNX path, reference quantize.py:374-474
+and scripts/export_onnx.py, rebuilt TPU/XLA-native).
+
+Two artifacts:
+  - a serialized StableHLO module via jax.export — the portable compiled
+    graph (ONNX's role in the reference), reloadable with
+    load_exported() and runnable on any JAX backend;
+  - an INT8 weight package: per-channel symmetric int8 weights + scales
+    (the ONNX quantize_dynamic role, reference quantize.py:434-440) with
+    a size report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.config import VelocityASRConfig
+from .models.model import VelocityASR, forward
+
+
+def export_stablehlo(
+    model: VelocityASR,
+    params: Dict[str, Any],
+    output_path: str,
+    input_shape: Tuple[int, int, int] = (1, 500, 80),
+) -> str:
+    """Serialize the jitted forward to a StableHLO artifact.
+
+    Mirrors the reference's export_quantized_onnx contract
+    (quantize.py:374-410): fixed example shape (1, 500, mel_bins); the
+    serialized module validates shapes at call time.
+    """
+    from jax import export as jax_export
+
+    def fn(params, mel):
+        return forward(model, params, mel, train=False)
+
+    mel_spec = jax.ShapeDtypeStruct(input_shape, jnp.float32)
+    params_spec = jax.tree_util.tree_map(
+        lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params
+    )
+    exported = jax_export.export(jax.jit(fn))(params_spec, mel_spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    return output_path
+
+
+def load_exported(path: str):
+    """Deserialize a StableHLO artifact; returns a callable(params, mel)."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
+
+
+def quantize_weights_int8(
+    params: Dict[str, Any],
+    skip_ssm: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Per-channel symmetric INT8 weight quantization.
+
+    Matrix weights become (int8 values, fp32 per-output-channel scales);
+    everything else stays fp32. skip_ssm keeps all SSM-internal projections
+    full precision (the reference's ssm_state_fp32 rule,
+    quantize.py:288-293).
+
+    Returns (quantized pytree, info dict with size accounting).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    q_leaves = []
+    fp32_bytes = 0
+    q_bytes = 0
+    n_quantized = 0
+    for path, leaf in flat:
+        leaf = np.asarray(leaf)
+        fp32_bytes += leaf.nbytes
+        keypath = "/".join(str(getattr(k, "key", k)) for k in path)
+        is_matrix = leaf.ndim >= 2 and min(leaf.shape) > 1
+        in_ssm = "ssm" in keypath.lower()
+        if is_matrix and not (skip_ssm and in_ssm):
+            axes = tuple(range(leaf.ndim - 1))
+            amax = np.abs(leaf).max(axis=axes, keepdims=True)
+            scale = np.maximum(amax / 127.0, 1e-10).astype(np.float32)
+            q = np.clip(np.round(leaf / scale), -128, 127).astype(np.int8)
+            q_leaves.append({"int8": q, "scale": scale})
+            q_bytes += q.nbytes + scale.nbytes
+            n_quantized += 1
+        else:
+            q_leaves.append(leaf)
+            q_bytes += leaf.nbytes
+
+    qtree = jax.tree_util.tree_unflatten(treedef, q_leaves)
+    info = {
+        "fp32_mb": fp32_bytes / 1024 / 1024,
+        "int8_mb": q_bytes / 1024 / 1024,
+        "quantized_tensors": n_quantized,
+    }
+    return qtree, info
+
+
+def dequantize_weights(qtree: Dict[str, Any]) -> Dict[str, Any]:
+    """Reconstruct fp32 params from an int8 weight package."""
+
+    def is_q(node):
+        return isinstance(node, dict) and set(node) == {"int8", "scale"}
+
+    def deq(node):
+        if is_q(node):
+            return (node["int8"].astype(np.float32) * node["scale"]).astype(np.float32)
+        return node
+
+    return jax.tree_util.tree_map(deq, qtree, is_leaf=is_q)
+
+
+def save_int8_checkpoint(
+    path: str, config: VelocityASRConfig, params: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Write an INT8 weight package directory: config.json + weights.npz."""
+    qtree, info = quantize_weights_int8(params)
+    os.makedirs(path, exist_ok=True)
+
+    arrays: Dict[str, np.ndarray] = {}
+
+    def flatten(prefix, node):
+        if isinstance(node, dict) and set(node) == {"int8", "scale"}:
+            arrays[prefix + ".int8"] = node["int8"]
+            arrays[prefix + ".scale"] = node["scale"]
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                flatten(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            arrays[prefix] = np.asarray(node)
+
+    flatten("", qtree)
+    np.savez_compressed(os.path.join(path, "weights_int8.npz"), **arrays)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"config": config.to_dict(), "format": "int8-v1", **info}, f, indent=2)
+    return info
+
+
+def load_int8_checkpoint(path: str) -> Tuple[VelocityASRConfig, Dict[str, Any]]:
+    """Load an INT8 package back to (config, dequantized fp32 params)."""
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    config = VelocityASRConfig.from_dict(meta["config"])
+    data = np.load(os.path.join(path, "weights_int8.npz"))
+
+    tree: Dict[str, Any] = {}
+    for key in data.files:
+        if key.endswith(".scale"):
+            continue
+        parts = key.split("/")
+        leaf_key = parts[-1]
+        if leaf_key.endswith(".int8"):
+            leaf_key = leaf_key[: -len(".int8")]
+            value = (
+                data[key].astype(np.float32)
+                * data[key[: -len(".int8")] + ".scale"]
+            ).astype(np.float32)
+        else:
+            value = data[key]
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[leaf_key] = value
+    return config, tree
