@@ -41,7 +41,9 @@ def torch_reference():
     if not reference_available():
         pytest.skip("reference implementation not available")
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        # append (not prepend): the reference also has a `scripts/` package
+        # that must not shadow ours
+        sys.path.append(REFERENCE_PATH)
     import velocity_asr
 
     return velocity_asr

@@ -66,6 +66,25 @@ def test_pallas_gradient_matches_parallel():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_gradient_multichunk():
+    # length spans multiple TRAIN_CHUNK backward chunks, with padding
+    args = make_inputs(batch=2, length=150, d_inner=16, state_dim=8, seed=9)
+
+    def loss_pal(*a):
+        return jnp.sum(jnp.sin(selective_scan_pallas(*a)))
+
+    def loss_par(*a):
+        from velocity_asr_tpu.ops.scan import selective_scan_parallel
+
+        return jnp.sum(jnp.sin(selective_scan_parallel(*a)))
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_par = jax.grad(loss_par, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ["dx", "ddt", "dA", "dB", "dC", "dD"]
+    for name, a, b in zip(names, g_pal, g_par):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_matches_torch_reference(torch_reference):
     import torch
 

@@ -19,16 +19,28 @@ from .layers import xavier_uniform
 from .ssm import GlobalSSM
 
 
-def _dense(qat: bool, features: int, dtype, name: str, use_bias: bool = True):
-    if qat:
+def _dense(mode: str, features: int, dtype, name: str, use_bias: bool = True):
+    """Projection factory: fp32 Dense, QAT fake-quant Dense, or dynamic-INT8
+    Dense (mode in {"none", "qat", "int8"})."""
+    if mode == "qat":
         from ..quantize import QuantDense
 
         return QuantDense(
             features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
         )
+    if mode == "int8":
+        from ..quantize import DynamicInt8Dense
+
+        return DynamicInt8Dense(
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+        )
     return nn.Dense(
         features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
     )
+
+
+def _quant_mode(qat: bool, int8: bool) -> str:
+    return "qat" if qat else ("int8" if int8 else "none")
 
 
 class AdaptivePool(nn.Module):
@@ -42,6 +54,7 @@ class AdaptivePool(nn.Module):
     d_model: int = 192
     dtype: Any = jnp.float32
     qat: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -55,8 +68,9 @@ class AdaptivePool(nn.Module):
             pool_size = min(pool_size_level2(k1), seq_len)
 
         pooled = adaptive_avg_pool1d(x, pool_size)
-        proj = _dense(self.qat, self.d_model, self.dtype, "pool_proj")
-        pooled = proj(pooled, train=train) if self.qat else proj(pooled)
+        mode = _quant_mode(self.qat, self.int8)
+        proj = _dense(mode, self.d_model, self.dtype, "pool_proj")
+        pooled = proj(pooled, train=train) if mode != "none" else proj(pooled)
         return pooled, pool_size
 
 
@@ -74,6 +88,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     qat: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -88,11 +103,13 @@ class MultiHeadAttention(nn.Module):
         kv_len = key.shape[1]
         head_dim = self.attention_dim // self.num_heads
 
+        mode = _quant_mode(self.qat, self.int8)
+
         def proj(name):
-            return _dense(self.qat, self.attention_dim, self.dtype, name)
+            return _dense(mode, self.attention_dim, self.dtype, name)
 
         def run(layer, x):
-            return layer(x, train=train) if self.qat else layer(x)
+            return layer(x, train=train) if mode != "none" else layer(x)
 
         q = run(proj("q_proj"), query)
         k = run(proj("k_proj"), key)
@@ -110,7 +127,7 @@ class MultiHeadAttention(nn.Module):
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.attention_dim)
-        out_proj = _dense(self.qat, self.d_model, self.dtype, "out_proj")
+        out_proj = _dense(mode, self.d_model, self.dtype, "out_proj")
         return run(out_proj, out)
 
 
@@ -120,20 +137,23 @@ class GatedFusion(nn.Module):
     d_model: int = 192
     dtype: Any = jnp.float32
     qat: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(
         self, local_features: jnp.ndarray, global_features: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
+        mode = _quant_mode(self.qat, self.int8)
+
         def run(layer, x):
-            return layer(x, train=train) if self.qat else layer(x)
+            return layer(x, train=train) if mode != "none" else layer(x)
 
         concat = jnp.concatenate([local_features, global_features], axis=-1)
-        gate = nn.sigmoid(run(_dense(self.qat, self.d_model, self.dtype, "gate_proj"), concat))
-        local_t = run(_dense(self.qat, self.d_model, self.dtype, "local_proj"), local_features)
-        global_t = run(_dense(self.qat, self.d_model, self.dtype, "global_proj"), global_features)
+        gate = nn.sigmoid(run(_dense(mode, self.d_model, self.dtype, "gate_proj"), concat))
+        local_t = run(_dense(mode, self.d_model, self.dtype, "local_proj"), local_features)
+        global_t = run(_dense(mode, self.d_model, self.dtype, "global_proj"), global_features)
         fused = gate * local_t + (1 - gate) * global_t
-        return run(_dense(self.qat, self.d_model, self.dtype, "out_proj"), fused)
+        return run(_dense(mode, self.d_model, self.dtype, "out_proj"), fused)
 
 
 class HierarchicalGlobalContext(nn.Module):
@@ -149,11 +169,13 @@ class HierarchicalGlobalContext(nn.Module):
     scan_mode: str = "parallel"
     dtype: Any = jnp.float32
     qat: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, local_features: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x_pool1, pool_size1 = AdaptivePool(
-            level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="pool1"
+            level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
+            int8=self.int8, name="pool1"
         )(local_features, train=train)
 
         x_ssm = GlobalSSM(
@@ -167,7 +189,8 @@ class HierarchicalGlobalContext(nn.Module):
         )(x_pool1, train)
 
         x_pool2, _ = AdaptivePool(
-            level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="pool2"
+            level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
+            int8=self.int8, name="pool2"
         )(x_ssm, prev_pool_size=pool_size1, train=train)
 
         x_pool2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x_pool2).astype(self.dtype)
@@ -180,9 +203,11 @@ class HierarchicalGlobalContext(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             qat=self.qat,
+            int8=self.int8,
             name="cross_attention",
         )(query, x_pool2, x_pool2, train=train)
 
         return GatedFusion(
-            d_model=self.d_model, dtype=self.dtype, qat=self.qat, name="fusion"
+            d_model=self.d_model, dtype=self.dtype, qat=self.qat, int8=self.int8,
+            name="fusion"
         )(local_features, global_context, train=train)

@@ -61,6 +61,10 @@ class VelocityASRConfig:
     # Quantization-aware training: route eligible projections through
     # fake-quant (reference prepare_model_for_qat, quantize.py:269-322).
     qat: bool = False
+    # On-device INT8 inference: eligible projections run int8 MXU matmuls
+    # with dynamic activation quantization (the ORT quantize_dynamic
+    # analog; SSM stack stays fp32 per the ssm_state_fp32 rule).
+    int8_inference: bool = False
 
     @property
     def compute_dtype(self):

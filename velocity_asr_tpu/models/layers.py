@@ -175,6 +175,7 @@ class CTCOutputHead(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     qat: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -185,6 +186,11 @@ class CTCOutputHead(nn.Module):
 
             dense = QuantDense(self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj")
             return dense(x, train=train)
+        if self.int8:
+            from ..quantize import DynamicInt8Dense
+
+            dense = DynamicInt8Dense(self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj")
+            return dense(x)
         return nn.Dense(
             self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj"
         )(x)

@@ -102,6 +102,7 @@ class VelocityASR(nn.Module):
             scan_mode=cfg.scan_mode,
             dtype=dtype,
             qat=cfg.qat,
+            int8=cfg.int8_inference,
             name="global_context",
         )(local_features, train)
 
@@ -111,6 +112,7 @@ class VelocityASR(nn.Module):
             dropout=cfg.dropout,
             dtype=dtype,
             qat=cfg.qat,
+            int8=cfg.int8_inference,
             name="ctc_head",
         )(fused_features, train)
         logits = logits.astype(jnp.float32)

@@ -1,4 +1,4 @@
-"""Pallas TPU selective-scan kernel.
+"""Pallas TPU selective-scan kernels (forward + backward).
 
 TPU-native replacement for the reference's optional mamba-ssm CUDA kernel
 (/root/reference/velocity_asr/ssm.py:297-337). Implements the recurrence
@@ -11,23 +11,26 @@ the core, the (state_dim, d_inner) state lives in a VMEM scratch buffer
 that persists across time-chunks, and x/dt/B/C stream from HBM exactly
 once. This avoids the (B, L, d_inner, state_dim) HBM materialization that
 both the reference's Blelloch scan (ssm.py:173-295) and the XLA
-associative-scan path pay for — the kernel's HBM traffic is just the
-inputs plus the output.
+associative-scan path pay for.
+
+Training uses a dedicated backward kernel (mamba-style): the forward saves
+only the chunk-boundary states (num_chunks x (N, D) per batch element);
+the backward walks chunks in reverse, recomputes the in-chunk states
+forward from the saved boundary into VMEM, and runs the adjoint
+recurrence
+
+    lam[t] = C[t] (x) g[t] + exp(dt[t+1] * A) * lam[t+1]
+
+in the same pass, producing dx/ddt/dB/dC rows and accumulating dA. HBM
+traffic is again just inputs + outputs — no (B, L, D, N) tensors anywhere.
 
 Layout notes (see /opt/skills/guides/pallas_guide.md):
-  - state h is (N, D): N=state_dim on sublanes, D=d_inner on lanes.
-  - every per-step access is a SUBLANE (row) slice — Mosaic requires lane
-    offsets to be 128-aligned, so B[t]/C[t] are never sliced out of the
-    lane axis. Instead the (N, D) outer product dt*x*B and the (1, D)
-    contraction C.h are expressed as tiny MXU dot_generals on the (1, N)
-    row slices, which need no transposes or lane gathers.
-  - A is passed pre-shaped as an (N, 1) column (a compile-time constant
-    layout, no per-step relayout).
-
-Gradients: forward runs this kernel; the backward pass currently reuses
-the VJP of the XLA associative-scan formulation (numerically identical
-recurrence). A dedicated reverse-scan Pallas kernel is a planned
-optimization.
+  - state h and adjoint lam are (N, D): N=state_dim sublanes, D=d_inner
+    lanes; every per-step tensor access is a SUBLANE (row) slice — Mosaic
+    requires lane offsets to be 128-aligned, so B[t]/C[t] are never sliced
+    from the lane axis. Outer products and contractions against the (1, N)
+    rows are tiny MXU dot_generals needing no transposes.
+  - A is passed pre-shaped as an (N, 1) column.
 """
 
 from __future__ import annotations
@@ -39,26 +42,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan import selective_scan_parallel
-
 DEFAULT_CHUNK = 128
+TRAIN_CHUNK = 64  # backward keeps (TRAIN_CHUNK+1, N, D) recomputed states in VMEM
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _scan_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
-    """One (batch, time-chunk) grid step.
+# --------------------------------------------------------------- forward
 
-    a_ref:  (N, 1)       A column (constant across grid)
-    x_ref:  (1, T_c, D)  input chunk
-    dt_ref: (1, T_c, D)  timestep chunk
-    b_ref:  (1, T_c, N)  B chunk
-    c_ref:  (1, T_c, N)  C chunk
-    y_ref:  (1, T_c, D)  output chunk
-    h_ref:  (N, D)       carried state (VMEM scratch)
-    """
+
+def _fwd_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
+    """One (batch, time-chunk) grid step of the inference forward."""
     chunk_idx = pl.program_id(1)
 
     @pl.when(chunk_idx == 0)
@@ -69,21 +65,19 @@ def _scan_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
     t_c = x_ref.shape[1]
 
     def step(t, h):
-        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D) row slice
+        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D)
         x_t = x_ref[0, pl.ds(t, 1), :]  # (1, D)
         b_t = b_ref[0, pl.ds(t, 1), :]  # (1, N)
         c_t = c_ref[0, pl.ds(t, 1), :]  # (1, N)
 
-        decay = jnp.exp(a_col * dt_t)  # (N, 1)*(1, D) -> (N, D)
-        # Outer product (N, D) = b_t^T @ (dt_t * x_t) via MXU, no transpose.
-        dbx = jax.lax.dot_general(
+        decay = jnp.exp(a_col * dt_t)  # (N, D)
+        dbx = jax.lax.dot_general(  # (N, D) outer product on MXU
             b_t, dt_t * x_t,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         h = decay * h + dbx
-        # y_t (1, D) = c_t (1, N) @ h (N, D).
-        y_t = jax.lax.dot_general(
+        y_t = jax.lax.dot_general(  # (1, D) = c_t @ h
             c_t, h,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -94,73 +88,273 @@ def _scan_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
     h_ref[:] = jax.lax.fori_loop(0, t_c, step, h_ref[:])
 
 
-def _pallas_scan_core(
-    x: jnp.ndarray,
-    dt: jnp.ndarray,
-    A: jnp.ndarray,
-    B: jnp.ndarray,
-    C: jnp.ndarray,
-    chunk: int,
-) -> jnp.ndarray:
-    """Run the kernel over (batch, L) inputs; returns y = C.h (no D skip)."""
-    batch, length, d_inner = x.shape
-    state_dim = A.shape[0]
+def _fwd_train_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, bound_ref, h_ref):
+    """Forward that also records the state at each chunk start."""
+    chunk_idx = pl.program_id(1)
 
-    # Pad L to a chunk multiple with identity steps (dt=0 => decay=1, dBx=0).
+    @pl.when(chunk_idx == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    bound_ref[0, 0] = h_ref[:]
+    _fwd_kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref)
+
+
+def _bwd_kernel(
+    a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref,
+    dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
+    lam_ref, hbuf_ref,
+):
+    """One (batch, reversed time-chunk) grid step of the backward pass.
+
+    Inputs are chunk blocks indexed in REVERSE chunk order; lam_ref carries
+    the adjoint state across chunks; hbuf_ref holds the chunk's recomputed
+    forward states h[start-1 .. end-1] (T_c+1 slots).
+    """
+    rev_idx = pl.program_id(1)  # 0 == last chunk
+
+    @pl.when(rev_idx == 0)
+    def _():
+        lam_ref[:] = jnp.zeros_like(lam_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    a_col = a_ref[:]  # (N, 1)
+    t_c = x_ref.shape[1]
+
+    # ---- forward sub-pass: rebuild in-chunk states from the boundary.
+    hbuf_ref[0] = bound_ref[0, 0]
+
+    def fwd_step(t, h):
+        dt_t = dt_ref[0, pl.ds(t, 1), :]
+        x_t = x_ref[0, pl.ds(t, 1), :]
+        b_t = b_ref[0, pl.ds(t, 1), :]
+        decay = jnp.exp(a_col * dt_t)
+        dbx = jax.lax.dot_general(
+            b_t, dt_t * x_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = decay * h + dbx
+        hbuf_ref[t + 1] = h
+        return h
+
+    jax.lax.fori_loop(0, t_c, fwd_step, hbuf_ref[0])
+
+    # ---- reverse sub-pass: adjoint recurrence + gradient rows.
+    def bwd_step(i, carry):
+        lam, da_acc = carry
+        t = t_c - 1 - i
+        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D)
+        x_t = x_ref[0, pl.ds(t, 1), :]
+        b_t = b_ref[0, pl.ds(t, 1), :]  # (1, N)
+        c_t = c_ref[0, pl.ds(t, 1), :]
+        g_t = g_ref[0, pl.ds(t, 1), :]  # (1, D)
+        h_t = hbuf_ref[t + 1]  # (N, D)
+        h_prev = hbuf_ref[t]
+
+        # dC[t] = g_t . h_t^T  -> (1, N)
+        dc_row = jax.lax.dot_general(
+            g_t, h_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_ref[:, pl.ds(t, 1), :] = dc_row[None]
+
+        # lam[t] = outer(c_t, g_t) + dA[t+1] * lam[t+1]  (latter already in lam)
+        lam = lam + jax.lax.dot_general(
+            c_t, g_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        decay = jnp.exp(a_col * dt_t)  # dA[t], (N, D)
+        dda = lam * h_prev  # dL/d(dA[t])
+        s_t = dt_t * x_t  # (1, D)
+
+        # ds[t] = b_t . lam  -> (1, D)
+        ds_row = jax.lax.dot_general(
+            b_t, lam,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dB[t] = s_t . lam^T -> (1, N)
+        db_row = jax.lax.dot_general(
+            s_t, lam,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[:, pl.ds(t, 1), :] = db_row[None]
+
+        ddecay = dda * decay  # dL/d(dt*A term), (N, D)
+        ddt_row = (
+            jnp.sum(ddecay * a_col, axis=0, keepdims=True) + ds_row * x_t
+        )  # (1, D)
+        ddt_ref[:, pl.ds(t, 1), :] = ddt_row[None]
+        dx_ref[:, pl.ds(t, 1), :] = (ds_row * dt_t)[None]
+
+        # dA[n] += sum_d lam*h_prev*dA*dt
+        da_acc = da_acc + jnp.sum(ddecay * dt_t, axis=1, keepdims=True)  # (N, 1)
+
+        # propagate: lam <- dA[t] * lam[t]
+        lam = decay * lam
+        return lam, da_acc
+
+    lam, da_acc = jax.lax.fori_loop(
+        0, t_c, bwd_step, (lam_ref[:], jnp.zeros_like(da_ref[:]))
+    )
+    lam_ref[:] = lam
+    da_ref[:] = da_ref[:] + da_acc
+
+
+# ------------------------------------------------------------- wrappers
+
+
+def _pad_chunk(arrs, length, chunk):
     pad = (-length) % chunk
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
-        B = jnp.pad(B, ((0, 0), (0, pad), (0, 0)))
-        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
-    padded_len = length + pad
+        arrs = [jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in arrs]
+    return arrs, length + pad
+
+
+def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
+    """Returns y (and chunk-boundary states when save_bounds)."""
+    batch, length, d_inner = x.shape
+    state_dim = A.shape[0]
+    (x, dt, B, C), padded_len = _pad_chunk(
+        [x.astype(jnp.float32), dt.astype(jnp.float32),
+         B.astype(jnp.float32), C.astype(jnp.float32)],
+        length, chunk,
+    )
     num_chunks = padded_len // chunk
-
     a_col = A.reshape(state_dim, 1).astype(jnp.float32)
-
     grid = (batch, num_chunks)
-    y = pl.pallas_call(
-        _scan_kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+
+    specs = dict(
+        a=pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+        seq_d=pl.BlockSpec((1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
+        seq_n=pl.BlockSpec((1, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
+    )
+
+    if not save_bounds:
+        y = pl.pallas_call(
+            _fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+            grid=grid,
+            in_specs=[specs["a"], specs["seq_d"], specs["seq_d"], specs["seq_n"], specs["seq_n"]],
+            out_specs=specs["seq_d"],
+            scratch_shapes=[pltpu.VMEM((state_dim, d_inner), jnp.float32)],
+            interpret=_interpret(),
+        )(a_col, x, dt, B, C)
+        return y[:, :length]
+
+    y, bounds = pl.pallas_call(
+        _fwd_train_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_chunks, state_dim, d_inner), jnp.float32),
+        ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+        in_specs=[specs["a"], specs["seq_d"], specs["seq_d"], specs["seq_n"], specs["seq_n"]],
+        out_specs=(
+            specs["seq_d"],
+            pl.BlockSpec(
+                (1, 1, state_dim, d_inner), lambda b, c: (b, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         scratch_shapes=[pltpu.VMEM((state_dim, d_inner), jnp.float32)],
         interpret=_interpret(),
-    )(
-        a_col,
-        x.astype(jnp.float32),
-        dt.astype(jnp.float32),
-        B.astype(jnp.float32),
-        C.astype(jnp.float32),
+    )(a_col, x, dt, B, C)
+    return y[:, :length], bounds
+
+
+def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
+    """Backward kernel launch; returns (dx, ddt, dA, dB, dC) for the scan
+    part (no D-skip terms)."""
+    batch, length, d_inner = x.shape
+    state_dim = A.shape[0]
+    (x, dt, B, C, g), padded_len = _pad_chunk(
+        [x.astype(jnp.float32), dt.astype(jnp.float32), B.astype(jnp.float32),
+         C.astype(jnp.float32), g.astype(jnp.float32)],
+        length, chunk,
+    )
+    num_chunks = padded_len // chunk
+    a_col = A.reshape(state_dim, 1).astype(jnp.float32)
+    grid = (batch, num_chunks)
+    nc = num_chunks
+
+    def rev_d(b, c):
+        return (b, nc - 1 - c, 0)
+
+    def rev_n(b, c):
+        return (b, nc - 1 - c, 0)
+
+    seq_d = pl.BlockSpec((1, chunk, d_inner), rev_d, memory_space=pltpu.VMEM)
+    seq_n = pl.BlockSpec((1, chunk, state_dim), rev_n, memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec(
+        (1, 1, state_dim, d_inner), lambda b, c: (b, nc - 1 - c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    da_spec = pl.BlockSpec(
+        (1, state_dim, 1), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
-    return y[:, :length]
+    dx, ddt, dB_, dC_, dA_b = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+            jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, state_dim, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[a_spec, seq_d, seq_d, seq_n, seq_n, seq_d, bound_spec],
+        out_specs=(seq_d, seq_d, seq_n, seq_n, da_spec),
+        scratch_shapes=[
+            pltpu.VMEM((state_dim, d_inner), jnp.float32),  # lam
+            pltpu.VMEM((chunk + 1, state_dim, d_inner), jnp.float32),  # hbuf
+        ],
+        interpret=_interpret(),
+    )(a_col, x, dt, B, C, g, bounds)
+
+    dA = jnp.sum(dA_b, axis=(0, 2))  # (N,)
+    return dx[:, :length], ddt[:, :length], dA, dB_[:, :length], dC_[:, :length]
+
+
+# --------------------------------------------------------------- public
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _selective_scan_pallas(x, dt, A, B, C, D, chunk):
-    y = _pallas_scan_core(x, dt, A, B, C, chunk)
+    y = _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds=False)
     return (y + x.astype(jnp.float32) * D).astype(x.dtype)
 
 
 def _fwd(x, dt, A, B, C, D, chunk):
-    return _selective_scan_pallas(x, dt, A, B, C, D, chunk), (x, dt, A, B, C, D)
+    y, bounds = _pallas_scan_fwd(x, dt, A, B, C, TRAIN_CHUNK, save_bounds=True)
+    out = (y + x.astype(jnp.float32) * D).astype(x.dtype)
+    return out, (x, dt, A, B, C, D, bounds)
 
 
 def _bwd(chunk, residuals, g):
-    # Backward via the XLA associative-scan VJP of the identical recurrence.
-    x, dt, A, B, C, D = residuals
-    _, vjp = jax.vjp(selective_scan_parallel, x, dt, A, B, C, D)
-    return vjp(g)
+    x, dt, A, B, C, D, bounds = residuals
+    gf = g.astype(jnp.float32)
+    dx_scan, ddt, dA, dB_, dC_ = _pallas_scan_bwd(
+        x, dt, A, B, C, bounds, gf, TRAIN_CHUNK
+    )
+    xf = x.astype(jnp.float32)
+    dx = dx_scan + gf * D  # skip-connection term
+    dD = jnp.sum(gf * xf, axis=(0, 1))
+    return (
+        dx.astype(x.dtype),
+        ddt.astype(dt.dtype),
+        dA.astype(A.dtype),
+        dB_.astype(B.dtype),
+        dC_.astype(C.dtype),
+        dD.astype(D.dtype),
+    )
 
 
 _selective_scan_pallas.defvjp(_fwd, _bwd)
@@ -175,9 +369,10 @@ def selective_scan_pallas(
     D: jnp.ndarray,
     chunk: int = DEFAULT_CHUNK,
 ) -> jnp.ndarray:
-    """Selective scan via the Pallas TPU kernel.
+    """Selective scan via the Pallas TPU kernels.
 
     Same contract as ops.scan.selective_scan_sequential (the reference
-    recurrence, ssm.py:158-168).
+    recurrence, ssm.py:158-168); differentiable via the dedicated
+    reverse-scan backward kernel.
     """
     return _selective_scan_pallas(x, dt, A, B, C, D, chunk)

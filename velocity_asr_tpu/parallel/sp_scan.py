@@ -1,0 +1,98 @@
+"""Sequence-parallel selective scan over a device mesh.
+
+Shards the TIME axis across devices (sequence/context parallelism — absent
+in the reference, whose only length-scaling device was the algorithmic
+linear-time scan; SURVEY.md §2.4). The recurrence is associative, so:
+
+  1. each device runs a local associative scan over its time shard,
+     keeping both the cumulative decay A_cum and the carry-free state;
+  2. the per-shard summaries (A_cum[-1], h[-1]) are exchanged with one
+     all_gather (tiny: (d_inner, state_dim) per device) and combined into
+     each shard's incoming state by an exclusive scan over devices;
+  3. each device corrects its local states: h[t] += A_cum[t] * h_in.
+
+Collectives are XLA-emitted over ICI (shard_map + all_gather); there is no
+user-level communication code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _local_scan_with_cum(x, dt, A, B):
+    """Local associative scan returning (A_cum[t], h_nocarry[t])."""
+    dA = jnp.exp(dt[..., None] * A)  # (b, l, d, n)
+    dBx = (dt * x)[..., None] * B[:, :, None, :]
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_r * a_l, a_r * b_l + b_r
+
+    return jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+
+
+def selective_scan_sequence_parallel(
+    x: jnp.ndarray,
+    dt: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Selective scan with the time axis sharded over `axis`.
+
+    Args match ops.scan.selective_scan_sequential; L must divide evenly by
+    the mesh axis size. Exact (not an approximation): per-shard scans plus
+    a carry exchange reproduce the full-sequence recurrence.
+    """
+
+    def shard_fn(x_s, dt_s, A_, B_s, C_s, D_):
+        idx = jax.lax.axis_index(axis)
+        n_dev = jax.lax.axis_size(axis)
+
+        a_cum, h_local = _local_scan_with_cum(x_s, dt_s, A_, B_s)
+
+        # Exchange per-shard summaries: (batch, d, n) each.
+        a_last = a_cum[:, -1]
+        h_last = h_local[:, -1]
+        a_all = jax.lax.all_gather(a_last, axis)  # (n_dev, b, d, n)
+        h_all = jax.lax.all_gather(h_last, axis)
+
+        # Exclusive combine over devices 0..idx-1 -> incoming state h_in.
+        def step(carry, inputs):
+            a_i, h_i, i = inputs
+            take = i < idx
+            # combine (a, h): state_in = a_i * state_in + h_i for i < idx
+            h_new = jnp.where(take, a_i * carry[1] + h_i, carry[1])
+            a_new = jnp.where(take, a_i * carry[0], carry[0])
+            return (a_new, h_new), None
+
+        b, d, n = h_last.shape
+        init = (jnp.ones((b, d, n), h_last.dtype), jnp.zeros((b, d, n), h_last.dtype))
+        # the combined carry varies per device (depends on axis_index)
+        init = jax.lax.pcast(init, (axis,), to="varying")
+        (a_in, h_in), _ = jax.lax.scan(
+            step, init, (a_all, h_all, jnp.arange(n_dev))
+        )
+
+        h = h_local + a_cum * h_in[:, None]
+        y = jnp.einsum("bldn,bln->bld", h, C_s) + x_s * D_
+        return y
+
+    spec_t = P(None, axis, None)
+    spec_rep = P()
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_rep, spec_t, spec_t, spec_rep),
+        out_specs=spec_t,
+    )
+    return fn(x, dt, A, B, C, D)

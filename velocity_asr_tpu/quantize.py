@@ -184,6 +184,31 @@ class QuantConv1d(nn.Module):
         )(y, update_stats=train)
 
 
+class DynamicInt8Dense(nn.Module):
+    """Dense with int8 weights (trace-time constant-folded) and dynamic
+    per-tensor activation quantization, running on the MXU int8 path —
+    the TPU-native analog of ORT quantize_dynamic (reference
+    quantize.py:434-440)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from .ops.int8_matmul import dynamic_int8_dense
+
+        del train
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return dynamic_int8_dense(x, kernel, bias)
+
+
 def prepare_model_for_qat(config, quant_config: Optional[QuantizationConfig] = None):
     """Return a QAT-enabled model config (reference prepare_model_for_qat,
     quantize.py:269-322).
