@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_GPU_RTF = 0.05
 AUDIO_SECONDS = 30.0
-BATCH = 8
+BATCH = 16
 WARMUP = 2
 ITERS = 10
 
