@@ -104,6 +104,8 @@ def main():
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
     parser.add_argument("--max-steps", type=int, default=None, help="override max_steps")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of a few steps here")
     args = parser.parse_args()
 
     import dataclasses
@@ -129,6 +131,8 @@ def main():
         train_cfg = dataclasses.replace(train_cfg, max_steps=args.max_steps)
     if args.batch_size is not None:
         train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
+    if args.profile_dir is not None:
+        train_cfg = dataclasses.replace(train_cfg, profile_dir=args.profile_dir)
 
     logger.info("Devices: %s", jax.devices())
 

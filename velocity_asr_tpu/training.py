@@ -69,6 +69,12 @@ class TrainingConfig:
 
     # TPU additions
     num_data_shards: Optional[int] = None  # default: all devices
+    # jax.profiler trace: capture steps [profile_start, profile_start +
+    # profile_steps) into profile_dir (the reference has no profiling
+    # tooling at all, SURVEY.md §5).
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_steps: int = 5
 
 
 def ctc_loss(
@@ -313,6 +319,14 @@ class Trainer:
 
         start = self.global_step
         for step in range(start, self.config.max_steps):
+            if self.config.profile_dir is not None:
+                if step == self.config.profile_start:
+                    jax.profiler.start_trace(self.config.profile_dir)
+                    logger.info("profiler trace started -> %s", self.config.profile_dir)
+                elif step == self.config.profile_start + self.config.profile_steps:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace stopped")
+
             batch = next(self.train_iter)
             metrics = self.train_step(batch)
             running_loss += metrics["loss"]

@@ -70,4 +70,5 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         checkpoint_dir=ckpt.get("dir", "./checkpoints"),
         keep_last=int(ckpt.get("keep_last", 5)),
         num_data_shards=dist.get("num_data_shards", None),
+        profile_dir=log.get("profile_dir", None),
     )
