@@ -45,9 +45,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_CHUNK = 128
-TRAIN_CHUNK = 64  # backward keeps (TRAIN_CHUNK+1, N, D) recomputed states in VMEM
+# Backward keeps (BWD_GROUP, TRAIN_CHUNK+1, N, D) recomputed states in VMEM;
+# chunk 32 x group 2 fits comfortably and interleaves two adjoint chains.
+TRAIN_CHUNK = 32
 FWD_GROUP = 4  # batch elements interleaved per program
 FWD_UNROLL = 4  # time steps per loop iteration
+BWD_GROUP = 2
+BWD_UNROLL = 2
 
 
 def _interpret() -> bool:
@@ -190,110 +194,130 @@ def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
 # -------------------------------------------------------------- backward
 
 
-def _bwd_kernel(
-    a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref,
-    dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
-    lam_ref, hbuf_ref,
-):
-    """One (batch, reversed time-chunk) grid step of the backward pass.
+def _make_bwd_kernel(group: int, unroll: int):
+    """Backward kernel over (batch-group, reversed time-chunk) grid steps.
 
     Inputs are chunk blocks indexed in REVERSE chunk order; lam_ref carries
-    the adjoint state across chunks; hbuf_ref holds the chunk's recomputed
-    forward states h[start-1 .. end-1] (T_c+1 slots).
+    the adjoint states across chunks; hbuf_ref holds each group member's
+    recomputed forward states h[start-1 .. end-1] (T_c+1 slots).
     """
-    rev_idx = pl.program_id(1)
 
-    @pl.when(rev_idx == 0)
-    def _():
-        lam_ref[:] = jnp.zeros_like(lam_ref)
-        da_ref[:] = jnp.zeros_like(da_ref)
+    def kernel(
+        a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref,
+        dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
+        lam_ref, hbuf_ref,
+    ):
+        rev_idx = pl.program_id(1)
 
-    a_col = a_ref[:]  # (N, 1)
-    t_c = x_ref.shape[1]
+        @pl.when(rev_idx == 0)
+        def _():
+            lam_ref[:] = jnp.zeros_like(lam_ref)
+            da_ref[:] = jnp.zeros_like(da_ref)
 
-    # ---- forward sub-pass: rebuild in-chunk states from the boundary.
-    hbuf_ref[0] = bound_ref[0, 0]
+        a_col = a_ref[:]  # (N, 1)
+        t_c = x_ref.shape[1]
 
-    def fwd_step(t, h):
-        dt_t = dt_ref[0, pl.ds(t, 1), :]
-        x_t = x_ref[0, pl.ds(t, 1), :]
-        b_t = b_ref[0, pl.ds(t, 1), :]
-        decay = jnp.exp(a_col * dt_t)
-        dbx = jax.lax.dot_general(
-            b_t, dt_t * x_t,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        h = decay * h + dbx
-        hbuf_ref[t + 1] = h
-        return h
+        # ---- forward sub-pass: rebuild in-chunk states from the boundary.
+        for j in range(group):
+            hbuf_ref[j, 0] = bound_ref[j, 0]
 
-    jax.lax.fori_loop(0, t_c, fwd_step, hbuf_ref[0])
+        def fwd_body(k, hs):
+            for u in range(unroll):
+                t = k * unroll + u
+                new = []
+                for j in range(group):
+                    h = hs[j]
+                    dt_t = dt_ref[j, pl.ds(t, 1), :]
+                    x_t = x_ref[j, pl.ds(t, 1), :]
+                    b_t = b_ref[j, pl.ds(t, 1), :]
+                    decay = jnp.exp(a_col * dt_t)
+                    dbx = jax.lax.dot_general(
+                        b_t, dt_t * x_t,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    h = decay * h + dbx
+                    hbuf_ref[j, t + 1] = h
+                    new.append(h)
+                hs = tuple(new)
+            return hs
 
-    # ---- reverse sub-pass: adjoint recurrence + gradient rows.
-    def bwd_step(i, carry):
-        lam, da_acc = carry
-        t = t_c - 1 - i
-        dt_t = dt_ref[0, pl.ds(t, 1), :]  # (1, D)
-        x_t = x_ref[0, pl.ds(t, 1), :]
-        b_t = b_ref[0, pl.ds(t, 1), :]  # (1, N)
-        c_t = c_ref[0, pl.ds(t, 1), :]
-        g_t = g_ref[0, pl.ds(t, 1), :]  # (1, D)
-        h_t = hbuf_ref[t + 1]  # (N, D)
-        h_prev = hbuf_ref[t]
-
-        # dC[t] = g_t . h_t^T  -> (1, N)
-        dc_row = jax.lax.dot_general(
-            g_t, h_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dc_ref[:, pl.ds(t, 1), :] = dc_row[None]
-
-        # lam[t] = outer(c_t, g_t) + dA[t+1] * lam[t+1]  (latter already in lam)
-        lam = lam + jax.lax.dot_general(
-            c_t, g_t,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        jax.lax.fori_loop(
+            0, t_c // unroll, fwd_body, tuple(hbuf_ref[j, 0] for j in range(group))
         )
 
-        decay = jnp.exp(a_col * dt_t)  # dA[t], (N, D)
-        dda = lam * h_prev  # dL/d(dA[t])
-        s_t = dt_t * x_t  # (1, D)
+        # ---- reverse sub-pass: adjoint recurrence + gradient rows.
+        def bwd_one(j, t, lam, da_acc):
+            dt_t = dt_ref[j, pl.ds(t, 1), :]  # (1, D)
+            x_t = x_ref[j, pl.ds(t, 1), :]
+            b_t = b_ref[j, pl.ds(t, 1), :]  # (1, N)
+            c_t = c_ref[j, pl.ds(t, 1), :]
+            g_t = g_ref[j, pl.ds(t, 1), :]  # (1, D)
+            h_t = hbuf_ref[j, t + 1]  # (N, D)
+            h_prev = hbuf_ref[j, t]
 
-        # ds[t] = b_t . lam  -> (1, D)
-        ds_row = jax.lax.dot_general(
-            b_t, lam,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            # dC[t] = g_t . h_t^T  -> (1, N)
+            dc_row = jax.lax.dot_general(
+                g_t, h_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dc_ref[j, pl.ds(t, 1), :] = dc_row
+
+            # lam[t] = outer(c_t, g_t) + dA[t+1]*lam[t+1] (latter already in lam)
+            lam = lam + jax.lax.dot_general(
+                c_t, g_t,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            decay = jnp.exp(a_col * dt_t)  # dA[t], (N, D)
+            dda = lam * h_prev
+            s_t = dt_t * x_t  # (1, D)
+
+            ds_row = jax.lax.dot_general(  # (1, D) = b_t . lam
+                b_t, lam,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_row = jax.lax.dot_general(  # (1, N) = s_t . lam^T
+                s_t, lam,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_ref[j, pl.ds(t, 1), :] = db_row
+
+            ddecay = dda * decay  # (N, D)
+            ddt_row = jnp.sum(ddecay * a_col, axis=0, keepdims=True) + ds_row * x_t
+            ddt_ref[j, pl.ds(t, 1), :] = ddt_row
+            dx_ref[j, pl.ds(t, 1), :] = ds_row * dt_t
+
+            da_acc = da_acc + jnp.sum(ddecay * dt_t, axis=1, keepdims=True)  # (N, 1)
+            lam = decay * lam  # propagate to t-1
+            return lam, da_acc
+
+        def bwd_body(k, carry):
+            lams, da_accs = carry
+            for u in range(unroll):
+                t = t_c - 1 - (k * unroll + u)
+                new_l, new_a = [], []
+                for j in range(group):
+                    lam, da_acc = bwd_one(j, t, lams[j], da_accs[j])
+                    new_l.append(lam)
+                    new_a.append(da_acc)
+                lams, da_accs = tuple(new_l), tuple(new_a)
+            return lams, da_accs
+
+        init = (
+            tuple(lam_ref[j] for j in range(group)),
+            tuple(jnp.zeros_like(da_ref[j]) for j in range(group)),
         )
-        # dB[t] = s_t . lam^T -> (1, N)
-        db_row = jax.lax.dot_general(
-            s_t, lam,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        db_ref[:, pl.ds(t, 1), :] = db_row[None]
+        lams, da_accs = jax.lax.fori_loop(0, t_c // unroll, bwd_body, init)
+        for j in range(group):
+            lam_ref[j] = lams[j]
+            da_ref[j] = da_ref[j] + da_accs[j]
 
-        ddecay = dda * decay  # (N, D)
-        ddt_row = (
-            jnp.sum(ddecay * a_col, axis=0, keepdims=True) + ds_row * x_t
-        )  # (1, D)
-        ddt_ref[:, pl.ds(t, 1), :] = ddt_row[None]
-        dx_ref[:, pl.ds(t, 1), :] = (ds_row * dt_t)[None]
-
-        # dA[n] += sum_d lam*h_prev*dA*dt
-        da_acc = da_acc + jnp.sum(ddecay * dt_t, axis=1, keepdims=True)  # (N, 1)
-
-        # propagate: lam <- dA[t] * lam[t]
-        lam = decay * lam
-        return lam, da_acc
-
-    lam, da_acc = jax.lax.fori_loop(
-        0, t_c, bwd_step, (lam_ref[:], jnp.zeros_like(da_ref[:]))
-    )
-    lam_ref[:] = lam
-    da_ref[:] = da_ref[:] + da_acc
+    return kernel
 
 
 def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
@@ -308,26 +332,28 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
     )
     num_chunks = padded_len // chunk
     a_col = A.reshape(state_dim, 1).astype(jnp.float32)
-    grid = (batch, num_chunks)
+    group = _pick_group(batch, BWD_GROUP)
+    unroll = math.gcd(chunk, BWD_UNROLL)
+    grid = (batch // group, num_chunks)
     nc = num_chunks
 
     seq_d = pl.BlockSpec(
-        (1, chunk, d_inner), lambda b, c: (b, nc - 1 - c, 0), memory_space=pltpu.VMEM
+        (group, chunk, d_inner), lambda b, c: (b, nc - 1 - c, 0), memory_space=pltpu.VMEM
     )
     seq_n = pl.BlockSpec(
-        (1, chunk, state_dim), lambda b, c: (b, nc - 1 - c, 0), memory_space=pltpu.VMEM
+        (group, chunk, state_dim), lambda b, c: (b, nc - 1 - c, 0), memory_space=pltpu.VMEM
     )
     a_spec = pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
     bound_spec = pl.BlockSpec(
-        (1, 1, state_dim, d_inner), lambda b, c: (b, nc - 1 - c, 0, 0),
+        (group, 1, state_dim, d_inner), lambda b, c: (b, nc - 1 - c, 0, 0),
         memory_space=pltpu.VMEM,
     )
     da_spec = pl.BlockSpec(
-        (1, state_dim, 1), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+        (group, state_dim, 1), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
     dx, ddt, dB_, dC_, dA_b = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(group, unroll),
         out_shape=(
             jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
             jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
@@ -339,8 +365,8 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
         in_specs=[a_spec, seq_d, seq_d, seq_n, seq_n, seq_d, bound_spec],
         out_specs=(seq_d, seq_d, seq_n, seq_n, da_spec),
         scratch_shapes=[
-            pltpu.VMEM((state_dim, d_inner), jnp.float32),  # lam
-            pltpu.VMEM((chunk + 1, state_dim, d_inner), jnp.float32),  # hbuf
+            pltpu.VMEM((group, state_dim, d_inner), jnp.float32),  # lam
+            pltpu.VMEM((group, chunk + 1, state_dim, d_inner), jnp.float32),  # hbuf
         ],
         interpret=_interpret(),
     )(a_col, x, dt, B, C, g, bounds)

@@ -299,14 +299,21 @@ class Trainer:
     # ----- public API (reference training.py:209-409) -----------------------
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        loss = self._train_step_device(batch)
+        updates_done = self.global_step // max(self.config.gradient_accumulation_steps, 1)
+        lr = float(self.schedule(max(updates_done - 1, 0)))
+        return {"loss": float(loss), "lr": lr}
+
+    def _train_step_device(self, batch: Dict[str, np.ndarray]):
+        """One step, returning the loss as a device array (no host sync —
+        the host<->TPU link costs ~30 ms per sync; the train loop converts
+        losses only at log_interval)."""
         batch = self.shard_batch(batch)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, batch, self._rng
         )
         self.global_step += 1
-        updates_done = self.global_step // max(self.config.gradient_accumulation_steps, 1)
-        lr = float(self.schedule(max(updates_done - 1, 0)))
-        return {"loss": float(loss), "lr": lr}
+        return loss
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         batch = self.shard_batch(batch)
@@ -315,7 +322,8 @@ class Trainer:
     def train(self) -> Dict[str, Any]:
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         history: Dict[str, List[float]] = {"train_loss": [], "eval_loss": [], "lr": []}
-        running_loss, t0 = 0.0, time.perf_counter()
+        device_losses: List[jnp.ndarray] = []
+        t0 = time.perf_counter()
 
         start = self.global_step
         for step in range(start, self.config.max_steps):
@@ -328,19 +336,25 @@ class Trainer:
                     logger.info("profiler trace stopped")
 
             batch = next(self.train_iter)
-            metrics = self.train_step(batch)
-            running_loss += metrics["loss"]
+            device_losses.append(self._train_step_device(batch))
 
             if (step + 1) % self.config.log_interval == 0:
-                avg = running_loss / self.config.log_interval
+                # Convert losses to host floats only here (one sync per
+                # log interval instead of per step).
+                avg = float(jnp.mean(jnp.stack(device_losses)))
+                device_losses = []
+                updates = self.global_step // max(
+                    self.config.gradient_accumulation_steps, 1
+                )
+                lr = float(self.schedule(max(updates - 1, 0)))
                 dt = (time.perf_counter() - t0) / self.config.log_interval
                 logger.info(
                     "Step %d/%d | Loss: %.4f | LR: %.6f | %.3fs/step",
-                    step + 1, self.config.max_steps, avg, metrics["lr"], dt,
+                    step + 1, self.config.max_steps, avg, lr, dt,
                 )
                 history["train_loss"].append(avg)
-                history["lr"].append(metrics["lr"])
-                running_loss, t0 = 0.0, time.perf_counter()
+                history["lr"].append(lr)
+                t0 = time.perf_counter()
 
             if self.eval_batches and (step + 1) % self.config.eval_interval == 0:
                 eval_metrics = self.evaluate()
