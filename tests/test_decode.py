@@ -116,3 +116,45 @@ def test_default_vocabulary():
     assert vocab[:4] == ["<blank>", "<unk>", "<pad>", " "]
     assert vocab[4] == "a"
     assert vocab[999] == "<token_999>"
+
+
+def test_jax_beam_matches_host_beam():
+    from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((3, 15, 8)).astype(np.float32)
+
+    host = ctc_beam_search(logits, beam_width=5)
+    import numpy as _np
+
+    tokens, lengths, scores = ctc_beam_search_jax(logits, beam_width=5)
+    jax_lists = beams_to_token_lists(_np.asarray(tokens), _np.asarray(lengths))
+
+    for b in range(3):
+        host_tokens = [r.tokens for r in host[b]]
+        host_scores = [r.score for r in host[b]]
+        assert jax_lists[b][: len(host_tokens)] == host_tokens
+        _np.testing.assert_allclose(
+            _np.asarray(scores)[b, : len(host_scores)], host_scores, rtol=1e-4
+        )
+
+
+def test_jax_beam_larger_vocab():
+    from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
+
+    rng = np.random.default_rng(8)
+    logits = rng.standard_normal((1, 30, 100)).astype(np.float32)
+    host = ctc_beam_search(logits, beam_width=8)
+    tokens, lengths, scores = ctc_beam_search_jax(logits, beam_width=8)
+    jax_lists = beams_to_token_lists(np.asarray(tokens), np.asarray(lengths))
+    assert jax_lists[0][0] == host[0][0].tokens
+    np.testing.assert_allclose(float(scores[0, 0]), host[0][0].score, rtol=1e-4)
+
+
+def test_decoder_jax_beam_text():
+    vocab = create_default_vocabulary(12)
+    dec = CTCDecoder(vocab)
+    preds = np.array([[0, 4, 0, 5, 5, 0, 6]])
+    logits = logits_for(preds, vocab=12)
+    assert dec.decode_beam_search(logits, beam_width=4, backend="jax") == \
+        dec.decode_beam_search(logits, beam_width=4, backend="host")

@@ -120,6 +120,10 @@ def __getattr__(name):
         from . import data
 
         return getattr(data, name)
+    if name in ("ctc_beam_search_jax", "beams_to_token_lists"):
+        from . import beam
+
+        return getattr(beam, name)
     if name in ("StreamingTranscriber", "StreamingMel"):
         from . import streaming
 

@@ -195,15 +195,43 @@ class CTCDecoder:
         return [self._tokens_to_text(tokens) for tokens in token_sequences]
 
     def decode_beam_search(
-        self, logits, beam_width: int = 10, return_all_beams: bool = False
+        self,
+        logits,
+        beam_width: int = 10,
+        return_all_beams: bool = False,
+        backend: str = "jax",
     ):
-        beam_results = ctc_beam_search(
-            logits, beam_width=beam_width, blank_token=self.blank_token
-        )
+        """Beam decode. backend="jax" runs the batched on-device beam
+        (velocity_asr_tpu.beam); "host" runs the numpy prefix beam with
+        bit-identical reference semantics (both max-merge)."""
+        if backend == "jax":
+            from .beam import beams_to_token_lists, ctc_beam_search_jax
+
+            tokens, lengths, scores = ctc_beam_search_jax(
+                jnp.asarray(logits), beam_width=beam_width,
+                blank_token=self.blank_token,
+            )
+            token_lists = beams_to_token_lists(np.asarray(tokens), np.asarray(lengths))
+            beam_results = [
+                [
+                    DecodingResult(
+                        text=self._tokens_to_text(toks) if return_all_beams else "",
+                        tokens=toks,
+                        score=float(scores[b, i]),
+                    )
+                    for i, toks in enumerate(batch_tokens)
+                ]
+                for b, batch_tokens in enumerate(token_lists)
+            ]
+        else:
+            beam_results = ctc_beam_search(
+                logits, beam_width=beam_width, blank_token=self.blank_token
+            )
+            if return_all_beams:
+                for batch_results in beam_results:
+                    for result in batch_results:
+                        result.text = self._tokens_to_text(result.tokens)
         if return_all_beams:
-            for batch_results in beam_results:
-                for result in batch_results:
-                    result.text = self._tokens_to_text(result.tokens)
             return beam_results
         return [
             self._tokens_to_text(results[0].tokens) if results else ""
