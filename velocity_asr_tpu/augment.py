@@ -1,0 +1,78 @@
+"""Training-time augmentation.
+
+The reference declares an `augmentation:` config stanza but never
+implements it (reference configs/train.yaml:27-34, unread by any code).
+Implemented here: SpecAugment-style time/frequency masking applied to the
+batched mel input inside the jitted train step (masks are sampled with
+the step PRNG; zero host work).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class SpecAugmentConfig:
+    """SpecAugment hyperparameters (LibriSpeech-style defaults)."""
+
+    enabled: bool = False
+    num_time_masks: int = 2
+    time_mask_frames: int = 50  # max frames per mask
+    num_freq_masks: int = 2
+    freq_mask_bins: int = 15  # max mel bins per mask
+
+
+def spec_augment(
+    mel: jnp.ndarray,
+    rng: jax.Array,
+    config: SpecAugmentConfig,
+    input_lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Apply time/frequency masking to (batch, T, n_mels) mel batches.
+
+    Masked regions are set to 0 (the batch pad value). Time masks are
+    sampled within each utterance's valid length when input_lengths is
+    given.
+    """
+    batch, t_len, n_mels = mel.shape
+    out = mel
+
+    def sample_masks(key, count, max_width, limit):
+        """(batch, count) starts and widths within [0, limit)."""
+        k1, k2 = jax.random.split(key)
+        widths = jax.random.randint(k1, (batch, count), 0, max_width + 1)
+        max_start = jnp.maximum(limit[:, None] - widths, 1)
+        starts = jax.random.randint(k2, (batch, count), 0, 2**30) % max_start
+        return starts, widths
+
+    keys = jax.random.split(rng, 2)
+
+    if config.num_time_masks > 0:
+        limit = (
+            input_lengths.astype(jnp.int32)
+            if input_lengths is not None
+            else jnp.full((batch,), t_len, jnp.int32)
+        )
+        starts, widths = sample_masks(
+            keys[0], config.num_time_masks, config.time_mask_frames, limit
+        )
+        pos = jnp.arange(t_len)[None, :, None]  # (1, T, 1)
+        masked = (pos >= starts[:, None, :]) & (pos < (starts + widths)[:, None, :])
+        time_mask = jnp.any(masked, axis=-1)  # (batch, T)
+        out = jnp.where(time_mask[:, :, None], 0.0, out)
+
+    if config.num_freq_masks > 0:
+        limit = jnp.full((batch,), n_mels, jnp.int32)
+        starts, widths = sample_masks(
+            keys[1], config.num_freq_masks, config.freq_mask_bins, limit
+        )
+        pos = jnp.arange(n_mels)[None, :, None]
+        masked = (pos >= starts[:, None, :]) & (pos < (starts + widths)[:, None, :])
+        freq_mask = jnp.any(masked, axis=-1)  # (batch, n_mels)
+        out = jnp.where(freq_mask[:, None, :], 0.0, out)
+
+    return out

@@ -31,6 +31,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from .augment import SpecAugmentConfig, spec_augment
 from .models.config import VelocityASRConfig
 from .models.model import VelocityASR, forward
 from .parallel.mesh import DATA_AXIS, create_mesh
@@ -75,6 +76,11 @@ class TrainingConfig:
     profile_dir: Optional[str] = None
     profile_start: int = 10
     profile_steps: int = 5
+    # SpecAugment (the reference's augmentation stanza, implemented).
+    augment: Optional[SpecAugmentConfig] = None
+    # Append per-log-interval metrics as JSON lines (the reference's wandb
+    # stanza was unimplemented; this is the lightweight observability sink).
+    metrics_path: Optional[str] = None
 
 
 def ctc_loss(
@@ -254,6 +260,11 @@ class Trainer:
 
     def _loss_fn(self, params, batch, dropout_rng, train: bool):
         mel = batch["mel_spectrogram"]
+        if train and self.config.augment is not None and self.config.augment.enabled:
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            mel = spec_augment(
+                mel, aug_rng, self.config.augment, batch["input_lengths"]
+            )
         # Output lengths after stride-2 temporal binding
         # (reference training.py:234).
         output_lengths = (batch["input_lengths"] + 1) // 2
@@ -354,6 +365,14 @@ class Trainer:
                 )
                 history["train_loss"].append(avg)
                 history["lr"].append(lr)
+                if self.config.metrics_path:
+                    import json as _json
+
+                    with open(self.config.metrics_path, "a") as f:
+                        f.write(_json.dumps({
+                            "step": step + 1, "loss": avg, "lr": lr,
+                            "sec_per_step": dt,
+                        }) + "\n")
                 t0 = time.perf_counter()
 
             if self.eval_batches and (step + 1) % self.config.eval_interval == 0:

@@ -50,6 +50,7 @@ def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
     """Map a train.yaml dict onto TrainingConfig
     (reference scripts/train.py:195-209)."""
+    aug = cfg.get("augmentation", {})
     opt = cfg.get("optimizer", {})
     trn = cfg.get("training", {})
     log = cfg.get("logging", {})
@@ -71,4 +72,22 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         keep_last=int(ckpt.get("keep_last", 5)),
         num_data_shards=dist.get("num_data_shards", None),
         profile_dir=log.get("profile_dir", None),
+        metrics_path=log.get("metrics_path", None),
+        augment=(
+            None
+            if not aug.get("enabled", False)
+            else _spec_augment_from_yaml(aug)
+        ),
+    )
+
+
+def _spec_augment_from_yaml(aug):
+    from ..augment import SpecAugmentConfig
+
+    return SpecAugmentConfig(
+        enabled=True,
+        num_time_masks=int(aug.get("num_time_masks", 2)),
+        time_mask_frames=int(aug.get("time_mask_frames", 50)),
+        num_freq_masks=int(aug.get("num_freq_masks", 2)),
+        freq_mask_bins=int(aug.get("freq_mask_bins", 15)),
     )
