@@ -89,12 +89,6 @@ class BitReader {
     return true;
   }
 
-  bool AlignToByte() {
-    bitpos_ = 0;
-    if (bitpos_ != 0) ++byte_;
-    return true;
-  }
-
   void AlignByte() {
     if (bitpos_ != 0) {
       bitpos_ = 0;
@@ -180,8 +174,10 @@ bool ReadResidual(BitReader* br, uint32_t block_size, uint32_t order,
   uint32_t partitions = 1u << part_order;
   if (block_size % partitions != 0) return false;
   uint32_t part_samples = block_size >> part_order;
-  if (part_samples <= 0) return false;
-  if (part_samples < order && partitions == 1) return false;
+  if (part_samples == 0) return false;
+  // The first partition holds part_samples - order residuals; reject
+  // streams where that would underflow (corrupt/fuzzed input).
+  if (part_samples < order) return false;
 
   uint32_t idx = order;
   for (uint32_t p = 0; p < partitions; ++p) {

@@ -51,7 +51,7 @@ class DummyASRDataset:
 
 
 def build_data(data_cfg, model_cfg, batch_size, logger):
-    """Returns (train_loader, eval_loader_or_None, vocab_size_or_None)."""
+    """Returns (train_loader, eval_loader_or_None, vocab_dict_or_None)."""
     from velocity_asr_tpu.data import (
         ASRCollator,
         DataLoader,
@@ -72,10 +72,13 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         eval_loader = None
         eval_manifest = data_cfg.get("eval_manifest")
         if eval_manifest and os.path.exists(eval_manifest):
-            eval_loader, _ = create_dataloader(
+            eval_loader, eval_ds = create_dataloader(
                 eval_manifest, batch_size=batch_size, shuffle=False
             )
-        return train_loader, eval_loader, len(train_ds.vocab)
+            # Targets must be encoded with the TRAIN vocabulary, not one
+            # rebuilt from the eval corpus's own character set.
+            eval_ds.vocab = train_ds.vocab
+        return train_loader, eval_loader, train_ds.vocab
 
     root = data_cfg.get("librispeech_root")
     if root and os.path.isdir(os.path.join(root, "LibriSpeech")):
@@ -87,7 +90,7 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
             batch_size=batch_size,
             max_duration=data_cfg.get("max_duration", 30.0),
         )
-        return train_loader, eval_loader, len(vocab)
+        return train_loader, eval_loader, vocab
 
     logger.warning("No dataset configured; using dummy random data "
                    "(reference scripts/train.py:284-288)")
@@ -95,6 +98,14 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
     loader = DataLoader(ds, batch_size=batch_size, shuffle=True,
                         collate_fn=ASRCollator(), drop_last=True)
     return loader, None, None
+
+
+def vocab_to_list(vocab: dict) -> list:
+    """id->token list from a {token: id} vocab dict."""
+    out = [None] * (max(vocab.values()) + 1)
+    for token, idx in vocab.items():
+        out[idx] = token
+    return [t if t is not None else "<unk>" for t in out]
 
 
 def main():
@@ -141,17 +152,22 @@ def main():
         logger.info("Enabling quantization-aware training")
         model_cfg = prepare_model_for_qat(model_cfg)
 
+    # use_amp=False forces fp32 compute regardless of model.yaml dtype.
+    if not train_cfg.use_amp and model_cfg.dtype != "float32":
+        logger.info("use_amp disabled: forcing float32 compute")
+        model_cfg = dataclasses.replace(model_cfg, dtype="float32")
+
     train_loader, eval_loader, data_vocab = build_data(
         train_cfg_dict.get("data", {}), model_cfg, train_cfg.batch_size, logger
     )
 
     # Vocab-size mismatch re-creates the model (reference scripts/train.py:243-252).
-    if data_vocab is not None and data_vocab != model_cfg.vocab_size:
+    if data_vocab is not None and len(data_vocab) != model_cfg.vocab_size:
         logger.info(
             "Dataset vocab size %d != model vocab %d; rebuilding model config",
-            data_vocab, model_cfg.vocab_size,
+            len(data_vocab), model_cfg.vocab_size,
         )
-        model_cfg = dataclasses.replace(model_cfg, vocab_size=data_vocab)
+        model_cfg = dataclasses.replace(model_cfg, vocab_size=len(data_vocab))
 
     model = create_model(model_cfg)
     logger.info("Model config: %s", model_cfg)
@@ -169,11 +185,16 @@ def main():
 
     final = os.path.join(train_cfg.checkpoint_dir, "final_model")
     trainer.save_checkpoint(final)
-    save_pretrained(
-        os.path.join(train_cfg.checkpoint_dir, "final_pretrained"),
-        model_cfg,
-        trainer.params,
-    )
+    pretrained_dir = os.path.join(train_cfg.checkpoint_dir, "final_pretrained")
+    save_pretrained(pretrained_dir, model_cfg, trainer.params)
+    if data_vocab is not None:
+        # transcribe/evaluate read vocabulary.json from the checkpoint dir;
+        # without it they would fall back to the default vocabulary with a
+        # different id->char layout.
+        import json
+
+        with open(os.path.join(pretrained_dir, "vocabulary.json"), "w") as f:
+            json.dump(vocab_to_list(data_vocab), f)
     logger.info("Training complete. Final checkpoint: %s", final)
     return history
 

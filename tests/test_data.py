@@ -140,3 +140,33 @@ def test_librispeech_vocab_rules(tmp_path):
     assert len(ds.vocab) == 31  # 3 specials + " a-z'" (reference data.py:293-307)
     assert ds.vocab[" "] == 3 and ds.vocab["a"] == 4 and ds.vocab["'"] == 30
     assert ds.text_to_tokens("AB c") == [ds.vocab["a"], ds.vocab["b"], 3, ds.vocab["c"]]
+
+
+def test_dataloader_propagates_item_errors():
+    class BadDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            if idx == 2:
+                raise ValueError("corrupt file")
+            return {
+                "mel_spectrogram": np.zeros((10, 80), np.float32),
+                "targets": np.array([3], np.int32),
+                "input_lengths": np.int32(10),
+                "target_lengths": np.int32(1),
+                "text": "",
+            }
+
+    loader = DataLoader(BadDataset(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_early_break_does_not_hang(manifest):
+    loader, _ = create_dataloader(manifest, batch_size=1, shuffle=False, num_workers=1)
+    for batch in loader:
+        break  # abandon the iterator with batches still queued
+    # a second full iteration still works (no leaked blocked producer)
+    assert len(list(loader)) == 3

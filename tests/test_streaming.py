@@ -155,3 +155,15 @@ def test_streaming_transcriber_end_to_end(tiny_model):
     assert isinstance(text, str)
     # ~301 mel frames -> ~151 output frames were decoded
     assert st._time_offset == (1 + len(audio) // 160 + 1) // 2
+
+
+def test_streaming_mel_short_audio_matches_offline():
+    # audio shorter than the reflect pad (n_fft//2 = 200 samples)
+    for n in (150, 250, 450):
+        rng = np.random.default_rng(n)
+        audio = rng.standard_normal(n).astype(np.float32) * 0.2
+        offline = compute_mel_spectrogram_np(audio, normalize=False)
+        sm = StreamingMel(normalize=False)
+        streamed = np.concatenate([sm.feed(audio), sm.finish()])
+        assert streamed.shape == offline.shape, n
+        np.testing.assert_allclose(streamed, offline, atol=1e-3, err_msg=str(n))

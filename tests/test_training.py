@@ -160,10 +160,21 @@ def test_train_step_sharded_over_mesh():
     assert len(jax.devices()) == 8
     trainer, batch = _tiny_setup()
     assert trainer.mesh.shape["data"] == 8
-    sharded = trainer.shard_batch(batch)
+    sharded, n_valid = trainer.shard_batch(batch)
+    assert n_valid == 8
     shard_shapes = [
         s.data.shape for s in sharded["mel_spectrogram"].addressable_shards
     ]
     assert all(s[0] == 1 for s in shard_shapes) and len(shard_shapes) == 8
     m = trainer.train_step(batch)
     assert np.isfinite(m["loss"])
+
+    # batch not divisible by the mesh: padded + masked, loss still sane
+    batch5 = {
+        k: (v[:5] if hasattr(v, "ndim") else v) for k, v in batch.items()
+    }
+    sharded5, n_valid5 = trainer.shard_batch(batch5)
+    assert n_valid5 == 5
+    assert sharded5["mel_spectrogram"].shape[0] == 8
+    m5 = trainer.eval_step(batch5)
+    assert np.isfinite(m5["eval_loss"])

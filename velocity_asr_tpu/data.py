@@ -215,14 +215,31 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer stopped."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(self.collate_fn(items))
-            q.put(None)
+            # Exceptions (e.g. one corrupt audio file) are forwarded to the
+            # consumer instead of silently killing this thread, which would
+            # deadlock the training loop on q.get().
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        if not put(self.collate_fn(items)):
+                            return
+                put(None)
+            except Exception as e:  # noqa: BLE001 - forwarded to consumer
+                put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -231,9 +248,18 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, Exception):
+                    raise RuntimeError("DataLoader worker failed") from item
                 yield item
         finally:
+            # Unblock a producer stuck in put() so its threads exit even
+            # when the consumer breaks out of the loop early.
             stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def cycle(loader: DataLoader) -> Iterator[Dict[str, Any]]:

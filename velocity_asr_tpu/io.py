@@ -19,6 +19,7 @@ import numpy as np
 
 _NATIVE_LIB: Optional[ctypes.CDLL] = None
 _NATIVE_CHECKED = False
+_NATIVE_LOCK = __import__("threading").Lock()
 
 
 def _find_native_lib() -> Optional[str]:
@@ -40,9 +41,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _NATIVE_LIB, _NATIVE_CHECKED
     if _NATIVE_CHECKED:
         return _NATIVE_LIB
-    _NATIVE_CHECKED = True
+    with _NATIVE_LOCK:
+        return _load_native_locked()
+
+
+def _load_native_locked() -> Optional[ctypes.CDLL]:
+    # Data-loader threads race to the first load; _NATIVE_CHECKED must only
+    # flip after _NATIVE_LIB is fully initialized (hence the lock + ordering).
+    global _NATIVE_LIB, _NATIVE_CHECKED
+    if _NATIVE_CHECKED:
+        return _NATIVE_LIB
     path = _find_native_lib()
     if path is None:
+        _NATIVE_CHECKED = True
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -62,6 +73,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
         _NATIVE_LIB = lib
     except OSError:
         _NATIVE_LIB = None
+    _NATIVE_CHECKED = True
     return _NATIVE_LIB
 
 

@@ -107,13 +107,26 @@ class StreamingMel:
 
     def finish(self) -> np.ndarray:
         """Emit the trailing frames that need right reflect padding."""
+        if len(self._raw) == 0:
+            return np.zeros((0, self.fb.shape[0]), np.float32)
         if self._padded is None:
-            if len(self._raw) == 0:
-                return np.zeros((0, self.fb.shape[0]), np.float32)
-            front = np.concatenate([self._raw[1:][::-1], np.zeros(self.pad)])[-self.pad:]
-            self._padded = np.concatenate([front.astype(np.float32), self._raw])
-        back = self._padded[-(self.pad + 1) : -1][::-1]  # reflect right
-        signal = np.concatenate([self._padded, back])
+            # Short utterance (never produced frames in feed): build the
+            # full reflect padding exactly like the offline pipeline
+            # (np.pad handles signals shorter than the pad width by
+            # repeated reflection).
+            if len(self._raw) < 2:
+                self._padded = np.concatenate(
+                    [np.zeros(self.pad, np.float32), self._raw]
+                )
+            else:
+                self._padded = np.pad(self._raw, (self.pad, 0), mode="reflect")
+        if len(self._raw) < 2:
+            back = np.zeros(self.pad, np.float32)
+        elif len(self._raw) > self.pad:
+            back = self._padded[-(self.pad + 1) : -1][::-1]  # single reflection
+        else:
+            back = np.pad(self._raw, (0, self.pad), mode="reflect")[-self.pad :]
+        signal = np.concatenate([self._padded, back.astype(np.float32)])
         # offline frame count: 1 + len(raw) // hop
         total = 1 + len(self._raw) // self.hop
         count = total - self._next_frame

@@ -55,7 +55,9 @@ class TrainingConfig:
     gradient_accumulation_steps: int = 1
 
     # Mixed precision: bf16 compute on TPU (replaces the reference's fp16
-    # AMP; no loss scaling required).
+    # AMP; no loss scaling required). use_amp=False forces fp32 compute in
+    # the model config (applied by scripts/train.py); the model.yaml
+    # performance.dtype otherwise controls precision.
     use_amp: bool = True
 
     # Logging
@@ -83,15 +85,16 @@ class TrainingConfig:
     metrics_path: Optional[str] = None
 
 
-def ctc_loss(
+def ctc_loss_per_example(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
     input_lengths: jnp.ndarray,
     target_lengths: jnp.ndarray,
     blank_token: int = 0,
 ) -> jnp.ndarray:
-    """CTC loss matching torch nn.CTCLoss(blank=0, reduction='mean',
-    zero_infinity=True) (reference training.py:47-104).
+    """Per-example CTC loss matching torch nn.CTCLoss(blank=0,
+    reduction='mean', zero_infinity=True) semantics before the batch mean
+    (reference training.py:47-104).
 
     torch 'mean' divides each example's loss by its target length, then
     averages over the batch; zero_infinity maps non-finite losses to 0.
@@ -121,7 +124,22 @@ def ctc_loss(
         feasible & jnp.isfinite(per_example), per_example, 0.0
     )
     per_example = per_example / jnp.maximum(target_lengths.astype(jnp.float32), 1.0)
-    return jnp.mean(per_example)
+    return per_example
+
+
+def ctc_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    blank_token: int = 0,
+) -> jnp.ndarray:
+    """Batch-mean CTC loss (see ctc_loss_per_example)."""
+    return jnp.mean(
+        ctc_loss_per_example(
+            logits, targets, input_lengths, target_lengths, blank_token
+        )
+    )
 
 
 class CTCLoss:
@@ -247,18 +265,34 @@ class Trainer:
         self.params = jax.device_put(self.params, rep)
         self.opt_state = jax.device_put(self.opt_state, rep)
 
-    def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    def shard_batch(
+        self, batch: Dict[str, np.ndarray]
+    ) -> Tuple[Dict[str, jnp.ndarray], int]:
+        """Place a batch sharded over the data axis.
+
+        Batches whose size does not divide the data-axis size (e.g. the
+        final eval batch with drop_last=False) are padded by repeating the
+        first row; the returned valid-count masks the padding out of the
+        loss. Returns (device batch, n_valid).
+        """
+        n_data = self.mesh.shape[DATA_AXIS]
+        sizes = [v.shape[0] for k, v in batch.items() if hasattr(v, "ndim")]
+        n_valid = sizes[0]
+        pad = (-n_valid) % n_data
         out = {}
         for k, v in batch.items():
             if k == "texts" or not hasattr(v, "ndim"):
                 continue
+            v = np.asarray(v)
+            if pad:
+                v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
             spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
             out[k] = jax.device_put(jnp.asarray(v), NamedSharding(self.mesh, spec))
-        return out
+        return out, n_valid
 
     # ----- compiled steps ---------------------------------------------------
 
-    def _loss_fn(self, params, batch, dropout_rng, train: bool):
+    def _loss_fn(self, params, batch, dropout_rng, train: bool, n_valid):
         mel = batch["mel_spectrogram"]
         if train and self.config.augment is not None and self.config.augment.enabled:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
@@ -272,18 +306,20 @@ class Trainer:
             self.model, params, mel, train=train,
             dropout_rng=dropout_rng if train else None,
         )
-        loss = ctc_loss(
+        per_example = ctc_loss_per_example(
             logits, batch["targets"], output_lengths, batch["target_lengths"]
         )
-        return loss
+        # Mask divisibility padding (see shard_batch).
+        valid = jnp.arange(per_example.shape[0]) < n_valid
+        return jnp.sum(jnp.where(valid, per_example, 0.0)) / jnp.maximum(n_valid, 1)
 
     def _build_train_step(self):
         rep = NamedSharding(self.mesh, P())
 
-        def step_fn(params, opt_state, batch, rng):
+        def step_fn(params, opt_state, batch, rng, n_valid):
             dropout_rng = jax.random.fold_in(rng, opt_state_step(opt_state))
             loss, grads = jax.value_and_grad(self._loss_fn)(
-                params, batch, dropout_rng, True
+                params, batch, dropout_rng, True, n_valid
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -302,8 +338,8 @@ class Trainer:
         )
 
     def _build_eval_step(self):
-        def eval_fn(params, batch):
-            return self._loss_fn(params, batch, None, False)
+        def eval_fn(params, batch, n_valid):
+            return self._loss_fn(params, batch, None, False, n_valid)
 
         return jax.jit(eval_fn)
 
@@ -319,21 +355,22 @@ class Trainer:
         """One step, returning the loss as a device array (no host sync —
         the host<->TPU link costs ~30 ms per sync; the train loop converts
         losses only at log_interval)."""
-        batch = self.shard_batch(batch)
+        batch, n_valid = self.shard_batch(batch)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, batch, self._rng
+            self.params, self.opt_state, batch, self._rng, n_valid
         )
         self.global_step += 1
         return loss
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
-        batch = self.shard_batch(batch)
-        return {"eval_loss": float(self._eval_step(self.params, batch))}
+        batch, n_valid = self.shard_batch(batch)
+        return {"eval_loss": float(self._eval_step(self.params, batch, n_valid))}
 
     def train(self) -> Dict[str, Any]:
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         history: Dict[str, List[float]] = {"train_loss": [], "eval_loss": [], "lr": []}
         device_losses: List[jnp.ndarray] = []
+        tracing = False
         t0 = time.perf_counter()
 
         start = self.global_step
@@ -341,9 +378,11 @@ class Trainer:
             if self.config.profile_dir is not None:
                 if step == self.config.profile_start:
                     jax.profiler.start_trace(self.config.profile_dir)
+                    tracing = True
                     logger.info("profiler trace started -> %s", self.config.profile_dir)
-                elif step == self.config.profile_start + self.config.profile_steps:
+                elif tracing and step == self.config.profile_start + self.config.profile_steps:
                     jax.profiler.stop_trace()
+                    tracing = False
                     logger.info("profiler trace stopped")
 
             batch = next(self.train_iter)
@@ -393,6 +432,10 @@ class Trainer:
                 )
                 self._rotate_checkpoints()
 
+        if tracing:
+            # flush the trace even when max_steps ends inside the window
+            jax.profiler.stop_trace()
+            logger.info("profiler trace stopped (end of training)")
         return history
 
     def evaluate(self) -> Dict[str, float]:
