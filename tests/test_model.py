@@ -168,3 +168,18 @@ def test_full_forward_matches_torch_reference(torch_reference):
 
     assert logits.shape == ref_logits.shape
     np.testing.assert_allclose(logits, ref_logits, rtol=1e-3, atol=1e-3)
+
+
+def test_long_form_forward_pool_scaling(small_model):
+    """>60s-equivalent input: adaptive pool sizes leave the K1=64 floor
+    (BASELINE long-form config; reference attention.py:37-44)."""
+    from velocity_asr_tpu.ops.pooling import pool_size_level1, pool_size_level2
+
+    model, params = small_model
+    frames = 1600  # local length 800 -> K1 = 100, K2 = 25
+    assert pool_size_level1(800) == 100
+    assert pool_size_level2(100) == 25
+    mel = jax.random.normal(jax.random.PRNGKey(9), (1, frames, 80))
+    logits = va.forward(model, params, mel)
+    assert logits.shape == (1, 800, SMALL["vocab_size"])
+    assert np.isfinite(np.asarray(logits)).all()
