@@ -5,9 +5,13 @@ Measures the flagship configuration (default 6.2M-param model, bf16
 compute, Pallas selective-scan kernel) on 30 s utterances: on-device mel
 front-end + forward + on-device greedy decode, steady-state.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "rtf_per_chip", "value": <RTF>, "unit": "wall_s_per_audio_s",
    "vs_baseline": <reference_gpu_rtf / ours>}
+
+With --all, additionally measures the other BASELINE configs (single
+utterance latency, long-form 90 s, INT8 path, train step) and prints one
+JSON line each to stderr.
 
 Baseline: the reference README reports RTF 0.05x on GPU / 0.3x on CPU
 (BASELINE.md); the north-star target is <= 0.01 per TPU chip.
@@ -80,7 +84,104 @@ def main():
         "vs_baseline": round(BASELINE_GPU_RTF / rtf, 2),
     }
     print(json.dumps(result))
+
+    if "--all" in sys.argv:
+        extra_configs(params, pipeline)
     return result
+
+
+def extra_configs(params, batched_pipeline):
+    """The remaining BASELINE configs, one JSON line each on stderr."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from velocity_asr_tpu.audio import compute_mel_spectrogram
+    from velocity_asr_tpu.decode import ctc_greedy_decode_jax
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import create_model, forward, init_params
+
+    def emit(metric, value, unit, baseline=None):
+        line = {"metric": metric, "value": round(value, 6), "unit": unit}
+        if baseline:
+            line["vs_baseline"] = round(baseline / value, 2)
+        print(json.dumps(line), file=sys.stderr)
+
+    rng = np.random.default_rng(1)
+
+    def timed(fn, *args, iters=10):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for o in outs:
+            np.asarray(jax.tree_util.tree_leaves(o)[0])
+        return (time.perf_counter() - t0) / iters
+
+    # 1. single-utterance latency (BASELINE config #1), incl. host sync
+    one = jnp.asarray(rng.standard_normal((1, 30 * 16000)).astype(np.float32) * 0.1)
+
+    def single(params, audio):
+        out = batched_pipeline(params, jnp.broadcast_to(audio, (BATCH,) + audio.shape[1:]))
+        return out
+
+    # dedicated single-utterance pipeline
+    cfg = VelocityASRConfig(dtype="bfloat16", scan_mode="pallas")
+    model = create_model(cfg)
+
+    @jax.jit
+    def pipe1(params, audio):
+        mel = compute_mel_spectrogram(audio)
+        return ctc_greedy_decode_jax(forward(model, params, mel, train=False))
+
+    wall = timed(pipe1, params, one)
+    emit("single_utterance_rtf", wall / 30.0, "wall_s_per_audio_s", BASELINE_GPU_RTF)
+
+    # 2. long-form 90 s (BASELINE config #3: pool sizes leave the K1 floor)
+    long_audio = jnp.asarray(
+        rng.standard_normal((1, 90 * 16000)).astype(np.float32) * 0.1
+    )
+    wall = timed(pipe1, params, long_audio)
+    emit("long_form_90s_rtf", wall / 90.0, "wall_s_per_audio_s", BASELINE_GPU_RTF)
+
+    # 3. INT8 inference path (BASELINE config #4)
+    cfg8 = VelocityASRConfig(dtype="bfloat16", scan_mode="pallas", int8_inference=True)
+    model8 = create_model(cfg8)
+
+    @jax.jit
+    def pipe8(params, audio):
+        mel = compute_mel_spectrogram(audio)
+        return ctc_greedy_decode_jax(forward(model8, params, mel, train=False))
+
+    audio16 = jnp.asarray(
+        rng.standard_normal((BATCH, 30 * 16000)).astype(np.float32) * 0.1
+    )
+    wall = timed(pipe8, params, audio16)
+    emit("int8_rtf_per_chip", wall / (BATCH * 30.0), "wall_s_per_audio_s", BASELINE_GPU_RTF)
+
+    # 4. training step (BASELINE config #5: DP training), batch 8 x 16 s
+    from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+    batch = {
+        "mel_spectrogram": rng.standard_normal((8, 1600, 80)).astype(np.float32),
+        "targets": rng.integers(3, 1000, size=(8, 200)).astype(np.int32),
+        "input_lengths": np.full((8,), 1600, np.int32),
+        "target_lengths": np.full((8,), 200, np.int32),
+    }
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(max_steps=10, warmup_steps=2, log_interval=10**9,
+                           eval_interval=10**9, save_interval=10**9)
+    trainer = Trainer(model, tconf, batches())
+    np.asarray(trainer._train_step_device(batch))
+    t0 = time.perf_counter()
+    losses = [trainer._train_step_device(batch) for _ in range(5)]
+    np.asarray(losses[-1])
+    # reference parallel mode: 0.2-0.3 s/step (configs/model.yaml notes)
+    emit("train_step_seconds", (time.perf_counter() - t0) / 5, "s_per_step", 0.25)
 
 
 if __name__ == "__main__":
