@@ -183,3 +183,24 @@ def test_long_form_forward_pool_scaling(small_model):
     logits = va.forward(model, params, mel)
     assert logits.shape == (1, 800, SMALL["vocab_size"])
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_presets():
+    tiny = va.VelocityASRConfig.from_preset("tiny")
+    base = va.VelocityASRConfig.from_preset("base")
+    large = va.VelocityASRConfig.from_preset("large-vocab", dropout=0.0)
+    assert tiny.d_model == 128 and base == va.VelocityASRConfig()
+    assert large.vocab_size == 50000 and large.dropout == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        va.VelocityASRConfig.from_preset("huge")
+
+    # tiny preset builds and runs
+    model = va.create_model(tiny)
+    params = va.init_params(model, jax.random.PRNGKey(0), example_frames=32)
+    n = va.count_parameters(params)
+    assert 0.5e6 < n < 3e6
+    logits = va.forward(model, params, jnp.zeros((1, 32, 80)))
+    assert logits.shape == (1, 16, 1000)

@@ -75,6 +75,29 @@ class VelocityASRConfig:
         return self.d_model * self.ssm_expand_ratio
 
     @classmethod
+    def from_preset(cls, name: str, **overrides) -> "VelocityASRConfig":
+        """Named model-family presets.
+
+        - "tiny":        ~1.1M params, 4 SSM layers, d_model 128 — edge/smoke
+        - "base":        the reference default (6.2M params, vocab 1000)
+        - "large-vocab": base encoder with the 50k subword vocabulary the
+          reference documents as the production variant (model.py:46-48 —
+          the CTC head alone adds ~9.6M params)
+        """
+        presets: Dict[str, Dict[str, Any]] = {
+            "tiny": dict(d_model=128, ssm_layers=4, ssm_state_dim=32,
+                         global_ssm_layers=1, global_ssm_state_dim=16,
+                         attention_dim=32, vocab_size=1000),
+            "base": {},
+            "large-vocab": dict(vocab_size=50000),
+        }
+        if name not in presets:
+            raise ValueError(f"unknown preset {name!r}; options: {sorted(presets)}")
+        kwargs = dict(presets[name])
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "VelocityASRConfig":
         """Create config from a dict, ignoring unknown keys (model.py:65-68).
 
