@@ -110,14 +110,18 @@ def main():
         t0 = time.perf_counter()
         logits = np.asarray(infer(params, jnp.asarray(batch["mel_spectrogram"])))
         out_lens = (batch["input_lengths"] + 1) // 2
-        # mask padded frames to blank-friendly decode: slice per utterance
-        for b in range(len(idx)):
-            lg = logits[b : b + 1, : out_lens[b]]
-            if args.beam_width > 1:
-                text = decoder.decode_beam_search(lg, beam_width=args.beam_width)[0]
-            else:
-                text = decoder.decode_greedy(lg)[0]
-            predictions.append(text)
+        # Force blank on padded frames so the whole batch decodes in one
+        # vectorized call (a blank emits nothing and leaves prefixes alone).
+        t_frames = logits.shape[1]
+        pad_mask = np.arange(t_frames)[None, :] >= out_lens[:, None]
+        masked = np.where(pad_mask[:, :, None], -1e9, logits)
+        masked[:, :, 0] = np.where(pad_mask, 0.0, masked[:, :, 0])
+        if args.beam_width > 1:
+            predictions.extend(
+                decoder.decode_beam_search(masked, beam_width=args.beam_width)
+            )
+        else:
+            predictions.extend(decoder.decode_greedy(masked))
         total_wall += time.perf_counter() - t0
         references.extend(batch["texts"])
         total_audio_s += float(np.sum(batch["input_lengths"])) * 0.01  # 10ms hop

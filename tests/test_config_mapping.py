@@ -1,0 +1,50 @@
+"""YAML -> config mapping tests (scripts/train.py config surface)."""
+
+from velocity_asr_tpu.utils.config import (
+    model_config_from_yaml,
+    training_config_from_yaml,
+)
+
+
+def test_model_yaml_mapping():
+    cfg = model_config_from_yaml({
+        "model": {"d_model": 96, "dropout": 0.2},
+        "ssm": {"num_layers": 6, "state_dim": 32},
+        "global_context": {"attention_heads": 2},
+        "output": {"vocab_size": 123},
+        "performance": {"scan_mode": "mamba", "dtype": "bfloat16"},
+    })
+    assert cfg.d_model == 96 and cfg.dropout == 0.2
+    assert cfg.ssm_layers == 6 and cfg.ssm_state_dim == 32
+    assert cfg.attention_heads == 2 and cfg.vocab_size == 123
+    assert cfg.scan_mode == "pallas"  # reference name "mamba" maps to pallas
+    assert cfg.dtype == "bfloat16"
+
+
+def test_model_yaml_defaults():
+    cfg = model_config_from_yaml({})
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+
+    assert cfg == VelocityASRConfig()
+
+
+def test_train_yaml_mapping():
+    cfg = training_config_from_yaml({
+        "training": {"batch_size": 4, "max_steps": 10, "use_amp": False},
+        "optimizer": {"learning_rate": 3e-4, "warmup_steps": 2},
+        "checkpoint": {"dir": "/tmp/x", "keep_last": 2},
+        "logging": {"log_interval": 5, "metrics_path": "/tmp/m.jsonl"},
+        "augmentation": {"enabled": True, "num_time_masks": 3},
+        "distributed": {"num_data_shards": 4},
+    })
+    assert cfg.batch_size == 4 and cfg.max_steps == 10 and not cfg.use_amp
+    assert cfg.learning_rate == 3e-4 and cfg.warmup_steps == 2
+    assert cfg.checkpoint_dir == "/tmp/x" and cfg.keep_last == 2
+    assert cfg.metrics_path == "/tmp/m.jsonl"
+    assert cfg.augment is not None and cfg.augment.num_time_masks == 3
+    assert cfg.num_data_shards == 4
+
+
+def test_train_yaml_augment_disabled_by_default():
+    cfg = training_config_from_yaml({})
+    assert cfg.augment is None
