@@ -99,11 +99,26 @@ class FakeQuantize(nn.Module):
                 zp = qmin - x_min / scale_safe
             return jnp.maximum(scale, 1e-10).reshape(stat_shape), zp.reshape(stat_shape)
 
+        can_write = (
+            not self.is_initializing()
+            and self.is_mutable_collection("quant_stats")
+        )
+
         if update_stats:
+            # Training forward: recompute observers from the live tensor
+            # (reference quantize.py:87-88, no EMA).
             scale, zp = observe(x)
-            if not self.is_initializing():
+            if can_write:
                 scale_var.value = scale
                 zp_var.value = zp
+        elif can_write:
+            # Eval forward with a mutable quant_stats collection = a
+            # calibration pass: observe without dropout noise (the
+            # reference's calibrate_model never actually observed —
+            # see module docstring).
+            scale, zp = observe(x)
+            scale_var.value = scale
+            zp_var.value = zp
         else:
             scale, zp = scale_var.value, zp_var.value
 
@@ -112,7 +127,7 @@ class FakeQuantize(nn.Module):
         x_dq = ((x_q - zp) * scale).astype(x.dtype)
         fq = x + jax.lax.stop_gradient(x_dq - x)
 
-        if update_stats:
+        if update_stats or can_write:
             return fq
         # Inference: pass through until calibrated (reference quantize.py:83-85).
         return jnp.where(calibrated_var.value, fq, x)
@@ -246,11 +261,12 @@ def calibrate_model(
         if count >= num_batches:
             break
         mel = jnp.asarray(batch)
+        # Eval-mode forward with a mutable quant_stats collection: the
+        # observers refresh from clean (dropout-free) activations.
         _, mutated = model.apply(
             {"params": params, "quant_stats": quant_stats},
             mel,
-            train=True,  # train=True routes observers; dropout needs an rng
-            rngs={"dropout": jax.random.PRNGKey(0)},
+            train=False,
             mutable=["quant_stats"],
         )
         quant_stats = mutated["quant_stats"]
