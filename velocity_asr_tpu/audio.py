@@ -25,7 +25,7 @@ tests/test_audio.py):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

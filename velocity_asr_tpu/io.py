@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import struct
 import wave
 from typing import Optional, Tuple
 

@@ -16,7 +16,6 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.conv import causal_depthwise_conv1d
 from ..ops.scan import selective_scan

@@ -17,7 +17,6 @@ equivalence-tested in tests/test_int8.py.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ All tiers are equivalence-tested against each other in tests/test_scan.py.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ user-level communication code.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

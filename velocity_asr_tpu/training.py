@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import math
 import os
 import time
 from dataclasses import dataclass
@@ -32,7 +31,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .augment import SpecAugmentConfig, spec_augment
-from .models.config import VelocityASRConfig
+
 from .models.model import VelocityASR, forward
 from .parallel.mesh import DATA_AXIS, create_mesh
 
