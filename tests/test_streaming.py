@@ -167,3 +167,57 @@ def test_streaming_mel_short_audio_matches_offline():
         streamed = np.concatenate([sm.feed(audio), sm.finish()])
         assert streamed.shape == offline.shape, n
         np.testing.assert_allclose(streamed, offline, atol=1e-3, err_msg=str(n))
+
+
+def test_streaming_context_memory_rolls(tiny_model):
+    from velocity_asr_tpu.models.model import (
+        STREAM_MEMORY_CHUNKS,
+        STREAM_SUMMARY_TOKENS,
+    )
+    from velocity_asr_tpu.ops.pooling import adaptive_avg_pool1d
+
+    model, params = tiny_model
+    rng = np.random.default_rng(11)
+    chunk1 = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
+    chunk2 = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
+
+    _, state1 = model.apply({"params": params}, chunk1, train=False, return_state=True)
+    mem1 = np.asarray(state1["gc_mem"])
+    M = STREAM_MEMORY_CHUNKS * STREAM_SUMMARY_TOKENS
+    assert mem1.shape == (1, M, 16)
+    # first chunk: warm-started by tiling its own summary
+    s = STREAM_SUMMARY_TOKENS
+    np.testing.assert_allclose(mem1[:, :s], mem1[:, s : 2 * s], atol=1e-6)
+
+    _, state2 = model.apply(
+        {"params": params}, chunk2, train=False,
+        stream_state=state1, time_offset=20, return_state=True,
+    )
+    mem2 = np.asarray(state2["gc_mem"])
+    # rolled: the first M-s tokens are mem1 shifted left by s
+    np.testing.assert_allclose(mem2[:, : M - s], mem1[:, s:], atol=1e-6)
+    # last s tokens are chunk2's own local-feature summary (changed)
+    assert not np.allclose(mem2[:, M - s :], mem1[:, M - s :])
+
+
+def test_streaming_context_memory_changes_logits(tiny_model):
+    """A chunk's transcription now depends on earlier chunks' content via
+    the context memory (previously each chunk's global context was blind
+    to the past)."""
+    model, params = tiny_model
+    rng = np.random.default_rng(13)
+    past_a = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
+    past_b = jnp.asarray(rng.standard_normal((1, 40, 80)) * 3.0, jnp.float32)
+    current = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
+
+    def run(past):
+        _, st = model.apply({"params": params}, past, train=False, return_state=True)
+        logits, _ = model.apply(
+            {"params": params}, current, train=False,
+            stream_state=st, time_offset=20, return_state=True,
+        )
+        return np.asarray(logits)
+
+    la, lb = run(past_a), run(past_b)
+    # identical current-chunk audio, different history -> different logits
+    assert not np.allclose(la, lb)

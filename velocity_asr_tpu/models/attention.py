@@ -58,16 +58,25 @@ class AdaptivePool(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, prev_pool_size: Optional[int] = None, train: bool = False
+        self,
+        x: jnp.ndarray,
+        prev_pool_size: Optional[int] = None,
+        train: bool = False,
+        pre_pooled: bool = False,
     ):
         seq_len = x.shape[1]
-        if self.level == 1:
-            pool_size = pool_size_level1(seq_len)
+        if pre_pooled:
+            # Streaming path: x is already a pooled-token summary (the
+            # sliding context memory); only the learned projection applies.
+            pool_size = seq_len
+            pooled = x
         else:
-            k1 = prev_pool_size if prev_pool_size else pool_size_level1(seq_len)
-            pool_size = min(pool_size_level2(k1), seq_len)
-
-        pooled = adaptive_avg_pool1d(x, pool_size)
+            if self.level == 1:
+                pool_size = pool_size_level1(seq_len)
+            else:
+                k1 = prev_pool_size if prev_pool_size else pool_size_level1(seq_len)
+                pool_size = min(pool_size_level2(k1), seq_len)
+            pooled = adaptive_avg_pool1d(x, pool_size)
         mode = _quant_mode(self.qat, self.int8)
         proj = _dense(mode, self.d_model, self.dtype, "pool_proj")
         pooled = proj(pooled, train=train) if mode != "none" else proj(pooled)
@@ -172,11 +181,28 @@ class HierarchicalGlobalContext(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, local_features: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        local_features: jnp.ndarray,
+        train: bool = False,
+        memory: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Full-sequence global context, or streaming context over an
+        externally maintained pooled-token memory.
+
+        memory: (batch, M, d_model) pre-pooled summary tokens covering the
+        recent past (see model.py streaming path). When given, level-1
+        pooling of local_features is replaced by the memory — the same
+        learned projections and SSM/attention stack apply.
+        """
         x_pool1, pool_size1 = AdaptivePool(
             level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
             int8=self.int8, name="pool1"
-        )(local_features, train=train)
+        )(
+            local_features if memory is None else memory.astype(self.dtype),
+            train=train,
+            pre_pooled=memory is not None,
+        )
 
         x_ssm = GlobalSSM(
             d_model=self.d_model,

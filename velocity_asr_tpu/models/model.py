@@ -26,6 +26,13 @@ from .ssm import LocalSSMProcessor
 PARAMS_FILE = "params.msgpack"
 CONFIG_FILE = "config.json"
 
+# Streaming global-context memory: each chunk contributes
+# STREAM_SUMMARY_TOKENS pooled tokens to a rolling buffer of
+# STREAM_MEMORY_CHUNKS chunks (so cross-attention covers a sliding window
+# of chunk_seconds * STREAM_MEMORY_CHUNKS of audio instead of one chunk).
+STREAM_SUMMARY_TOKENS = 4
+STREAM_MEMORY_CHUNKS = 16
+
 
 class VelocityASR(nn.Module):
     """TemporalBinding -> LocalSSM -> HierarchicalGlobalContext -> CTCHead
@@ -89,6 +96,26 @@ class VelocityASR(nn.Module):
                 states=None if stream_state is None else stream_state["blocks"],
                 return_state=True,
             )
+
+            # Sliding global-context memory: pool this chunk's local
+            # features into a few summary tokens and roll them into the
+            # memory buffer. On the first chunk the buffer warm-starts by
+            # tiling the chunk's own summary so every slot holds valid
+            # statistics (no masking needed downstream).
+            from ..ops.pooling import adaptive_avg_pool1d
+
+            summary = adaptive_avg_pool1d(
+                local_features.astype(jnp.float32), STREAM_SUMMARY_TOKENS
+            )
+            tiled = jnp.tile(summary, (1, STREAM_MEMORY_CHUNKS, 1))
+            if stream_state is None:
+                gc_mem = tiled
+            else:
+                rolled = jnp.concatenate(
+                    [stream_state["gc_mem"][:, STREAM_SUMMARY_TOKENS:], summary],
+                    axis=1,
+                )
+                gc_mem = jnp.where(stream_state["gc_init"], rolled, tiled)
         else:
             local_features = local(x, train)
 
@@ -104,7 +131,7 @@ class VelocityASR(nn.Module):
             qat=cfg.qat,
             int8=cfg.int8_inference,
             name="global_context",
-        )(local_features, train)
+        )(local_features, train, memory=gc_mem if streaming else None)
 
         logits = CTCOutputHead(
             d_model=cfg.d_model,
@@ -118,7 +145,12 @@ class VelocityASR(nn.Module):
         logits = logits.astype(jnp.float32)
 
         if return_state:
-            return logits, {"mel_carry": mel_carry, "blocks": block_states}
+            return logits, {
+                "mel_carry": mel_carry,
+                "blocks": block_states,
+                "gc_mem": gc_mem,
+                "gc_init": jnp.ones((), jnp.bool_),
+            }
         if return_features:
             return logits, {
                 "temporal_binding": x,

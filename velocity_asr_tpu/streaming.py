@@ -7,9 +7,10 @@ on the full sequence. Here streaming is first-class:
   - the SSM recurrence and every causal conv carry state across chunks, so
     the local acoustic path is numerically EXACT chunked evaluation (the
     recurrence is associative; see ops.scan h0 support);
-  - the hierarchical global context is recomputed per chunk (the
-    full-sequence path pools over the whole utterance — a documented
-    approximation);
+  - the hierarchical global context attends over a rolling pooled-token
+    memory covering the last STREAM_MEMORY_CHUNKS chunks (~32 s of audio
+    at 2 s chunks) — a sliding-window approximation of the offline
+    full-utterance pooling;
   - the mel front-end is incremental: a sample ring buffer supplies each
     frame's full n_fft window, and per-bin normalization uses running
     (causal) statistics instead of the full-utterance statistics the
@@ -176,6 +177,8 @@ class StreamingTranscriber:
         self._step = jax.jit(step)
 
     def _init_state(self):
+        from .models.model import STREAM_MEMORY_CHUNKS, STREAM_SUMMARY_TOKENS
+
         cfg = self.model.config
         k = cfg.ssm_kernel_size
         blocks = [
@@ -185,9 +188,12 @@ class StreamingTranscriber:
             }
             for _ in range(cfg.ssm_layers)
         ]
+        mem_tokens = STREAM_MEMORY_CHUNKS * STREAM_SUMMARY_TOKENS
         return {
             "mel_carry": jnp.zeros((1, 1, cfg.mel_bins), jnp.float32),
             "blocks": blocks,
+            "gc_mem": jnp.zeros((1, mem_tokens, cfg.d_model), jnp.float32),
+            "gc_init": jnp.zeros((), jnp.bool_),
         }
 
     def _run_chunks(self, flush: bool = False) -> str:
