@@ -143,6 +143,7 @@ def test_qat_forward_and_calibration(qat_model):
     assert diff.max() < 1.0  # and sane
 
 
+@pytest.mark.slow
 def test_qat_train_step():
     cfg = va.VelocityASRConfig(
         d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,

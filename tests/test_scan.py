@@ -66,6 +66,7 @@ def test_pallas_gradient_matches_parallel():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_gradient_multichunk():
     # length spans multiple TRAIN_CHUNK backward chunks, with padding
     args = make_inputs(batch=2, length=150, d_inner=16, state_dim=8, seed=9)

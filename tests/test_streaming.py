@@ -44,6 +44,7 @@ def test_scan_state_carry_exact():
     np.testing.assert_allclose(np.asarray(h), np.asarray(hs), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ssm_block_streaming_exact():
     block = SSMBlock(d_model=8, state_dim=4, dropout=0.0)
     x = jnp.asarray(

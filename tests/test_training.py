@@ -121,6 +121,7 @@ def _tiny_setup(accum=1):
     return trainer, batch
 
 
+@pytest.mark.slow
 def test_overfit_single_batch():
     trainer, batch = _tiny_setup()
     first = trainer.train_step(batch)["loss"]
@@ -129,6 +130,7 @@ def test_overfit_single_batch():
     assert last < first * 0.9, (first, last)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_runs():
     trainer, batch = _tiny_setup(accum=2)
     for _ in range(4):
@@ -136,6 +138,7 @@ def test_gradient_accumulation_runs():
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     trainer, batch = _tiny_setup()
     for _ in range(3):
