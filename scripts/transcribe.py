@@ -68,19 +68,37 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
 
 
 class Transcriber:
-    """Bucketed jit transcription pipeline."""
+    """Bucketed jit transcription pipeline.
 
-    def __init__(self, model, params, decoder, beam_width=0, frame_bucket=200):
+    The whole pipeline runs on device in one jit: mel front-end (fused
+    Pallas kernel on TPU) with masked per-utterance normalization, model
+    forward, and logits. Audio is padded to sample buckets so a handful of
+    compiled shapes serve every utterance; the valid frame count is a
+    traced scalar. device_mel=False falls back to exact host-side
+    per-utterance mel (normalization statistics are identical either way;
+    on device the final ~2 boundary frames see the zero padding through
+    the STFT window).
+    """
+
+    def __init__(self, model, params, decoder, beam_width=0, frame_bucket=200,
+                 device_mel=True):
         import jax
         import jax.numpy as jnp
 
-        from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE, compute_mel_spectrogram_np
+        from velocity_asr_tpu.audio import (
+            HOP_LENGTH,
+            SAMPLE_RATE,
+            compute_mel_spectrogram,
+            compute_mel_spectrogram_np,
+            masked_normalize_mel,
+        )
 
         self.model = model
         self.params = params
         self.decoder = decoder
         self.beam_width = beam_width
         self.frame_bucket = frame_bucket
+        self.device_mel = device_mel
         self._jax = jax
         self._jnp = jnp
         self._mel = compute_mel_spectrogram_np
@@ -94,13 +112,40 @@ class Transcriber:
 
         self._infer = jax.jit(infer)
 
+        def infer_audio(params, audio, n_valid_frames):
+            mel = compute_mel_spectrogram(audio, normalize=False)
+            mel = masked_normalize_mel(mel, n_valid_frames)
+            return forward(model, params, mel, train=False)
+
+        self._infer_audio = jax.jit(infer_audio)
+
     def logits_for(self, audio: np.ndarray):
-        mel = self._mel(audio)  # per-utterance mel before padding (exact norm)
-        n_frames = mel.shape[0]
-        bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
-        mel_padded = np.zeros((1, bucket, mel.shape[1]), np.float32)
-        mel_padded[0, :n_frames] = mel
-        logits = np.asarray(self._infer(self.params, self._jnp.asarray(mel_padded)))
+        n_frames = 1 + len(audio) // self.hop
+        if self.device_mel:
+            # Bucket sized so the padded audio covers every real sample;
+            # reflect-pad the tail so the valid frames (and therefore the
+            # per-utterance normalization statistics) match the offline
+            # unpadded mel exactly.
+            min_frames = 1 + -(-len(audio) // self.hop)
+            bucket = -(-min_frames // self.frame_bucket) * self.frame_bucket
+            target_samples = (bucket - 1) * self.hop
+            audio = np.asarray(audio, np.float32)
+            if len(audio) >= 2:
+                padded = np.pad(audio, (0, target_samples - len(audio)), mode="reflect")
+            else:
+                padded = np.zeros(target_samples, np.float32)
+                padded[: len(audio)] = audio
+            logits = np.asarray(
+                self._infer_audio(
+                    self.params, self._jnp.asarray(padded[None]), n_frames
+                )
+            )
+        else:
+            bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
+            mel = self._mel(audio)  # exact per-utterance mel on host
+            mel_padded = np.zeros((1, bucket, mel.shape[1]), np.float32)
+            mel_padded[0, : mel.shape[0]] = mel
+            logits = np.asarray(self._infer(self.params, self._jnp.asarray(mel_padded)))
         out_len = (n_frames + 1) // 2
         return logits[:, :out_len], out_len
 

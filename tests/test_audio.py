@@ -85,3 +85,29 @@ def test_pallas_mel_matches_xla():
     ref2 = np.asarray(audio.compute_mel_spectrogram(wav2, normalize=False))
     ours2 = np.asarray(mel_spectrogram_pallas(wav2, normalize=False))
     np.testing.assert_allclose(ours2, ref2, rtol=1e-3, atol=1e-3)
+
+
+def test_masked_normalize_matches_unpadded():
+    """The transcribe CLI's device-mel path (reflect-padded audio + masked
+    normalization) reproduces the offline unpadded mel exactly."""
+    from velocity_asr_tpu.audio import masked_normalize_mel
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    for n_samples in (16000, 15923):  # hop-aligned and not
+        wav = (rng.standard_normal(n_samples) * 0.2).astype(np.float32)
+        exact = audio.compute_mel_spectrogram_np(wav, normalize=True)
+        n = exact.shape[0]
+
+        # Transcriber padding scheme: bucket covers every sample,
+        # reflect-padded tail.
+        min_frames = 1 + -(-n_samples // 160)
+        bucket = -(-min_frames // 100) * 100
+        target = (bucket - 1) * 160
+        padded = np.pad(wav, (0, target - n_samples), mode="reflect")
+
+        raw = np.asarray(audio.compute_mel_spectrogram(padded, normalize=False))
+        normed = np.asarray(masked_normalize_mel(jnp.asarray(raw), n))
+        assert raw.shape[0] == bucket
+        np.testing.assert_allclose(normed[:n], exact, atol=1e-3)
+        assert np.abs(normed[n:]).max() == 0.0

@@ -197,6 +197,26 @@ def _compute_mel_spectrogram_xla(
     return mel
 
 
+def masked_normalize_mel(mel: jnp.ndarray, n_valid) -> jnp.ndarray:
+    """Per-bin time normalization over the first n_valid frames only.
+
+    Device-side equivalent of computing mel on the unpadded utterance and
+    normalizing (reference audio.py:132-135, unbiased std): statistics
+    exclude padding, and padded frames are zeroed (the batch pad value).
+    n_valid may be a traced scalar, so one compiled graph serves every
+    length within a bucket.
+    """
+    t = mel.shape[-2]
+    valid = (jnp.arange(t) < n_valid)[..., :, None]
+    n = jnp.maximum(n_valid, 1).astype(mel.dtype)
+    mean = jnp.sum(jnp.where(valid, mel, 0.0), axis=-2, keepdims=True) / n
+    var = jnp.sum(jnp.where(valid, (mel - mean) ** 2, 0.0), axis=-2, keepdims=True) / (
+        jnp.maximum(n - 1.0, 1.0)
+    )
+    out = (mel - mean) / (jnp.sqrt(var) + 1e-10)
+    return jnp.where(valid, out, 0.0)
+
+
 def compute_mel_spectrogram_np(
     audio: np.ndarray,
     sample_rate: int = SAMPLE_RATE,
