@@ -112,33 +112,56 @@ class Transcriber:
 
         self._infer = jax.jit(infer)
 
-        def infer_audio(params, audio, n_valid_frames):
+        def masked_logits(params, audio, n_valid_frames):
             mel = compute_mel_spectrogram(audio, normalize=False)
             mel = masked_normalize_mel(mel, n_valid_frames)
-            return forward(model, params, mel, train=False)
+            logits = forward(model, params, mel, train=False)
+            # force blank beyond the valid output frames so device-side
+            # decoding needs no host slicing
+            t = logits.shape[1]
+            out_len = (n_valid_frames + 1) // 2
+            pad = (jnp.arange(t) >= out_len)[None, :, None]
+            logits = jnp.where(pad, -1e9, logits)
+            return logits.at[:, :, 0].set(jnp.where(pad[..., 0], 0.0, logits[:, :, 0]))
 
-        self._infer_audio = jax.jit(infer_audio)
+        self._infer_audio = jax.jit(
+            lambda p, a, n: masked_logits(p, a, n)
+        )
+
+        from velocity_asr_tpu.decode import ctc_greedy_decode_jax
+
+        def greedy_tokens(params, audio, n_valid_frames):
+            logits = masked_logits(params, audio, n_valid_frames)
+            return ctc_greedy_decode_jax(logits)
+
+        def frame_preds(params, audio, n_valid_frames):
+            return jnp.argmax(masked_logits(params, audio, n_valid_frames), axis=-1)
+
+        # Device-side decode: only token ids cross the host link (full
+        # logits are vocab_size/2 KB per frame — dominant at serve time).
+        self._greedy_tokens = jax.jit(greedy_tokens)
+        self._frame_preds = jax.jit(frame_preds)
+
+    def _pad_audio(self, audio: np.ndarray):
+        """Reflect-pad audio to the sample bucket (exact valid frames)."""
+        n_frames = 1 + len(audio) // self.hop
+        min_frames = 1 + -(-len(audio) // self.hop)
+        bucket = -(-min_frames // self.frame_bucket) * self.frame_bucket
+        target_samples = (bucket - 1) * self.hop
+        audio = np.asarray(audio, np.float32)
+        if len(audio) >= 2:
+            padded = np.pad(audio, (0, target_samples - len(audio)), mode="reflect")
+        else:
+            padded = np.zeros(target_samples, np.float32)
+            padded[: len(audio)] = audio
+        return padded[None], n_frames
 
     def logits_for(self, audio: np.ndarray):
         n_frames = 1 + len(audio) // self.hop
         if self.device_mel:
-            # Bucket sized so the padded audio covers every real sample;
-            # reflect-pad the tail so the valid frames (and therefore the
-            # per-utterance normalization statistics) match the offline
-            # unpadded mel exactly.
-            min_frames = 1 + -(-len(audio) // self.hop)
-            bucket = -(-min_frames // self.frame_bucket) * self.frame_bucket
-            target_samples = (bucket - 1) * self.hop
-            audio = np.asarray(audio, np.float32)
-            if len(audio) >= 2:
-                padded = np.pad(audio, (0, target_samples - len(audio)), mode="reflect")
-            else:
-                padded = np.zeros(target_samples, np.float32)
-                padded[: len(audio)] = audio
+            padded, n_frames = self._pad_audio(audio)
             logits = np.asarray(
-                self._infer_audio(
-                    self.params, self._jnp.asarray(padded[None]), n_frames
-                )
+                self._infer_audio(self.params, self._jnp.asarray(padded), n_frames)
             )
         else:
             bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
@@ -150,24 +173,51 @@ class Transcriber:
         return logits[:, :out_len], out_len
 
     def transcribe_array(self, audio: np.ndarray, timestamps: bool = False):
-        from velocity_asr_tpu.decode import (
-            ctc_greedy_decode_with_timestamps,
-        )
+        from velocity_asr_tpu.decode import timestamps_from_predictions
 
-        logits, _ = self.logits_for(audio)
         result = {"duration": len(audio) / self.sr}
+        if not self.device_mel:
+            # host-mel fallback: decode from downloaded logits
+            logits, _ = self.logits_for(audio)
+            if timestamps:
+                tokens, stamps = timestamps_from_predictions(
+                    np.asarray(np.argmax(logits, -1))
+                )[0]
+                result["text"] = self.decoder._tokens_to_text(tokens)
+                result["words"] = words_with_timestamps(
+                    tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
+                )
+            elif self.beam_width > 1:
+                result["text"] = self.decoder.decode_beam_search(
+                    logits, beam_width=self.beam_width
+                )[0]
+            else:
+                result["text"] = self.decoder.decode_greedy(logits)[0]
+            return result
+
+        # Device path: mel + forward + decode run in one jit; only token
+        # ids cross the host link (full logits are ~vocab/2 KB per frame).
+        padded, n_frames = self._pad_audio(audio)
+        out_len = (n_frames + 1) // 2
+        audio_dev = self._jnp.asarray(padded)
         if timestamps:
-            tokens, stamps = ctc_greedy_decode_with_timestamps(logits)[0]
+            preds = np.asarray(self._frame_preds(self.params, audio_dev, n_frames))
+            tokens, stamps = timestamps_from_predictions(preds[:, :out_len])[0]
             result["text"] = self.decoder._tokens_to_text(tokens)
             result["words"] = words_with_timestamps(
                 tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
             )
         elif self.beam_width > 1:
-            result["text"] = self.decoder.decode_beam_search(
-                logits, beam_width=self.beam_width
-            )[0]
+            from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
+
+            logits = self._infer_audio(self.params, audio_dev, n_frames)
+            toks, lens, _ = ctc_beam_search_jax(logits, beam_width=self.beam_width)
+            best = beams_to_token_lists(np.asarray(toks), np.asarray(lens))[0][0]
+            result["text"] = self.decoder._tokens_to_text(best)
         else:
-            result["text"] = self.decoder.decode_greedy(logits)[0]
+            toks, lens = self._greedy_tokens(self.params, audio_dev, n_frames)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            result["text"] = self.decoder._tokens_to_text(toks[0, : lens[0]].tolist())
         return result
 
     def transcribe_file(self, path: str, timestamps: bool = False):

@@ -91,6 +91,14 @@ def ctc_greedy_decode_with_timestamps(
     a different token appears (or seq_len for the final token).
     """
     preds = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+    return timestamps_from_predictions(preds, blank_token)
+
+
+def timestamps_from_predictions(
+    preds: np.ndarray,
+    blank_token: int = BLANK_TOKEN,
+) -> List[Tuple[List[int], List[Tuple[int, int]]]]:
+    """Timestamp extraction from per-frame argmax predictions (batch, T)."""
     batch, seq_len = preds.shape
     results = []
     for b in range(batch):
