@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Serve VELOCITY-ASR TPU over HTTP.
+
+A lightweight stdlib serving daemon around the single-utterance fast path
+(on-device mel + forward + greedy decode, token-ids-only host transfer).
+The reference has no serving runtime at all (SURVEY.md §1: "serve" = CLI
+batch transcription); this is the deployment-facing counterpart.
+
+Endpoints:
+  GET  /health               -> {"status": "ok", "model": {...}}
+  POST /transcribe           -> {"text", "duration", "rtf"}
+      body: audio file bytes (WAV or FLAC; decoded by the native decoder)
+      query: ?timestamps=1 adds word timings, ?beam=N uses beam search
+
+Example:
+  python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
+  curl -s --data-binary @utt.flac localhost:8570/transcribe
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("serve")
+
+
+class ASRService:
+    """Checkpoint + compiled pipelines + a lock serializing device work."""
+
+    def __init__(self, checkpoint: str, beam_width: int = 0):
+        from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+        from velocity_asr_tpu.models.model import from_pretrained
+        from scripts.transcribe import Transcriber
+
+        self.model, params = from_pretrained(checkpoint)
+        vocab_path = os.path.join(checkpoint, "vocabulary.json")
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                vocabulary = json.load(f)
+        else:
+            vocabulary = create_default_vocabulary(self.model.config.vocab_size)
+        self.decoder = CTCDecoder(vocabulary)
+        self.transcriber = Transcriber(
+            self.model, params, self.decoder, beam_width=beam_width
+        )
+        self.lock = threading.Lock()
+        logger.info("Model loaded: %s", self.model.config)
+
+    def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int):
+        from velocity_asr_tpu.audio import load_audio
+
+        with tempfile.NamedTemporaryFile(suffix=".audio", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            audio = load_audio(path)
+        finally:
+            os.unlink(path)
+
+        t0 = time.perf_counter()
+        with self.lock:  # one device pipeline at a time
+            prev_beam = self.transcriber.beam_width
+            self.transcriber.beam_width = beam or prev_beam
+            try:
+                result = self.transcriber.transcribe_array(audio, timestamps=timestamps)
+            finally:
+                self.transcriber.beam_width = prev_beam
+        result["rtf"] = (time.perf_counter() - t0) / max(result["duration"], 1e-9)
+        return result
+
+
+def make_handler(service: ASRService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/health":
+                cfg = service.model.config
+                self._send(200, {
+                    "status": "ok",
+                    "model": {
+                        "d_model": cfg.d_model,
+                        "vocab_size": cfg.vocab_size,
+                        "scan_mode": cfg.scan_mode,
+                        "dtype": cfg.dtype,
+                    },
+                })
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/transcribe":
+                self._send(404, {"error": "unknown endpoint"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._send(400, {"error": "empty body"})
+                    return
+                data = self.rfile.read(length)
+                q = parse_qs(parsed.query)
+                timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
+                beam = int(q.get("beam", ["0"])[0])
+                result = service.transcribe_bytes(data, timestamps, beam)
+                self._send(200, result)
+            except Exception as e:  # request isolation
+                logger.exception("transcription failed")
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Serve VELOCITY-ASR TPU over HTTP")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8570)
+    parser.add_argument("--beam-width", type=int, default=0)
+    args = parser.parse_args()
+
+    service = ASRService(args.checkpoint, beam_width=args.beam_width)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    logger.info("Serving on http://%s:%d (POST /transcribe, GET /health)",
+                args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
