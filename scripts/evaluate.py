@@ -12,6 +12,7 @@ Batched eval pads/buckets utterances so XLA compiles a handful of shapes.
 """
 
 import argparse
+import functools
 import json
 import logging
 import os
@@ -99,7 +100,32 @@ def main():
     logger.info("Evaluating %d utterances from %s", n, args.test_set)
     collator = ASRCollator(frame_bucket=200, target_bucket=1)
 
-    infer = jax.jit(lambda p, mel: forward(model, p, mel, train=False))
+    from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
+    from velocity_asr_tpu.decode import ctc_greedy_decode_jax
+
+    def masked_logits(p, mel, input_lengths):
+        logits = forward(model, p, mel, train=False)
+        out_lens = (input_lengths + 1) // 2
+        # Force blank on padded frames so the whole batch decodes in one
+        # vectorized call (a blank emits nothing and leaves prefixes alone).
+        t_frames = logits.shape[1]
+        pad = (jnp.arange(t_frames)[None, :] >= out_lens[:, None])[:, :, None]
+        logits = jnp.where(pad, -1e9, logits)
+        return logits.at[:, :, 0].set(jnp.where(pad[..., 0], 0.0, logits[:, :, 0]))
+
+    # Decode on device; only token ids cross the host link (full logits
+    # would be vocab*4 bytes per frame — the dominant transfer at eval
+    # scale; same pattern as transcribe/serve).
+    @jax.jit
+    def greedy_tokens(p, mel, input_lengths):
+        return ctc_greedy_decode_jax(masked_logits(p, mel, input_lengths))
+
+    @functools.partial(jax.jit, static_argnames=("beam_width",))
+    def beam_tokens(p, mel, input_lengths, beam_width):
+        toks, lens, _ = ctc_beam_search_jax(
+            masked_logits(p, mel, input_lengths), beam_width=beam_width
+        )
+        return toks[:, 0], lens[:, 0]  # best beam only
 
     predictions, references = [], []
     total_audio_s, total_wall = 0.0, 0.0
@@ -108,20 +134,17 @@ def main():
         items = [ds[i] for i in idx]
         batch = collator(items)
         t0 = time.perf_counter()
-        logits = np.asarray(infer(params, jnp.asarray(batch["mel_spectrogram"])))
-        out_lens = (batch["input_lengths"] + 1) // 2
-        # Force blank on padded frames so the whole batch decodes in one
-        # vectorized call (a blank emits nothing and leaves prefixes alone).
-        t_frames = logits.shape[1]
-        pad_mask = np.arange(t_frames)[None, :] >= out_lens[:, None]
-        masked = np.where(pad_mask[:, :, None], -1e9, logits)
-        masked[:, :, 0] = np.where(pad_mask, 0.0, masked[:, :, 0])
+        mel = jnp.asarray(batch["mel_spectrogram"])
+        in_lens = jnp.asarray(batch["input_lengths"])
         if args.beam_width > 1:
-            predictions.extend(
-                decoder.decode_beam_search(masked, beam_width=args.beam_width)
-            )
+            toks, lens = beam_tokens(params, mel, in_lens, args.beam_width)
         else:
-            predictions.extend(decoder.decode_greedy(masked))
+            toks, lens = greedy_tokens(params, mel, in_lens)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        predictions.extend(
+            decoder._tokens_to_text(toks[b, : lens[b]].tolist())
+            for b in range(toks.shape[0])
+        )
         total_wall += time.perf_counter() - t0
         references.extend(batch["texts"])
         total_audio_s += float(np.sum(batch["input_lengths"])) * 0.01  # 10ms hop

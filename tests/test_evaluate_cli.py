@@ -1,0 +1,96 @@
+"""Evaluate CLI tests: the WER/CER benchmark path decodes on device
+(tokens-only host transfer) and returns sane metrics for greedy and beam.
+
+Covers the path the reference stubbed (scripts/evaluate.py:41-57) —
+implemented here with the transcribe/serve device-decode pattern.
+"""
+
+import json
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+
+def _write_wav(path, seconds=1.0, freq=440.0, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    pcm = (sig * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def checkpoint_and_manifest(tmp_path_factory):
+    import jax
+
+    from velocity_asr_tpu.decode import create_default_vocabulary
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import create_model, init_params, save_pretrained
+
+    tmp = tmp_path_factory.mktemp("evalcli")
+    cfg = VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=32, dropout=0.0,
+    )
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    ckpt = tmp / "ckpt"
+    save_pretrained(str(ckpt), cfg, params)
+    vocab = create_default_vocabulary(cfg.vocab_size)
+    with open(ckpt / "vocabulary.json", "w") as f:
+        json.dump(vocab, f)
+
+    entries = []
+    for i in range(5):
+        path = tmp / f"utt{i}.wav"
+        _write_wav(path, seconds=1.0 + 0.3 * i, freq=300.0 + 100 * i)
+        entries.append(
+            {"audio_path": str(path), "text": "hello world", "duration": 1.0 + 0.3 * i}
+        )
+    manifest = tmp / "manifest.jsonl"
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return str(ckpt), str(manifest)
+
+
+def _run_evaluate(argv):
+    from scripts.evaluate import main
+
+    old = sys.argv
+    sys.argv = ["evaluate.py"] + argv
+    try:
+        return main()
+    finally:
+        sys.argv = old
+
+
+def test_benchmark_greedy(checkpoint_and_manifest, tmp_path):
+    ckpt, manifest = checkpoint_and_manifest
+    out = tmp_path / "results.json"
+    res = _run_evaluate(
+        ["--checkpoint", ckpt, "--test-set", manifest, "--batch-size", "4",
+         "--output", str(out)]
+    )
+    assert res["wer"] >= 0.0 and res["cer"] >= 0.0
+    with open(out) as f:
+        payload = json.load(f)
+    assert payload["utterances"] == 5
+    assert len(payload["results"]) == 5
+    # untrained model on tones: predictions exist as strings
+    assert all(isinstance(r["prediction"], str) for r in payload["results"])
+
+
+def test_benchmark_beam_matches_shape(checkpoint_and_manifest):
+    ckpt, manifest = checkpoint_and_manifest
+    res = _run_evaluate(
+        ["--checkpoint", ckpt, "--test-set", manifest, "--batch-size", "8",
+         "--beam-width", "4"]
+    )
+    assert "wer" in res and "cer" in res and res["rtf"] > 0
