@@ -32,7 +32,12 @@ logging.basicConfig(
 )
 logger = logging.getLogger("transcribe")
 
-AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
+# Only advertise what the decoder stack can actually handle (the reference
+# lists mp3/ogg/m4a via torchaudio, scripts/transcribe.py; here unsupported
+# formats fail fast in io.decode_audio_file with a conversion hint).
+from velocity_asr_tpu.io import supported_audio_exts
+
+AUDIO_EXTS = supported_audio_exts()
 
 
 def frame_to_seconds(frame: int, hop_length: int, sample_rate: int) -> float:

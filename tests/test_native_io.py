@@ -119,3 +119,25 @@ def test_load_audio_resamples(tmp_path):
 
     out = load_audio(path)
     assert abs(len(out) - 16000) <= 2
+
+
+def test_unsupported_format_fails_fast(tmp_path):
+    """mp3/ogg/m4a are not decodable here (reference uses torchaudio);
+    the error must be immediate and actionable, not a decoder crash."""
+    p = tmp_path / "music.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    with pytest.raises(RuntimeError, match="unsupported format.*ffmpeg"):
+        va_io.decode_audio_file(str(p))
+
+
+def test_supported_exts_advertised():
+    exts = va_io.supported_audio_exts()
+    assert ".wav" in exts
+    if va_io.native_available():
+        assert ".flac" in exts
+    for bad in (".mp3", ".ogg", ".m4a"):
+        assert bad not in exts
+    # the transcribe CLI advertises the same set
+    from scripts.transcribe import AUDIO_EXTS
+
+    assert tuple(AUDIO_EXTS) == exts

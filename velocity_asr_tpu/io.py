@@ -139,14 +139,30 @@ def _decode_wav_python(path: str) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(data), rate
 
 
+def supported_audio_exts() -> Tuple[str, ...]:
+    """Extensions the current build can actually decode.
+
+    The reference decodes mp3/ogg/m4a through torchaudio (audio.py:39-56);
+    this build ships its own decoder (WAV + FLAC) and advertises exactly
+    what it supports instead of failing at decode time.
+    """
+    return (".wav", ".flac") if native_available() else (".wav",)
+
+
 def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
-    """Decode an audio file to ((channels, samples) float32, sample_rate)."""
+    """Decode an audio file to ((channels, samples) float32, sample_rate).
+
+    Fails fast with a clear message on formats no decoder handles
+    (mp3/ogg/m4a — supported by the reference via torchaudio, not here).
+    """
+    lower = path.lower()
+    exts = supported_audio_exts()
+    if not lower.endswith(exts):
+        raise RuntimeError(
+            f"Cannot decode {path!r}: unsupported format. Supported: "
+            f"{', '.join(exts)}. (mp3/ogg/m4a require an external decoder; "
+            "convert with e.g. `ffmpeg -i in.mp3 -ar 16000 out.wav`.)"
+        )
     if native_available():
         return _decode_native(path)
-    lower = path.lower()
-    if lower.endswith(".wav"):
-        return _decode_wav_python(path)
-    raise RuntimeError(
-        f"Cannot decode {path!r}: native audio decoder not built "
-        "(run `make -C native`) and pure-Python fallback supports WAV only."
-    )
+    return _decode_wav_python(path)
