@@ -204,3 +204,37 @@ def test_presets():
     assert 0.5e6 < n < 3e6
     logits = va.forward(model, params, jnp.zeros((1, 32, 80)))
     assert logits.shape == (1, 16, 1000)
+
+
+def test_positional_encoding_matches_table_and_lifts_cap():
+    """The computed 2D pos-enc equals the reference's (max_len, d/2) sinusoid
+    table at every in-table offset, and stays well-defined past the table's
+    5000-frame (~100 min) cap (reference model.py:93-104)."""
+    import jax
+    import jax.numpy as jnp
+
+    from velocity_asr_tpu.models.layers import (
+        PositionalEncoding2D,
+        sinusoidal_time_encoding,
+    )
+
+    d_model = 40
+    half = d_model // 2
+    pe = PositionalEncoding2D(d_model=d_model)
+    params = pe.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, d_model)))
+
+    table = sinusoidal_time_encoding(5000, half)
+    for offset, seq in [(0, 64), (4935, 65), (1234, 7)]:
+        out = pe.apply(params, jnp.zeros((1, seq, d_model)), time_offset=offset)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, :, :half], table[offset : offset + seq], atol=2e-5
+        )
+
+    # past the old cap: finite, continuous with the in-range encoding
+    out = pe.apply(params, jnp.zeros((1, 16, d_model)), time_offset=1_000_000)
+    assert np.isfinite(np.asarray(out)).all()
+    # traced offset (streaming jit) also works
+    f = jax.jit(lambda o: pe.apply(params, jnp.zeros((1, 8, d_model)), time_offset=o))
+    a = np.asarray(f(jnp.int32(100)))
+    b = np.asarray(pe.apply(params, jnp.zeros((1, 8, d_model)), time_offset=100))
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -52,19 +52,30 @@ class PositionalEncoding2D(nn.Module):
     """
 
     d_model: int = 192
-    max_len: int = 5000
+    max_len: int = 5000  # kept for config parity; encoding is computed, not tabled
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time_offset=0) -> jnp.ndarray:
         seq_len = x.shape[1]
         half = self.d_model // 2
-        # dynamic_slice: time_offset may be a traced scalar in streaming mode
-        # (one compiled step serves every chunk position).
-        table = jnp.asarray(sinusoidal_time_encoding(self.max_len, half))
-        pe_time = jax.lax.dynamic_slice_in_dim(
-            table, jnp.asarray(time_offset, jnp.int32), seq_len, axis=0
+        # The reference registers a (max_len, d/2) sinusoid buffer and
+        # indexes it (model.py:93-104), capping sessions at max_len output
+        # frames (~100 min of audio). Here the same values are computed
+        # directly from absolute positions (time_offset may be a traced
+        # scalar in streaming mode), so arbitrarily long streaming sessions
+        # see a well-defined, identical-within-float encoding with no cap.
+        div_term = np.exp(
+            np.arange(0, half, 2, dtype=np.float32) * (-math.log(10000.0) / half)
         )
+        positions = jnp.asarray(time_offset, jnp.float32) + jnp.arange(
+            seq_len, dtype=jnp.float32
+        )
+        ang = positions[:, None] * jnp.asarray(div_term)[None, :]
+        n_even = (half + 1) // 2  # columns 0,2,4,... of the (L, half) encoding
+        pe_time = jnp.zeros((seq_len, half), jnp.float32)
+        pe_time = pe_time.at[:, 0::2].set(jnp.sin(ang[:, :n_even]))
+        pe_time = pe_time.at[:, 1::2].set(jnp.cos(ang[:, : half - n_even]))
         pe_freq = self.param(
             "pe_freq",
             lambda key, shape: __import__("jax").random.normal(key, shape) * 0.02,
