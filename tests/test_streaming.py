@@ -171,13 +171,11 @@ def test_streaming_mel_short_audio_matches_offline():
 
 
 def test_streaming_context_memory_rolls(tiny_model):
-    from velocity_asr_tpu.models.model import (
-        STREAM_MEMORY_CHUNKS,
-        STREAM_SUMMARY_TOKENS,
-    )
     from velocity_asr_tpu.ops.pooling import adaptive_avg_pool1d
 
     model, params = tiny_model
+    STREAM_MEMORY_CHUNKS = model.config.stream_memory_chunks
+    STREAM_SUMMARY_TOKENS = model.config.stream_summary_tokens
     rng = np.random.default_rng(11)
     chunk1 = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)
     chunk2 = jnp.asarray(rng.standard_normal((1, 40, 80)), jnp.float32)

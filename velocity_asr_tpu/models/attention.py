@@ -185,26 +185,28 @@ class HierarchicalGlobalContext(nn.Module):
         self,
         local_features: jnp.ndarray,
         train: bool = False,
-        memory: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        """Full-sequence global context, or streaming context over an
-        externally maintained pooled-token memory.
+        summary: Optional[jnp.ndarray] = None,
+        gc_state: Optional[dict] = None,
+    ):
+        """Full-sequence global context, or one streaming step.
 
-        memory: (batch, M, d_model) pre-pooled summary tokens covering the
-        recent past (see model.py streaming path). When given, level-1
-        pooling of local_features is replaced by the memory — the same
-        learned projections and SSM/attention stack apply.
+        Streaming (summary is not None): `summary` holds this chunk's
+        pooled summary tokens (batch, S, d_model). They pass through the
+        level-1 projection and the GlobalSSM *incrementally* — the SSM
+        blocks carry (conv tail, recurrence) state in gc_state["blocks"],
+        so the global SSM sees the whole session's summary stream. The SSM
+        outputs roll into gc_state["mem"] (batch, M, d_model), and level-2
+        pooling + cross-attention run over that rolling memory. Returns
+        (fused, new_gc_state). On the first chunk (gc_state["init"] false)
+        the memory warm-starts by tiling the chunk's own tokens so every
+        slot holds valid statistics.
         """
-        x_pool1, pool_size1 = AdaptivePool(
+        streaming = summary is not None
+        pool1 = AdaptivePool(
             level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
             int8=self.int8, name="pool1"
-        )(
-            local_features if memory is None else memory.astype(self.dtype),
-            train=train,
-            pre_pooled=memory is not None,
         )
-
-        x_ssm = GlobalSSM(
+        global_ssm = GlobalSSM(
             d_model=self.d_model,
             num_layers=self.global_ssm_layers,
             state_dim=self.global_ssm_state_dim,
@@ -212,7 +214,29 @@ class HierarchicalGlobalContext(nn.Module):
             scan_mode=self.scan_mode,
             dtype=self.dtype,
             name="global_ssm",
-        )(x_pool1, train)
+        )
+
+        if streaming:
+            x_new, _ = pool1(summary.astype(self.dtype), train=train, pre_pooled=True)
+            ssm_new, new_blocks = global_ssm(
+                x_new, train,
+                states=None if gc_state is None else gc_state["blocks"],
+                return_state=True,
+            )
+            mem_tokens = gc_state["mem"].shape[1]
+            s = ssm_new.shape[1]
+            tiled = jnp.tile(ssm_new, (1, mem_tokens // s, 1))
+            rolled = jnp.concatenate([gc_state["mem"][:, s:], ssm_new], axis=1)
+            x_ssm = jnp.where(gc_state["init"], rolled, tiled).astype(self.dtype)
+            pool_size1 = mem_tokens
+            new_gc_state = {
+                "mem": x_ssm.astype(jnp.float32),
+                "blocks": new_blocks,
+                "init": jnp.ones((), jnp.bool_),
+            }
+        else:
+            x_pool1, pool_size1 = pool1(local_features, train=train)
+            x_ssm = global_ssm(x_pool1, train)
 
         x_pool2, _ = AdaptivePool(
             level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
@@ -233,7 +257,10 @@ class HierarchicalGlobalContext(nn.Module):
             name="cross_attention",
         )(query, x_pool2, x_pool2, train=train)
 
-        return GatedFusion(
+        fused = GatedFusion(
             d_model=self.d_model, dtype=self.dtype, qat=self.qat, int8=self.int8,
             name="fusion"
         )(local_features, global_context, train=train)
+        if streaming:
+            return fused, new_gc_state
+        return fused

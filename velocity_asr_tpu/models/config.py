@@ -65,6 +65,14 @@ class VelocityASRConfig:
     # with dynamic activation quantization (the ORT quantize_dynamic
     # analog; SSM stack stays fp32 per the ssm_state_fp32 rule).
     int8_inference: bool = False
+    # Streaming global-context memory: each chunk contributes
+    # stream_summary_tokens pooled tokens to a rolling memory of
+    # stream_memory_chunks chunks, so streaming cross-attention covers
+    # ~chunk_seconds * stream_memory_chunks of recent audio. The GlobalSSM
+    # runs incrementally over the summary-token stream with carried state,
+    # so its receptive field is the entire session, not just the window.
+    stream_summary_tokens: int = 4
+    stream_memory_chunks: int = 16
 
     @property
     def compute_dtype(self):

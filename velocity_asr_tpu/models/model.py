@@ -26,10 +26,8 @@ from .ssm import LocalSSMProcessor
 PARAMS_FILE = "params.msgpack"
 CONFIG_FILE = "config.json"
 
-# Streaming global-context memory: each chunk contributes
-# STREAM_SUMMARY_TOKENS pooled tokens to a rolling buffer of
-# STREAM_MEMORY_CHUNKS chunks (so cross-attention covers a sliding window
-# of chunk_seconds * STREAM_MEMORY_CHUNKS of audio instead of one chunk).
+# Back-compat aliases for the config-lifted streaming-memory knobs
+# (VelocityASRConfig.stream_summary_tokens / stream_memory_chunks).
 STREAM_SUMMARY_TOKENS = 4
 STREAM_MEMORY_CHUNKS = 16
 
@@ -97,29 +95,36 @@ class VelocityASR(nn.Module):
                 return_state=True,
             )
 
-            # Sliding global-context memory: pool this chunk's local
-            # features into a few summary tokens and roll them into the
-            # memory buffer. On the first chunk the buffer warm-starts by
-            # tiling the chunk's own summary so every slot holds valid
-            # statistics (no masking needed downstream).
+            # Streaming global context: pool this chunk's local features
+            # into a few summary tokens; the global-context module runs its
+            # SSM incrementally over the summary stream (carried state) and
+            # attends over a rolling memory of SSM outputs — see
+            # HierarchicalGlobalContext for the contract.
             from ..ops.pooling import adaptive_avg_pool1d
 
             summary = adaptive_avg_pool1d(
-                local_features.astype(jnp.float32), STREAM_SUMMARY_TOKENS
+                local_features.astype(jnp.float32), cfg.stream_summary_tokens
             )
-            tiled = jnp.tile(summary, (1, STREAM_MEMORY_CHUNKS, 1))
+            mem_tokens = cfg.stream_summary_tokens * cfg.stream_memory_chunks
             if stream_state is None:
-                gc_mem = tiled
+                gc_state = {
+                    "mem": jnp.zeros(
+                        (mel_spectrogram.shape[0], mem_tokens, cfg.d_model),
+                        jnp.float32,
+                    ),
+                    "blocks": None,
+                    "init": jnp.zeros((), jnp.bool_),
+                }
             else:
-                rolled = jnp.concatenate(
-                    [stream_state["gc_mem"][:, STREAM_SUMMARY_TOKENS:], summary],
-                    axis=1,
-                )
-                gc_mem = jnp.where(stream_state["gc_init"], rolled, tiled)
+                gc_state = {
+                    "mem": stream_state["gc_mem"],
+                    "blocks": stream_state["gc_blocks"],
+                    "init": stream_state["gc_init"],
+                }
         else:
             local_features = local(x, train)
 
-        fused_features = HierarchicalGlobalContext(
+        global_context = HierarchicalGlobalContext(
             d_model=cfg.d_model,
             num_heads=cfg.attention_heads,
             attention_dim=cfg.attention_dim,
@@ -131,7 +136,13 @@ class VelocityASR(nn.Module):
             qat=cfg.qat,
             int8=cfg.int8_inference,
             name="global_context",
-        )(local_features, train, memory=gc_mem if streaming else None)
+        )
+        if streaming:
+            fused_features, new_gc_state = global_context(
+                local_features, train, summary=summary, gc_state=gc_state
+            )
+        else:
+            fused_features = global_context(local_features, train)
 
         logits = CTCOutputHead(
             d_model=cfg.d_model,
@@ -148,8 +159,9 @@ class VelocityASR(nn.Module):
             return logits, {
                 "mel_carry": mel_carry,
                 "blocks": block_states,
-                "gc_mem": gc_mem,
-                "gc_init": jnp.ones((), jnp.bool_),
+                "gc_mem": new_gc_state["mem"],
+                "gc_blocks": new_gc_state["blocks"],
+                "gc_init": new_gc_state["init"],
             }
         if return_features:
             return logits, {

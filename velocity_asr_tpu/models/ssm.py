@@ -252,9 +252,20 @@ class GlobalSSM(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        states: list = None,
+        return_state: bool = False,
+    ):
+        """Full-sequence apply, or incremental apply with carried per-block
+        (conv tail, SSM recurrence) state — the same machinery as the local
+        stack, so in streaming mode the global SSM's receptive field is the
+        entire summary-token stream, not just the rolling window."""
+        new_states = []
         for i in range(self.num_layers):
-            x = SSMBlock(
+            block = SSMBlock(
                 d_model=self.d_model,
                 state_dim=self.state_dim,
                 expand_ratio=2,
@@ -263,5 +274,16 @@ class GlobalSSM(nn.Module):
                 scan_mode=self.scan_mode,
                 dtype=self.dtype,
                 name=f"layers_{i}",
-            )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            )
+            if return_state:
+                x, st = block(
+                    x, train, state=None if states is None else states[i],
+                    return_state=True,
+                )
+                new_states.append(st)
+            else:
+                x = block(x, train)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        if return_state:
+            return out, new_states
+        return out

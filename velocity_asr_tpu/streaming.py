@@ -7,10 +7,11 @@ on the full sequence. Here streaming is first-class:
   - the SSM recurrence and every causal conv carry state across chunks, so
     the local acoustic path is numerically EXACT chunked evaluation (the
     recurrence is associative; see ops.scan h0 support);
-  - the hierarchical global context attends over a rolling pooled-token
-    memory covering the last STREAM_MEMORY_CHUNKS chunks (~32 s of audio
-    at 2 s chunks) — a sliding-window approximation of the offline
-    full-utterance pooling;
+  - the hierarchical global context runs its GlobalSSM incrementally over
+    the stream of per-chunk summary tokens (carried conv/SSM state, so its
+    receptive field is the whole session) and attends over a rolling
+    memory of the last stream_memory_chunks chunks' SSM outputs (~32 s at
+    2 s chunks) — an approximation of the offline full-utterance pooling;
   - the mel front-end is incremental: a sample ring buffer supplies each
     frame's full n_fft window, and per-bin normalization uses running
     (causal) statistics instead of the full-utterance statistics the
@@ -177,8 +178,6 @@ class StreamingTranscriber:
         self._step = jax.jit(step)
 
     def _init_state(self):
-        from .models.model import STREAM_MEMORY_CHUNKS, STREAM_SUMMARY_TOKENS
-
         cfg = self.model.config
         k = cfg.ssm_kernel_size
         blocks = [
@@ -188,11 +187,23 @@ class StreamingTranscriber:
             }
             for _ in range(cfg.ssm_layers)
         ]
-        mem_tokens = STREAM_MEMORY_CHUNKS * STREAM_SUMMARY_TOKENS
+        # GlobalSSM blocks hardcode expand=2, kernel=4 (reference
+        # ssm.py:529-538), so the carried state shapes follow suit.
+        gc_blocks = [
+            {
+                "conv": jnp.zeros((1, 3, cfg.d_model), jnp.float32),
+                "ssm": jnp.zeros(
+                    (1, 2 * cfg.d_model, cfg.global_ssm_state_dim), jnp.float32
+                ),
+            }
+            for _ in range(cfg.global_ssm_layers)
+        ]
+        mem_tokens = cfg.stream_memory_chunks * cfg.stream_summary_tokens
         return {
             "mel_carry": jnp.zeros((1, 1, cfg.mel_bins), jnp.float32),
             "blocks": blocks,
             "gc_mem": jnp.zeros((1, mem_tokens, cfg.d_model), jnp.float32),
+            "gc_blocks": gc_blocks,
             "gc_init": jnp.zeros((), jnp.bool_),
         }
 
