@@ -43,6 +43,19 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     scan_mode = "pallas" if on_tpu else "parallel"
+
+    if on_tpu:
+        # Pre-flight: never report a benchmark for kernels that are wrong
+        # on the hardware (Mosaic lowering issues are invisible to the
+        # CPU/interpret test suite — see tools/verify_tpu_numerics.py).
+        from tools.verify_tpu_numerics import verify_all
+
+        if not verify_all():
+            print(json.dumps({"metric": "rtf_per_chip", "value": None,
+                              "unit": "wall_s_per_audio_s",
+                              "error": "hardware numerics check failed"}))
+            return 1
+
     cfg = VelocityASRConfig(dtype="bfloat16", scan_mode=scan_mode)
     model = create_model(cfg)
     params = init_params(model, jax.random.PRNGKey(0), example_frames=64)

@@ -13,15 +13,21 @@ This avoids the (B, L, d_inner, state_dim) HBM materialization that both
 the reference's Blelloch scan (ssm.py:173-295) and the XLA associative-scan
 path pay for.
 
-Throughput structure (measured on TPU v5e, tools/sweep_scan.py):
-  - each program interleaves GROUP independent batch elements' recurrences,
-    hiding the serial-chain latency of each; the time loop is unrolled
-    UNROLL steps. group=4 x unroll=4 halves the per-layer time vs the naive
-    one-step one-batch loop (4.7 -> 2.4 ms/layer at B=8, L=1504, D=384,
-    N=64; the XLA associative scan takes 52 ms).
-  - per-step tensor reads are SUBLANE (row) slices only — Mosaic requires
-    lane offsets to be 128-aligned — and the B[t]/C[t] interactions are
-    tiny MXU dot_generals ((1,N)x(N,D)), which need no transposes.
+Throughput structure (measured on TPU v5e, tools/sweep_scan_block.py):
+  - the forward is a BLOCK recurrence: decays and input outer products for
+    a whole chunk are precomputed as batched VPU broadcasts, the serial
+    chain is a statically-unrolled bare FMA per step, and the outputs are
+    one batched multiply+reduce — 2.05 ms/layer at B=8, L=1504, D=384,
+    N=64 (the XLA associative scan takes 52 ms). Probes put the wall at
+    the exp pass itself (1.85 ms to just materialize the decays), so this
+    is within ~10% of the algorithm's speed of light on this core.
+  - CAUTION (Mosaic numerics): fp32 jax.lax.dot_general inside a TPU
+    Pallas kernel evaluates on the MXU at reduced (bf16-grade) precision
+    unless precision=HIGHEST is passed; compounded over a 1504-step
+    recurrence this destroys the result (measured rel-err ~50 with the
+    round-1 per-step dot kernels). The forward therefore uses no dots at
+    all; the backward's dots all pass precision=HIGHEST (verified exact
+    against the lax.scan oracle on hardware, tools/verify_tpu_numerics.py).
 
 Training uses a dedicated backward kernel (mamba-style): the forward saves
 only the chunk-boundary states; the backward walks chunks in reverse,
@@ -44,12 +50,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_CHUNK = 128
+# Forward is a block recurrence: decay/U precompute + hseq live in VMEM as
+# (chunk, N, D) scratch; chunk 32 won the T in {16,32,64,128} sweep
+# (tools/sweep_scan_block.py) and keeps scratch ~6.3 MB at N=64, D=384.
+DEFAULT_CHUNK = 32
 # Backward keeps (BWD_GROUP, TRAIN_CHUNK+1, N, D) recomputed states in VMEM;
 # chunk 32 x group 2 fits comfortably and interleaves two adjoint chains.
 TRAIN_CHUNK = 32
-FWD_GROUP = 4  # batch elements interleaved per program
-FWD_UNROLL = 4  # time steps per loop iteration
+FWD_GROUP = 1  # batch elements per program (g1 won the fwd sweep)
 BWD_GROUP = 2
 BWD_UNROLL = 2
 
@@ -65,39 +73,24 @@ def _pick_group(batch: int, want: int) -> int:
 # --------------------------------------------------------------- forward
 
 
-def _scan_steps(a_col, refs, hs, t, group):
-    """One time step for `group` interleaved batch elements."""
-    x_ref, dt_ref, b_ref, c_ref, y_ref = refs
-    new = []
-    for j in range(group):
-        h = hs[j]
-        dt_t = dt_ref[j, pl.ds(t, 1), :]  # (1, D)
-        x_t = x_ref[j, pl.ds(t, 1), :]
-        b_t = b_ref[j, pl.ds(t, 1), :]  # (1, N)
-        c_t = c_ref[j, pl.ds(t, 1), :]
-        decay = jnp.exp(a_col * dt_t)  # (N, D)
-        dbx = jax.lax.dot_general(  # (N, D) outer product on MXU
-            b_t, dt_t * x_t,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        h = decay * h + dbx
-        y_t = jax.lax.dot_general(  # (1, D) = c_t @ h
-            c_t, h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y_ref[j, pl.ds(t, 1), :] = y_t
-        new.append(h)
-    return tuple(new)
+def _make_fwd_kernel(group: int, chunk: int, save_bounds: bool):
+    """Block-recurrence forward kernel (no MXU dots — see module note on
+    Mosaic fp32 dot precision).
 
+    Per (batch-group, time-chunk) program:
+      1. batched precompute (VPU broadcasts, no serial dependency):
+         decay[t] = exp(A (x) dt[t]) and U[t] = B[t] (x) (dt*x)[t]
+      2. serial chain, statically unrolled, one vector FMA per step:
+         h[t] = decay[t] * h[t-1] + U[t], overwriting U with h in place
+      3. batched output: y[t] = sum_n C[t,n] * h[t,n,:] as one
+         broadcast-multiply + sublane reduction over the chunk
+    """
 
-def _make_fwd_kernel(group: int, unroll: int, save_bounds: bool):
     def kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, *rest):
         if save_bounds:
-            y_ref, bound_ref, h_ref = rest
+            y_ref, bound_ref, h_ref, dec_ref, w_ref = rest
         else:
-            y_ref, h_ref = rest
+            y_ref, h_ref, dec_ref, w_ref = rest
         chunk_idx = pl.program_id(1)
 
         @pl.when(chunk_idx == 0)
@@ -107,19 +100,19 @@ def _make_fwd_kernel(group: int, unroll: int, save_bounds: bool):
         if save_bounds:
             bound_ref[0, 0] = h_ref[:].reshape(bound_ref.shape[2:])
 
-        a_col = a_ref[:]
-        t_c = x_ref.shape[1]
-        refs = (x_ref, dt_ref, b_ref, c_ref, y_ref)
-
-        def body(k, hs):
-            for u in range(unroll):
-                hs = _scan_steps(a_col, refs, hs, k * unroll + u, group)
-            return hs
-
-        hs = tuple(h_ref[j] for j in range(group))
-        hs = jax.lax.fori_loop(0, t_c // unroll, body, hs)
+        n = a_ref.shape[0]
+        a_row = a_ref[:].reshape(1, n, 1)
         for j in range(group):
-            h_ref[j] = hs[j]
+            dt_j = dt_ref[j]  # (T, D)
+            x_j = x_ref[j]
+            dec_ref[j] = jnp.exp(a_row * dt_j[:, None, :])
+            w_ref[j] = b_ref[j][:, :, None] * (dt_j * x_j)[:, None, :]
+            h = h_ref[j]
+            for t in range(chunk):  # static indices: no dynamic-slice cost
+                h = dec_ref[j, t] * h + w_ref[j, t]
+                w_ref[j, t] = h
+            h_ref[j] = h
+            y_ref[j] = jnp.sum(c_ref[j][:, :, None] * w_ref[j], axis=1)
 
     return kernel
 
@@ -144,15 +137,18 @@ def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
     a_col = A.reshape(state_dim, 1).astype(jnp.float32)
 
     group = _pick_group(batch, FWD_GROUP)
-    unroll = math.gcd(chunk, FWD_UNROLL)
     grid = (batch // group, num_chunks)
 
     a_spec = pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
     seq_d = pl.BlockSpec((group, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
     seq_n = pl.BlockSpec((group, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((group, state_dim, d_inner), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((group, state_dim, d_inner), jnp.float32),  # h carry
+        pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # decay
+        pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # U / hseq
+    ]
 
-    kernel = _make_fwd_kernel(group, unroll, save_bounds)
+    kernel = _make_fwd_kernel(group, chunk, save_bounds)
     if not save_bounds:
         y = pl.pallas_call(
             kernel,
@@ -235,6 +231,7 @@ def _make_bwd_kernel(group: int, unroll: int):
                         b_t, dt_t * x_t,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                     )
                     h = decay * h + dbx
                     hbuf_ref[j, t + 1] = h
@@ -261,6 +258,7 @@ def _make_bwd_kernel(group: int, unroll: int):
                 g_t, h_t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             dc_ref[j, pl.ds(t, 1), :] = dc_row
 
@@ -269,6 +267,7 @@ def _make_bwd_kernel(group: int, unroll: int):
                 c_t, g_t,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
             decay = jnp.exp(a_col * dt_t)  # dA[t], (N, D)
@@ -279,11 +278,13 @@ def _make_bwd_kernel(group: int, unroll: int):
                 b_t, lam,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             db_row = jax.lax.dot_general(  # (1, N) = s_t . lam^T
                 s_t, lam,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             db_ref[j, pl.ds(t, 1), :] = db_row
 
