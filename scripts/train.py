@@ -59,6 +59,30 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         create_librispeech_dataloaders,
     )
 
+    n_synth = int(data_cfg.get("synthetic", 0) or 0)
+    if n_synth:
+        # Deterministic synthetic speech corpus (velocity_asr_tpu.synth):
+        # validates the full LibriSpeech recipe end-to-end in environments
+        # without audio data. "train"/"dev" are disjoint sentence streams.
+        from velocity_asr_tpu.synth import SyntheticSpeechDataset
+
+        logger.info("Using synthetic speech corpus: %d train utterances", n_synth)
+        seed = int(data_cfg.get("synthetic_seed", 1234))
+        train_ds = SyntheticSpeechDataset(n_synth, split="train", seed=seed)
+        eval_ds = SyntheticSpeechDataset(
+            max(64, n_synth // 100), split="dev", seed=seed
+        )
+        collator = ASRCollator()
+        train_loader = DataLoader(
+            train_ds, batch_size=batch_size, shuffle=True, num_workers=8,
+            collate_fn=collator, drop_last=True, prefetch=4,
+        )
+        eval_loader = DataLoader(
+            eval_ds, batch_size=batch_size, shuffle=False, num_workers=8,
+            collate_fn=collator,
+        )
+        return train_loader, eval_loader, train_ds.vocab
+
     manifest = data_cfg.get("manifest")
     if manifest and os.path.exists(manifest):
         logger.info("Using manifest dataset: %s", manifest)
@@ -117,6 +141,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of a few steps here")
+    parser.add_argument("--synthetic", type=int, default=None,
+                        help="train on N synthetic-speech utterances "
+                             "(velocity_asr_tpu.synth) instead of configured data")
     args = parser.parse_args()
 
     import dataclasses
@@ -157,8 +184,11 @@ def main():
         logger.info("use_amp disabled: forcing float32 compute")
         model_cfg = dataclasses.replace(model_cfg, dtype="float32")
 
+    data_cfg = dict(train_cfg_dict.get("data", {}))
+    if args.synthetic is not None:
+        data_cfg["synthetic"] = args.synthetic
     train_loader, eval_loader, data_vocab = build_data(
-        train_cfg_dict.get("data", {}), model_cfg, train_cfg.batch_size, logger
+        data_cfg, model_cfg, train_cfg.batch_size, logger
     )
 
     # Vocab-size mismatch re-creates the model (reference scripts/train.py:243-252).

@@ -1,0 +1,238 @@
+"""Synthetic speech corpus: a rich, fully deterministic stand-in for
+LibriSpeech in environments with no audio data (this container has zero
+egress, so the reference's LibriSpeech recipe cannot be downloaded).
+
+Each character is a "phoneme" with a distinct multi-component spectrum:
+vowel-like characters are stacks of three formant sines, consonant-like
+characters are shaped noise bursts with a sine transient. Utterances add
+the variability that makes the task non-trivial and the trained model's
+WER meaningful:
+
+  - per-utterance "speaker": global formant scale, level, and speaking rate
+  - per-phoneme duration / amplitude jitter and 10 ms crossfades
+  - background noise at a random SNR
+  - leading/trailing silence and inter-word pauses
+
+Text is drawn from a deterministic pseudo-word lexicon so WER is a
+word-level metric over a closed vocabulary (as in any fixed-language
+corpus). The train and held-out streams share the lexicon but never the
+sentences.
+
+This is evaluation/benchmark infrastructure for the training recipe
+(reference configs/train.yaml + README.md:255 quote WERs on LibriSpeech;
+here the same recipe is validated end-to-end on this corpus instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import wave
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .audio import SAMPLE_RATE, compute_mel_spectrogram_np
+
+VOWELS = "aeiouy"
+CHARS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _char_seed(master_seed: int, *parts) -> np.random.Generator:
+    h = hashlib.sha256(("|".join(map(str, parts)) + f"|{master_seed}").encode())
+    return np.random.default_rng(int.from_bytes(h.digest()[:8], "little"))
+
+
+class SynthVoice:
+    """Deterministic text -> waveform renderer."""
+
+    def __init__(self, sample_rate: int = SAMPLE_RATE, seed: int = 1234):
+        self.sr = sample_rate
+        self.seed = seed
+        # Character-specific spectra, fixed for the corpus lifetime.
+        rng = _char_seed(seed, "phonemes")
+        self.formants: Dict[str, np.ndarray] = {}
+        self.noise_tilt: Dict[str, float] = {}
+        for i, c in enumerate(CHARS):
+            # three "formants", well separated across characters
+            base = 280.0 + 110.0 * i  # 280 .. 3030 Hz
+            self.formants[c] = np.array(
+                [base, base * 2.1 + 150, base * 3.3 + 400]
+            ) + rng.uniform(-30, 30, 3)
+            self.noise_tilt[c] = float(rng.uniform(0.3, 3.0))
+
+    def _phoneme(self, c: str, dur_s: float, fscale: float, rng) -> np.ndarray:
+        n = max(int(dur_s * self.sr), 8)
+        t = np.arange(n) / self.sr
+        if c == " ":
+            return np.zeros(n, np.float32)
+        amps = np.array([1.0, 0.55, 0.3]) * rng.uniform(0.85, 1.15, 3)
+        freqs = self.formants[c] * fscale
+        sig = sum(
+            a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+            for a, f in zip(amps, freqs)
+        )
+        if c not in VOWELS:
+            # consonant: add a char-tilted noise burst and shorten the
+            # periodic part so the phone is transient-dominated
+            noise = rng.standard_normal(n)
+            # char-specific spectral tilt: first-difference mix colors the
+            # noise from flat (alpha~0) to high-pass (alpha~0.75)
+            alpha = self.noise_tilt[c] / (1 + self.noise_tilt[c])
+            shaped = np.copy(noise)
+            shaped[1:] = noise[1:] - alpha * noise[:-1]
+            sig = 0.45 * sig + 0.8 * shaped
+        env = np.minimum(1.0, np.minimum(t, t[::-1]) / 0.012)  # 12 ms ramps
+        return (sig * env).astype(np.float32)
+
+    def render(self, text: str, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Render text to a 16 kHz waveform with speaker/rate/noise jitter."""
+        rng = rng or np.random.default_rng(0)
+        fscale = rng.uniform(0.85, 1.2)  # "speaker" formant scale
+        rate = rng.uniform(0.8, 1.25)  # speaking rate
+        level = rng.uniform(0.18, 0.4)
+        xfade = int(0.010 * self.sr)
+
+        pieces: List[np.ndarray] = [np.zeros(int(rng.uniform(0.04, 0.15) * self.sr), np.float32)]
+        for c in text:
+            if c == " ":
+                dur = rng.uniform(0.05, 0.12)
+            else:
+                dur = rng.uniform(0.07, 0.13) * rate
+            pieces.append(self._phoneme(c, dur, fscale, rng))
+        pieces.append(np.zeros(int(rng.uniform(0.04, 0.15) * self.sr), np.float32))
+
+        # overlap-add with short crossfades
+        total = sum(len(p) for p in pieces) - xfade * (len(pieces) - 1)
+        out = np.zeros(max(total, 1), np.float32)
+        pos = 0
+        for p in pieces:
+            out[pos : pos + len(p)] += p
+            pos += len(p) - xfade
+        peak = np.max(np.abs(out)) + 1e-9
+        out = out / peak * level
+        snr_db = rng.uniform(12.0, 32.0)
+        noise_rms = level / np.sqrt(2) / (10 ** (snr_db / 20))
+        out = out + rng.standard_normal(len(out)).astype(np.float32) * noise_rms
+        return out.astype(np.float32)
+
+
+def make_lexicon(n_words: int = 1500, seed: int = 7) -> List[str]:
+    """Deterministic pseudo-word lexicon (CV-patterned, 2-8 chars)."""
+    rng = _char_seed(seed, "lexicon")
+    consonants = [c for c in CHARS if c not in VOWELS]
+    words, seen = [], set()
+    while len(words) < n_words:
+        n = int(rng.integers(2, 9))
+        w = []
+        for i in range(n):
+            pool = consonants if (i % 2 == 0) != bool(rng.integers(0, 4) == 0) else VOWELS
+            w.append(pool[int(rng.integers(0, len(pool)))])
+        w = "".join(w)
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+def sample_sentence(lexicon: List[str], rng, min_words: int = 2, max_words: int = 8) -> str:
+    n = int(rng.integers(min_words, max_words + 1))
+    return " ".join(lexicon[int(rng.integers(0, len(lexicon)))] for _ in range(n))
+
+
+class SyntheticSpeechDataset:
+    """data.ASRDataset-compatible on-the-fly synthetic corpus.
+
+    Items are deterministic in (seed, split, idx) — a "dataset" without
+    any files on disk. Vocabulary follows the manifest-dataset rules
+    (specials + sorted corpus characters, reference data.py:86-105).
+    """
+
+    def __init__(
+        self,
+        n_utts: int = 10000,
+        split: str = "train",
+        seed: int = 1234,
+        lexicon_words: int = 1500,
+        min_words: int = 2,
+        max_words: int = 8,
+        normalize_audio: bool = True,
+    ):
+        self.n_utts = n_utts
+        self.split = split
+        self.seed = seed
+        self.min_words = min_words
+        self.max_words = max_words
+        self.normalize_audio = normalize_audio
+        self.voice = SynthVoice(seed=seed)
+        self.lexicon = make_lexicon(lexicon_words, seed=seed)
+        specials = ["<blank>", "<unk>", "<pad>"]
+        chars = sorted(set(CHARS + " "))
+        self.vocab = {tok: i for i, tok in enumerate(specials + chars)}
+        self.idx_to_token = {i: t for t, i in self.vocab.items()}
+
+    def __len__(self) -> int:
+        return self.n_utts
+
+    def text_for(self, idx: int) -> str:
+        rng = _char_seed(self.seed, "text", self.split, idx)
+        return sample_sentence(self.lexicon, rng, self.min_words, self.max_words)
+
+    def audio_for(self, idx: int) -> np.ndarray:
+        text = self.text_for(idx)
+        rng = _char_seed(self.seed, "audio", self.split, idx)
+        return self.voice.render(text, rng)
+
+    def text_to_tokens(self, text: str) -> List[int]:
+        unk = self.vocab["<unk>"]
+        return [self.vocab.get(c, unk) for c in text]
+
+    def __getitem__(self, idx: int) -> Dict:
+        text = self.text_for(idx)
+        audio = self.audio_for(idx)
+        mel = compute_mel_spectrogram_np(audio, normalize=self.normalize_audio)
+        tokens = self.text_to_tokens(text)
+        return {
+            "mel_spectrogram": mel,
+            "targets": np.asarray(tokens, np.int32),
+            "input_lengths": np.int32(mel.shape[0]),
+            "target_lengths": np.int32(len(tokens)),
+            "text": text,
+        }
+
+
+def write_corpus(
+    out_dir: str,
+    n_utts: int,
+    split: str = "test",
+    seed: int = 1234,
+    lexicon_words: int = 1500,
+) -> str:
+    """Materialize a split as WAV files + JSONL manifest (for the evaluate
+    CLI, which measures WER over files like the reference's benchmark
+    mode). Returns the manifest path."""
+    ds = SyntheticSpeechDataset(n_utts, split=split, seed=seed, lexicon_words=lexicon_words)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, f"{split}_manifest.jsonl")
+    with open(manifest, "w") as mf:
+        for i in range(n_utts):
+            audio = ds.audio_for(i)
+            path = os.path.join(out_dir, f"{split}_{i:05d}.wav")
+            pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2")
+            with wave.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(SAMPLE_RATE)
+                w.writeframes(pcm.tobytes())
+            mf.write(
+                json.dumps(
+                    {
+                        "audio_path": path,
+                        "text": ds.text_for(i),
+                        "duration": len(audio) / SAMPLE_RATE,
+                    }
+                )
+                + "\n"
+            )
+    return manifest
