@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--frames", type=int, default=500, help="export frame count")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--quantize", action="store_true", help="also write INT8 weights")
+    parser.add_argument("--calibrate", default=None,
+                        help="calibrate static INT8 activation scales over a "
+                             "JSONL manifest, or 'synthetic' for the built-in "
+                             "synthetic corpus (implies --quantize)")
+    parser.add_argument("--calibrate-batches", type=int, default=16)
     parser.add_argument("--verify", action="store_true", help="reload + compare outputs")
     args = parser.parse_args()
 
@@ -58,12 +63,47 @@ def main():
         hlo_path, os.path.getsize(hlo_path) / 1e6, get_model_size_mb(params),
     )
 
-    if args.quantize:
+    if args.quantize or args.calibrate:
+        quant_stats = None
+        if args.calibrate:
+            # ORT quantize_static analog: run calibration data through the
+            # static-int8 inference graph to fix activation scales
+            # (reference quantize.py:449-472).
+            import dataclasses
+
+            from velocity_asr_tpu.data import ASRCollator
+            from velocity_asr_tpu.models.model import create_model
+            from velocity_asr_tpu.quantize import calibrate_int8_model
+
+            if args.calibrate == "synthetic":
+                from velocity_asr_tpu.synth import SyntheticSpeechDataset
+
+                ds = SyntheticSpeechDataset(
+                    args.calibrate_batches * 4, split="calib", seed=1234
+                )
+            else:
+                from velocity_asr_tpu.data import ASRDataset
+
+                ds = ASRDataset(args.calibrate, max_duration=None, min_duration=0.0)
+            collator = ASRCollator(frame_bucket=200, target_bucket=1)
+            def batches():
+                for start in range(0, min(len(ds), args.calibrate_batches * 4), 4):
+                    items = [ds[i] for i in range(start, min(start + 4, len(ds)))]
+                    yield collator(items)["mel_spectrogram"]
+            s_model = create_model(
+                dataclasses.replace(cfg, int8_inference=True, int8_static=True)
+            )
+            quant_stats = calibrate_int8_model(
+                s_model, params, batches(), num_batches=args.calibrate_batches
+            )
+            logger.info("Calibrated static INT8 activation scales over %d batches",
+                        args.calibrate_batches)
         int8_dir = os.path.join(args.output_dir, "int8")
-        info = save_int8_checkpoint(int8_dir, cfg, params)
+        info = save_int8_checkpoint(int8_dir, cfg, params, quant_stats=quant_stats)
         logger.info(
-            "INT8 package: %s (%d tensors, %.2f MB -> %.2f MB)",
+            "INT8 package: %s (%d tensors, %.2f MB -> %.2f MB%s)",
             int8_dir, info["quantized_tensors"], info["fp32_mb"], info["int8_mb"],
+            ", calibrated" if info.get("calibrated") else "",
         )
 
     if args.verify:

@@ -81,3 +81,85 @@ def test_model_int8_inference_flag():
     # greedy decodes agree on nearly all frames for a random model
     agree = (fp32_logits.argmax(-1) == int8_logits.argmax(-1)).mean()
     assert agree > 0.9
+
+
+class TestStaticInt8:
+    """Calibrated static activation scales (the ORT quantize_static analog,
+    reference quantize.py:449-472)."""
+
+    def _toy(self):
+        import flax.linen as nn
+
+        from velocity_asr_tpu.quantize import DynamicInt8Dense
+
+        model = DynamicInt8Dense(16, static=True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        return model, variables["params"], variables["quant_stats"], x, rng
+
+    def test_calibration_accumulates_running_max(self):
+        from velocity_asr_tpu.quantize import mark_calibrated
+
+        model, params, stats, x, rng = self._toy()
+        _, m1 = model.apply({"params": params, "quant_stats": stats}, x * 1.0,
+                            mutable=["quant_stats"])
+        a1 = float(jax.tree_util.tree_leaves(m1["quant_stats"])[1])  # x_amax
+        _, m2 = model.apply({"params": params, "quant_stats": m1["quant_stats"]},
+                            x * 3.0, mutable=["quant_stats"])
+        stats2 = m2["quant_stats"]
+        amaxes = {k: v for k, v in jax.tree_util.tree_flatten_with_path(stats2)[0]}
+        vals = [float(v) for p, v in amaxes.items() if "x_amax" in str(p)]
+        assert len(vals) == 1
+        np.testing.assert_allclose(vals[0], 3 * a1, rtol=1e-6)
+
+    def test_static_scale_used_after_calibration(self):
+        from velocity_asr_tpu.quantize import mark_calibrated
+
+        model, params, stats, x, rng = self._toy()
+        _, m = model.apply({"params": params, "quant_stats": stats}, x,
+                           mutable=["quant_stats"])
+        calibrated = mark_calibrated(m["quant_stats"])
+
+        # fp32 oracle
+        y_fp = x @ params["kernel"] + params["bias"]
+        y_static = model.apply({"params": params, "quant_stats": calibrated}, x)
+        np.testing.assert_allclose(np.asarray(y_static), np.asarray(y_fp),
+                                   atol=0.08, rtol=0.05)
+
+        # out-of-calibration-range input: static clips where dynamic rescales,
+        # so the two paths must now differ
+        y_static_big = model.apply({"params": params, "quant_stats": calibrated}, x * 10)
+        y_dyn_big = model.apply({"params": params, "quant_stats": stats}, x * 10)
+        assert not np.allclose(np.asarray(y_static_big), np.asarray(y_dyn_big))
+
+    def test_full_model_static_int8_close_to_fp32(self):
+        from velocity_asr_tpu.models.config import VelocityASRConfig
+        from velocity_asr_tpu.models.model import create_model, forward, init_params
+        from velocity_asr_tpu.quantize import calibrate_int8_model
+
+        cfg = VelocityASRConfig(
+            d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+            global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+            vocab_size=16, dropout=0.0,
+        )
+        import dataclasses
+
+        rng = np.random.default_rng(1)
+        mel_batches = [rng.standard_normal((2, 64, 80)).astype(np.float32)
+                       for _ in range(3)]
+
+        fp_model = create_model(cfg)
+        params = init_params(fp_model, jax.random.PRNGKey(0), example_frames=64)
+
+        s_cfg = dataclasses.replace(cfg, int8_inference=True, int8_static=True)
+        s_model = create_model(s_cfg)
+        stats = calibrate_int8_model(s_model, params, mel_batches)
+
+        mel = jnp.asarray(mel_batches[0])
+        y_fp = np.asarray(forward(fp_model, params, mel))
+        y_s = np.asarray(forward(s_model, params, mel, quant_stats=stats))
+        # int8 quantization error bound, not bit-exactness
+        assert np.max(np.abs(y_s - y_fp)) < 0.5, np.max(np.abs(y_s - y_fp))
+        corr = np.corrcoef(y_s.ravel(), y_fp.ravel())[0, 1]
+        assert corr > 0.99, corr

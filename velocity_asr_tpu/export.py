@@ -124,11 +124,29 @@ def dequantize_weights(qtree: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def save_int8_checkpoint(
-    path: str, config: VelocityASRConfig, params: Dict[str, Any]
+    path: str,
+    config: VelocityASRConfig,
+    params: Dict[str, Any],
+    quant_stats: Dict[str, Any] = None,
 ) -> Dict[str, Any]:
-    """Write an INT8 weight package directory: config.json + weights.npz."""
+    """Write an INT8 weight package directory: config.json + weights.npz.
+
+    When `quant_stats` (from quantize.calibrate_int8_model) is given it is
+    saved alongside as quant_stats.msgpack and the packaged config enables
+    the calibrated static-activation path — the ORT quantize_static QDQ
+    package analog (reference quantize.py:449-472)."""
+    import dataclasses
+
+    import flax
+
+    if quant_stats is not None:
+        config = dataclasses.replace(config, int8_inference=True, int8_static=True)
     qtree, info = quantize_weights_int8(params)
     os.makedirs(path, exist_ok=True)
+    if quant_stats is not None:
+        with open(os.path.join(path, "quant_stats.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(quant_stats)))
+        info["calibrated"] = True
 
     arrays: Dict[str, np.ndarray] = {}
 
@@ -175,3 +193,19 @@ def load_int8_checkpoint(path: str) -> Tuple[VelocityASRConfig, Dict[str, Any]]:
             node = node.setdefault(p, {})
         node[leaf_key] = value
     return config, tree
+
+
+def load_int8_quant_stats(path: str, model, params) -> Dict[str, Any]:
+    """Load the calibrated quant_stats saved in an INT8 package (None if
+    the package was not calibrated)."""
+    import flax
+
+    stats_path = os.path.join(path, "quant_stats.msgpack")
+    if not os.path.exists(stats_path):
+        return None
+    mel = jnp.zeros((1, 64, model.config.mel_bins), jnp.float32)
+    template = model.init({"params": jax.random.PRNGKey(0)}, mel, train=False).get(
+        "quant_stats", {}
+    )
+    with open(stats_path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())

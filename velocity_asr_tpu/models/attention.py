@@ -19,20 +19,24 @@ from .layers import xavier_uniform
 from .ssm import GlobalSSM
 
 
-def _dense(mode: str, features: int, dtype, name: str, use_bias: bool = True):
-    """Projection factory: fp32 Dense, QAT fake-quant Dense, or dynamic-INT8
-    Dense (mode in {"none", "qat", "int8"})."""
+def _dense(mode: str, features: int, dtype, name: str, use_bias: bool = True,
+           static: bool = False, qat_bits=(8, 8)):
+    """Projection factory: fp32 Dense, QAT fake-quant Dense, or INT8 Dense
+    (mode in {"none", "qat", "int8"}; static selects calibrated activation
+    scales on the int8 path — the ORT quantize_static analog)."""
     if mode == "qat":
         from ..quantize import QuantDense
 
         return QuantDense(
-            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
+            weight_bits=qat_bits[0], activation_bits=qat_bits[1], name=name
         )
     if mode == "int8":
         from ..quantize import DynamicInt8Dense
 
         return DynamicInt8Dense(
-            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
+            static=static, name=name
         )
     return nn.Dense(
         features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
@@ -54,7 +58,9 @@ class AdaptivePool(nn.Module):
     d_model: int = 192
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(
@@ -78,7 +84,7 @@ class AdaptivePool(nn.Module):
                 pool_size = min(pool_size_level2(k1), seq_len)
             pooled = adaptive_avg_pool1d(x, pool_size)
         mode = _quant_mode(self.qat, self.int8)
-        proj = _dense(mode, self.d_model, self.dtype, "pool_proj")
+        proj = _dense(mode, self.d_model, self.dtype, "pool_proj", static=self.int8_static, qat_bits=self.qat_bits)
         pooled = proj(pooled, train=train) if mode != "none" else proj(pooled)
         return pooled, pool_size
 
@@ -97,7 +103,9 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(
@@ -115,7 +123,7 @@ class MultiHeadAttention(nn.Module):
         mode = _quant_mode(self.qat, self.int8)
 
         def proj(name):
-            return _dense(mode, self.attention_dim, self.dtype, name)
+            return _dense(mode, self.attention_dim, self.dtype, name, static=self.int8_static, qat_bits=self.qat_bits)
 
         def run(layer, x):
             return layer(x, train=train) if mode != "none" else layer(x)
@@ -136,7 +144,7 @@ class MultiHeadAttention(nn.Module):
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.attention_dim)
-        out_proj = _dense(mode, self.d_model, self.dtype, "out_proj")
+        out_proj = _dense(mode, self.d_model, self.dtype, "out_proj", static=self.int8_static, qat_bits=self.qat_bits)
         return run(out_proj, out)
 
 
@@ -146,7 +154,9 @@ class GatedFusion(nn.Module):
     d_model: int = 192
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(
@@ -158,11 +168,11 @@ class GatedFusion(nn.Module):
             return layer(x, train=train) if mode != "none" else layer(x)
 
         concat = jnp.concatenate([local_features, global_features], axis=-1)
-        gate = nn.sigmoid(run(_dense(mode, self.d_model, self.dtype, "gate_proj"), concat))
-        local_t = run(_dense(mode, self.d_model, self.dtype, "local_proj"), local_features)
-        global_t = run(_dense(mode, self.d_model, self.dtype, "global_proj"), global_features)
+        gate = nn.sigmoid(run(_dense(mode, self.d_model, self.dtype, "gate_proj", static=self.int8_static, qat_bits=self.qat_bits), concat))
+        local_t = run(_dense(mode, self.d_model, self.dtype, "local_proj", static=self.int8_static, qat_bits=self.qat_bits), local_features)
+        global_t = run(_dense(mode, self.d_model, self.dtype, "global_proj", static=self.int8_static, qat_bits=self.qat_bits), global_features)
         fused = gate * local_t + (1 - gate) * global_t
-        return run(_dense(mode, self.d_model, self.dtype, "out_proj"), fused)
+        return run(_dense(mode, self.d_model, self.dtype, "out_proj", static=self.int8_static, qat_bits=self.qat_bits), fused)
 
 
 class HierarchicalGlobalContext(nn.Module):
@@ -178,7 +188,9 @@ class HierarchicalGlobalContext(nn.Module):
     scan_mode: str = "parallel"
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(
@@ -203,8 +215,8 @@ class HierarchicalGlobalContext(nn.Module):
         """
         streaming = summary is not None
         pool1 = AdaptivePool(
-            level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
-            int8=self.int8, name="pool1"
+            level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat, qat_bits=self.qat_bits,
+            int8=self.int8, int8_static=self.int8_static, name="pool1"
         )
         global_ssm = GlobalSSM(
             d_model=self.d_model,
@@ -239,8 +251,8 @@ class HierarchicalGlobalContext(nn.Module):
             x_ssm = global_ssm(x_pool1, train)
 
         x_pool2, _ = AdaptivePool(
-            level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat,
-            int8=self.int8, name="pool2"
+            level=2, d_model=self.d_model, dtype=self.dtype, qat=self.qat, qat_bits=self.qat_bits,
+            int8=self.int8, int8_static=self.int8_static, name="pool2"
         )(x_ssm, prev_pool_size=pool_size1, train=train)
 
         x_pool2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x_pool2).astype(self.dtype)
@@ -252,14 +264,15 @@ class HierarchicalGlobalContext(nn.Module):
             attention_dim=self.attention_dim,
             dropout=self.dropout,
             dtype=self.dtype,
-            qat=self.qat,
-            int8=self.int8,
+            qat=self.qat, qat_bits=self.qat_bits,
+            int8=self.int8, int8_static=self.int8_static,
             name="cross_attention",
         )(query, x_pool2, x_pool2, train=train)
 
         fused = GatedFusion(
-            d_model=self.d_model, dtype=self.dtype, qat=self.qat, int8=self.int8,
-            name="fusion"
+            d_model=self.d_model, dtype=self.dtype, qat=self.qat,
+            qat_bits=self.qat_bits, int8=self.int8,
+            int8_static=self.int8_static, name="fusion"
         )(local_features, global_context, train=train)
         if streaming:
             return fused, new_gc_state

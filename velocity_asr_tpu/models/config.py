@@ -60,11 +60,19 @@ class VelocityASRConfig:
     dtype: str = "float32"
     # Quantization-aware training: route eligible projections through
     # fake-quant (reference prepare_model_for_qat, quantize.py:269-322).
+    # Bit-widths come from QuantizationConfig via prepare_model_for_qat.
     qat: bool = False
+    qat_weight_bits: int = 8
+    qat_activation_bits: int = 8
     # On-device INT8 inference: eligible projections run int8 MXU matmuls
     # with dynamic activation quantization (the ORT quantize_dynamic
     # analog; SSM stack stays fp32 per the ssm_state_fp32 rule).
     int8_inference: bool = False
+    # Static (calibrated) activation scales on the int8 path — the ORT
+    # quantize_static analog (reference quantize.py:449-472). Requires a
+    # calibrated quant_stats collection (quantize.calibrate_int8_model);
+    # uncalibrated stats fall back to dynamic scales.
+    int8_static: bool = False
     # Streaming global-context memory: each chunk contributes
     # stream_summary_tokens pooled tokens to a rolling memory of
     # stream_memory_chunks chunks, so streaming cross-attention covers

@@ -100,6 +100,7 @@ class TemporalBindingLayer(nn.Module):
     stride: int = 2
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
 
     @nn.compact
     def __call__(
@@ -156,6 +157,8 @@ class TemporalBindingLayer(nn.Module):
                 padding=self.kernel_size // 2,
                 kernel_init=kaiming_conv_init(),
                 dtype=self.dtype,
+                weight_bits=self.qat_bits[0],
+                activation_bits=self.qat_bits[1],
                 name="conv",
             )(mel.astype(self.dtype), train=train)
         else:
@@ -186,7 +189,9 @@ class CTCOutputHead(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     qat: bool = False
+    qat_bits: tuple = (8, 8)
     int8: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -195,12 +200,15 @@ class CTCOutputHead(nn.Module):
         if self.qat:
             from ..quantize import QuantDense
 
-            dense = QuantDense(self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj")
+            dense = QuantDense(self.vocab_size, kernel_init=xavier_uniform(),
+                               dtype=self.dtype, weight_bits=self.qat_bits[0],
+                               activation_bits=self.qat_bits[1], name="proj")
             return dense(x, train=train)
         if self.int8:
             from ..quantize import DynamicInt8Dense
 
-            dense = DynamicInt8Dense(self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj")
+            dense = DynamicInt8Dense(self.vocab_size, kernel_init=xavier_uniform(),
+                                     dtype=self.dtype, static=self.int8_static, name="proj")
             return dense(x)
         return nn.Dense(
             self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj"

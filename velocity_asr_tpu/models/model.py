@@ -64,6 +64,7 @@ class VelocityASR(nn.Module):
 
         binding = TemporalBindingLayer(
             mel_bins=cfg.mel_bins, d_model=cfg.d_model, dtype=dtype, qat=cfg.qat,
+            qat_bits=(cfg.qat_weight_bits, cfg.qat_activation_bits),
             name="temporal_binding",
         )
         if streaming:
@@ -134,7 +135,9 @@ class VelocityASR(nn.Module):
             scan_mode=cfg.scan_mode,
             dtype=dtype,
             qat=cfg.qat,
+            qat_bits=(cfg.qat_weight_bits, cfg.qat_activation_bits),
             int8=cfg.int8_inference,
+            int8_static=cfg.int8_static,
             name="global_context",
         )
         if streaming:
@@ -150,7 +153,9 @@ class VelocityASR(nn.Module):
             dropout=cfg.dropout,
             dtype=dtype,
             qat=cfg.qat,
+            qat_bits=(cfg.qat_weight_bits, cfg.qat_activation_bits),
             int8=cfg.int8_inference,
+            int8_static=cfg.int8_static,
             name="ctc_head",
         )(fused_features, train)
         logits = logits.astype(jnp.float32)

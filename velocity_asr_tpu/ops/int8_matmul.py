@@ -32,14 +32,21 @@ def quantize_weight(w: jnp.ndarray):
     return w_q, scale
 
 
-def int8_dot_xla(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic-activation int8 matmul, XLA path.
+def int8_dot_xla(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    x_scale: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Int8 matmul, XLA path; activation scale dynamic (per call) or
+    static (calibrated, passed in — the ORT quantize_static analog).
 
     x: (..., K) float; w_q: (K, N) int8; w_scale: (1, N) fp32.
     """
     xf = x.astype(jnp.float32)
-    x_amax = jnp.max(jnp.abs(xf))
-    x_scale = jnp.maximum(x_amax / 127.0, 1e-10)
+    if x_scale is None:
+        x_amax = jnp.max(jnp.abs(xf))
+        x_scale = jnp.maximum(x_amax / 127.0, 1e-10)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q,
@@ -71,9 +78,11 @@ def int8_dot_pallas(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
     w_scale: jnp.ndarray,
+    x_scale: jnp.ndarray | None = None,
     block_m: int = 256,
 ) -> jnp.ndarray:
-    """Dynamic-activation int8 matmul, fused Pallas kernel.
+    """Int8 matmul, fused Pallas kernel; activation scale dynamic or
+    static (calibrated, passed in).
 
     x: (..., K) float; w_q: (K, N) int8 with K, N lane-aligned
     (pad outside if needed); w_scale: (1, N) fp32.
@@ -87,8 +96,10 @@ def int8_dot_pallas(
     if pad_m:
         xf = jnp.pad(xf, ((0, pad_m), (0, 0)))
 
-    x_amax = jnp.max(jnp.abs(xf))
-    x_scale = jnp.maximum(x_amax / 127.0, 1e-10).reshape(1, 1)
+    if x_scale is None:
+        x_amax = jnp.max(jnp.abs(xf))
+        x_scale = jnp.maximum(x_amax / 127.0, 1e-10)
+    x_scale = jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
 
     grid = (xf.shape[0] // block_m,)
     out = pl.pallas_call(
@@ -113,9 +124,11 @@ def dynamic_int8_dense(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     backend: str = "auto",
+    x_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Weights-only-quantized Dense: fp32 kernel is quantized at trace time
-    (constant-folded to int8 in the executable), activations dynamically.
+    (constant-folded to int8 in the executable); activations quantized
+    dynamically (x_scale=None) or with a calibrated static scale.
 
     backend: "auto" (pallas on TPU when shapes are lane-aligned), "xla",
     or "pallas".
@@ -126,9 +139,9 @@ def dynamic_int8_dense(
         aligned = k % 128 == 0 and n % 128 == 0
         backend = "pallas" if (jax.default_backend() == "tpu" and aligned) else "xla"
     if backend == "pallas":
-        out = int8_dot_pallas(x, w_q, w_scale)
+        out = int8_dot_pallas(x, w_q, w_scale, x_scale=x_scale)
     else:
-        out = int8_dot_xla(x, w_q, w_scale)
+        out = int8_dot_xla(x, w_q, w_scale, x_scale=x_scale)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)

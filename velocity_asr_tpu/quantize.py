@@ -178,6 +178,8 @@ class QuantConv1d(nn.Module):
     padding: int = 0
     kernel_init: Callable = nn.initializers.xavier_uniform()
     dtype: Any = jnp.float32
+    weight_bits: int = 8
+    activation_bits: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -188,27 +190,39 @@ class QuantConv1d(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         kernel_q = FakeQuantize(
-            bits=8, symmetric=True, per_channel=True, channel_axis=-1,
+            bits=self.weight_bits, symmetric=True, per_channel=True, channel_axis=-1,
             name="weight_quantizer",
         )(kernel, update_stats=train)
         y = strided_conv1d(
             x.astype(self.dtype), kernel_q, bias, stride=self.stride, padding=self.padding
         )
         return FakeQuantize(
-            bits=8, symmetric=False, per_channel=False, name="activation_quantizer"
+            bits=self.activation_bits, symmetric=False, per_channel=False,
+            name="activation_quantizer"
         )(y, update_stats=train)
 
 
 class DynamicInt8Dense(nn.Module):
-    """Dense with int8 weights (trace-time constant-folded) and dynamic
-    per-tensor activation quantization, running on the MXU int8 path —
-    the TPU-native analog of ORT quantize_dynamic (reference
-    quantize.py:434-440)."""
+    """Dense with int8 weights (trace-time constant-folded) and int8
+    activations on the MXU int8 path.
+
+    static=False: per-call dynamic activation scale — the TPU-native
+    analog of ORT quantize_dynamic (reference quantize.py:434-440).
+
+    static=True: the ORT quantize_static analog (reference
+    quantize.py:449-472): the activation scale is a CALIBRATED constant
+    held in the "quant_stats" collection. Calibration = eval forwards with
+    quant_stats mutable (calibrate_int8_model); the observer accumulates a
+    running max-abs over the calibration data (MinMax calibration,
+    symmetric — consistent with the dynamic path so the two tiers differ
+    only in where the scale comes from). Until calibrated, inference
+    falls back to the dynamic scale."""
 
     features: int
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.xavier_uniform()
     dtype: Any = jnp.float32
+    static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -221,7 +235,34 @@ class DynamicInt8Dense(nn.Module):
             if self.use_bias
             else None
         )
-        return dynamic_int8_dense(x, kernel, bias)
+        if not self.static:
+            return dynamic_int8_dense(x, kernel, bias)
+
+        amax_var = self.variable(
+            "quant_stats", "x_amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        calibrated_var = self.variable(
+            "quant_stats", "calibrated", lambda: jnp.zeros((), jnp.bool_)
+        )
+        can_write = (
+            not self.is_initializing() and self.is_mutable_collection("quant_stats")
+        )
+        if can_write:
+            # calibration pass: accumulate running max-abs; compute the
+            # output exactly (fp32) so downstream observers see clean
+            # statistics.
+            amax_var.value = jnp.maximum(
+                amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            return y + bias.astype(self.dtype) if bias is not None else y
+
+        static_scale = jnp.maximum(amax_var.value / 127.0, 1e-10)
+        dynamic_scale = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-10
+        )
+        x_scale = jnp.where(calibrated_var.value, static_scale, dynamic_scale)
+        return dynamic_int8_dense(x, kernel, bias, x_scale=x_scale)
 
 
 def prepare_model_for_qat(config, quant_config: Optional[QuantizationConfig] = None):
@@ -229,13 +270,58 @@ def prepare_model_for_qat(config, quant_config: Optional[QuantizationConfig] = N
     quantize.py:269-322).
 
     The reference rewrites the module graph in place; in the functional
-    build the same effect is a config flag: modules outside the SSM stacks
-    route their projections through QuantDense/QuantConv1d.
+    build the same effect is config flags: modules outside the SSM stacks
+    route their projections through QuantDense/QuantConv1d, with the
+    weight/activation bit-widths taken from quant_config.
     """
     import dataclasses
 
-    del quant_config  # 8-bit symmetric-weight/asymmetric-activation is the scheme
-    return dataclasses.replace(config, qat=True)
+    qc = quant_config or QuantizationConfig()
+    return dataclasses.replace(
+        config, qat=True,
+        qat_weight_bits=qc.weight_bits,
+        qat_activation_bits=qc.activation_bits,
+    )
+
+
+def calibrate_int8_model(
+    model,
+    params: Dict[str, Any],
+    batches: Iterable[np.ndarray],
+    num_batches: int = 100,
+) -> Dict[str, Any]:
+    """Calibrate a static-INT8 model's activation scales (the ORT
+    quantize_static + CalibrationDataReader analog, reference
+    quantize.py:449-472).
+
+    `model` must be built with int8_inference=True, int8_static=True.
+    Runs eval-mode forwards over calibration batches with the quant_stats
+    collection mutable; each DynamicInt8Dense(static=True) accumulates a
+    running max-abs of its input (MinMax calibration). Returns the
+    calibrated quant_stats to pass to forward()/the INT8 export package.
+    """
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, model.config.mel_bins), jnp.float32),
+        train=False,
+    )
+    quant_stats = variables.get("quant_stats", {})
+    count = 0
+    for batch in batches:
+        if count >= num_batches:
+            break
+        mel = jnp.asarray(batch)
+        _, mutated = model.apply(
+            {"params": params, "quant_stats": quant_stats},
+            mel,
+            train=False,
+            mutable=["quant_stats"],
+        )
+        quant_stats = mutated["quant_stats"]
+        count += 1
+    if count == 0:
+        raise ValueError("no calibration batches provided")
+    return mark_calibrated(quant_stats)
 
 
 def init_quant_stats(model, params, example_frames: int = 64) -> Dict[str, Any]:
