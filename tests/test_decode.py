@@ -158,3 +158,68 @@ def test_decoder_jax_beam_text():
     logits = logits_for(preds, vocab=12)
     assert dec.decode_beam_search(logits, beam_width=4, backend="jax") == \
         dec.decode_beam_search(logits, beam_width=4, backend="host")
+
+
+class ToyLM:
+    """Prefers token 3 sequences: score = +1 per '3', -0.5 per other."""
+
+    def score(self, tokens):
+        return sum(1.0 if t == 3 else -0.5 for t in tokens)
+
+
+def test_lm_hook_jax_rescoring_is_exact_over_nbest():
+    """The jax beam's LM hook must (a) equal the host beam at lm_weight=0,
+    and (b) implement exact n-best rescoring: top-1 = argmax over the
+    acoustic beams of acoustic + w * lm.score(tokens). (In-search LM
+    scoring — the host path, reference decode.py:188-190 — can leave the
+    acoustic beam entirely when the LM dominates, so cross-backend parity
+    is only required at w=0.)"""
+    rng = np.random.default_rng(3)
+    vocab = 6
+    logits = rng.standard_normal((2, 8, vocab)).astype(np.float32) * 4.0
+    decoder = CTCDecoder([f"t{i}" if i else "<blank>" for i in range(vocab)])
+    lm = ToyLM()
+
+    # (a) w=0 parity with the host reference semantics
+    jax0 = decoder.decode_beam_search(
+        logits, beam_width=16, return_all_beams=True, backend="jax",
+        lm_scorer=lm, lm_weight=0.0,
+    )
+    host0 = decoder.decode_beam_search(
+        logits, beam_width=16, return_all_beams=True, backend="host",
+        lm_scorer=lm, lm_weight=0.0,
+    )
+    for jb, hb in zip(jax0, host0):
+        assert jb[0].tokens == hb[0].tokens
+        np.testing.assert_allclose(jb[0].score, hb[0].score, rtol=1e-5, atol=1e-4)
+
+    # (b) exact rescoring over the acoustic n-best
+    w = 0.7
+    rescored = decoder.decode_beam_search(
+        logits, beam_width=16, return_all_beams=True, backend="jax",
+        lm_scorer=lm, lm_weight=w,
+    )
+    for acoustic, got in zip(jax0, rescored):
+        want = max(
+            acoustic, key=lambda r: r.score + w * lm.score(r.tokens)
+        )
+        assert got[0].tokens == want.tokens
+        np.testing.assert_allclose(
+            got[0].score, want.score + w * lm.score(want.tokens), rtol=1e-5
+        )
+
+
+def test_lm_hook_changes_ranking():
+    """With a strong LM the selected hypothesis must differ from the pure
+    acoustic choice on ambiguous logits."""
+    rng = np.random.default_rng(5)
+    vocab = 6
+    logits = rng.standard_normal((4, 10, vocab)).astype(np.float32) * 0.3
+    decoder = CTCDecoder([f"t{i}" if i else "<blank>" for i in range(vocab)])
+    lm = ToyLM()
+    plain = decoder.decode_beam_search(logits, beam_width=8, return_all_beams=True)
+    with_lm = decoder.decode_beam_search(
+        logits, beam_width=8, return_all_beams=True, lm_scorer=lm, lm_weight=5.0
+    )
+    changed = any(p[0].tokens != w[0].tokens for p, w in zip(plain, with_lm))
+    assert changed

@@ -208,10 +208,19 @@ class CTCDecoder:
         beam_width: int = 10,
         return_all_beams: bool = False,
         backend: str = "jax",
+        lm_scorer: Optional[Any] = None,
+        lm_weight: float = 0.0,
     ):
         """Beam decode. backend="jax" runs the batched on-device beam
         (velocity_asr_tpu.beam); "host" runs the numpy prefix beam with
-        bit-identical reference semantics (both max-merge)."""
+        bit-identical reference semantics (both max-merge).
+
+        External LM (reference decode.py:188-190): the host backend scores
+        each candidate extension inside the search (exact reference
+        semantics); the jax backend applies the LM as n-best rescoring of
+        the returned beams — total = acoustic + lm_weight * lm.score(tokens)
+        — which matches the host result whenever the correct hypothesis is
+        within the acoustic beam (tests/test_decode.py)."""
         if backend == "jax":
             from .beam import beams_to_token_lists, ctc_beam_search_jax
 
@@ -220,20 +229,28 @@ class CTCDecoder:
                 blank_token=self.blank_token,
             )
             token_lists = beams_to_token_lists(np.asarray(tokens), np.asarray(lengths))
-            beam_results = [
-                [
+            beam_results = []
+            for b, batch_tokens in enumerate(token_lists):
+                results = [
                     DecodingResult(
-                        text=self._tokens_to_text(toks) if return_all_beams else "",
+                        text="",
                         tokens=toks,
                         score=float(scores[b, i]),
                     )
                     for i, toks in enumerate(batch_tokens)
                 ]
-                for b, batch_tokens in enumerate(token_lists)
-            ]
+                if lm_scorer is not None and lm_weight > 0:
+                    for r in results:
+                        r.score += lm_weight * lm_scorer.score(r.tokens)
+                    results.sort(key=lambda r: r.score, reverse=True)
+                if return_all_beams:
+                    for r in results:
+                        r.text = self._tokens_to_text(r.tokens)
+                beam_results.append(results)
         else:
             beam_results = ctc_beam_search(
-                logits, beam_width=beam_width, blank_token=self.blank_token
+                logits, beam_width=beam_width, blank_token=self.blank_token,
+                lm_scorer=lm_scorer, lm_weight=lm_weight,
             )
             if return_all_beams:
                 for batch_results in beam_results:
