@@ -21,10 +21,12 @@ import argparse
 import json
 import logging
 import os
+import queue
 import sys
 import tempfile
 import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -40,10 +42,55 @@ logging.basicConfig(
 logger = logging.getLogger("serve")
 
 
-class ASRService:
-    """Checkpoint + compiled pipelines + a lock serializing device work."""
+class MicroBatcher:
+    """Coalesces concurrent greedy requests into one batched device call.
 
-    def __init__(self, checkpoint: str, beam_width: int = 0):
+    Requests arriving within `window_ms` of the first are grouped (up to
+    `max_batch`) and run through Transcriber.transcribe_batch — one jit
+    call instead of max_batch serialized ones. Beam/timestamp requests
+    bypass the batcher (they keep the single-utterance path)."""
+
+    def __init__(self, transcriber, max_batch: int = 8, window_ms: float = 10.0):
+        self.transcriber = transcriber
+        self.max_batch = max_batch
+        self.window = window_ms / 1e3
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, audio) -> Future:
+        fut: Future = Future()
+        self.q.put((audio, fut))
+        return fut
+
+    def _loop(self):
+        while True:
+            audio, fut = self.q.get()
+            group = [(audio, fut)]
+            deadline = time.perf_counter() + self.window
+            while len(group) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    group.append(self.q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                results = self.transcriber.transcribe_batch([a for a, _ in group])
+                for (_, f), r in zip(group, results):
+                    f.set_result(r)
+            except Exception as e:
+                for _, f in group:
+                    if not f.done():
+                        f.set_exception(e)
+
+
+class ASRService:
+    """Checkpoint + compiled pipelines + a micro-batching dispatcher."""
+
+    def __init__(self, checkpoint: str, beam_width: int = 0,
+                 max_batch: int = 8, batch_window_ms: float = 10.0):
         from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
         from velocity_asr_tpu.models.model import from_pretrained
         from scripts.transcribe import Transcriber
@@ -60,6 +107,9 @@ class ASRService:
             self.model, params, self.decoder, beam_width=beam_width
         )
         self.lock = threading.Lock()
+        self.batcher = MicroBatcher(
+            self.transcriber, max_batch=max_batch, window_ms=batch_window_ms
+        )
         logger.info("Model loaded: %s", self.model.config)
 
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int):
@@ -74,13 +124,21 @@ class ASRService:
             os.unlink(path)
 
         t0 = time.perf_counter()
-        with self.lock:  # one device pipeline at a time
-            prev_beam = self.transcriber.beam_width
-            self.transcriber.beam_width = beam or prev_beam
-            try:
-                result = self.transcriber.transcribe_array(audio, timestamps=timestamps)
-            finally:
-                self.transcriber.beam_width = prev_beam
+        if timestamps or beam or self.transcriber.beam_width:
+            # rich-output path: single-utterance pipeline under the lock
+            with self.lock:
+                prev_beam = self.transcriber.beam_width
+                self.transcriber.beam_width = beam or prev_beam
+                try:
+                    result = self.transcriber.transcribe_array(
+                        audio, timestamps=timestamps
+                    )
+                finally:
+                    self.transcriber.beam_width = prev_beam
+        else:
+            # greedy path: coalesced into one batched device call with any
+            # other requests in flight
+            result = self.batcher.submit(audio).result()
         result["rtf"] = (time.perf_counter() - t0) / max(result["duration"], 1e-9)
         return result
 
@@ -142,9 +200,15 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8570)
     parser.add_argument("--beam-width", type=int, default=0)
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="micro-batch size cap for concurrent requests")
+    parser.add_argument("--batch-window-ms", type=float, default=10.0,
+                        help="how long to wait to coalesce concurrent requests")
     args = parser.parse_args()
 
-    service = ASRService(args.checkpoint, beam_width=args.beam_width)
+    service = ASRService(args.checkpoint, beam_width=args.beam_width,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     logger.info("Serving on http://%s:%d (POST /transcribe, GET /health)",
                 args.host, args.port)

@@ -118,14 +118,17 @@ class Transcriber:
         self._infer = jax.jit(infer)
 
         def masked_logits(params, audio, n_valid_frames):
+            # n_valid_frames: (batch,) int32 — the pipeline is batched so the
+            # serving daemon can micro-batch concurrent requests into one
+            # device call.
             mel = compute_mel_spectrogram(audio, normalize=False)
             mel = masked_normalize_mel(mel, n_valid_frames)
             logits = forward(model, params, mel, train=False)
             # force blank beyond the valid output frames so device-side
             # decoding needs no host slicing
             t = logits.shape[1]
-            out_len = (n_valid_frames + 1) // 2
-            pad = (jnp.arange(t) >= out_len)[None, :, None]
+            out_len = (jnp.asarray(n_valid_frames, jnp.int32).reshape(-1) + 1) // 2
+            pad = (jnp.arange(t)[None, :] >= out_len[:, None])[:, :, None]
             logits = jnp.where(pad, -1e9, logits)
             return logits.at[:, :, 0].set(jnp.where(pad[..., 0], 0.0, logits[:, :, 0]))
 
@@ -224,6 +227,39 @@ class Transcriber:
             toks, lens = np.asarray(toks), np.asarray(lens)
             result["text"] = self.decoder._tokens_to_text(toks[0, : lens[0]].tolist())
         return result
+
+    def transcribe_batch(self, audios):
+        """Batched greedy device path (the serving micro-batcher): pads all
+        utterances to one common sample bucket and a power-of-two batch
+        size, so a handful of compiled shapes serve arbitrary request
+        mixes. One device call for the whole batch; only token ids cross
+        the host link. Returns a list of {"text", "duration"} dicts in
+        input order."""
+        assert self.device_mel, "batched path requires device mel"
+        padded_list, n_frames_list = [], []
+        for a in audios:
+            p, nf = self._pad_audio(a)
+            padded_list.append(p[0])
+            n_frames_list.append(nf)
+        max_len = max(p.shape[0] for p in padded_list)
+        b = len(audios)
+        bpad = 1 << (b - 1).bit_length()  # batch bucket (1, 2, 4, 8, ...)
+        batch = np.zeros((bpad, max_len), np.float32)
+        for i, p in enumerate(padded_list):
+            batch[i, : p.shape[0]] = p
+        nvec = np.ones((bpad,), np.int32)
+        nvec[:b] = n_frames_list
+        toks, lens = self._greedy_tokens(
+            self.params, self._jnp.asarray(batch), self._jnp.asarray(nvec)
+        )
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        return [
+            {
+                "text": self.decoder._tokens_to_text(toks[i, : lens[i]].tolist()),
+                "duration": len(a) / self.sr,
+            }
+            for i, a in enumerate(audios)
+        ]
 
     def transcribe_file(self, path: str, timestamps: bool = False):
         from velocity_asr_tpu.audio import load_audio

@@ -1,0 +1,70 @@
+"""Serving-path tests: batched transcription equivalence and the
+micro-batcher's coalescing behavior."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    import jax
+
+    from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import create_model, init_params, save_pretrained
+    from scripts.transcribe import Transcriber
+
+    cfg = VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=32, dropout=0.0,
+    )
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    decoder = CTCDecoder(create_default_vocabulary(32))
+    return Transcriber(model, params, decoder)
+
+
+def test_transcribe_batch_matches_single(pipeline):
+    rng = np.random.default_rng(0)
+    audios = [
+        (rng.standard_normal(16000 + 4000 * i) * 0.1).astype(np.float32)
+        for i in range(3)
+    ]
+    batched = pipeline.transcribe_batch(audios)
+    for audio, b in zip(audios, batched):
+        single = pipeline.transcribe_array(audio)
+        assert b["text"] == single["text"]
+        assert abs(b["duration"] - single["duration"]) < 1e-9
+
+
+def test_micro_batcher_coalesces_and_matches(pipeline):
+    from scripts.serve import MicroBatcher
+
+    calls = []
+    orig = pipeline.transcribe_batch
+
+    def counting(audios):
+        calls.append(len(audios))
+        return orig(audios)
+
+    pipeline.transcribe_batch = counting
+    try:
+        mb = MicroBatcher(pipeline, max_batch=8, window_ms=200.0)
+        rng = np.random.default_rng(1)
+        audios = [
+            (rng.standard_normal(16000) * 0.1).astype(np.float32) for _ in range(6)
+        ]
+        futures = [mb.submit(a) for a in audios]
+        results = [f.result(timeout=120) for f in futures]
+    finally:
+        pipeline.transcribe_batch = orig
+
+    singles = [pipeline.transcribe_array(a) for a in audios]
+    assert [r["text"] for r in results] == [s["text"] for s in singles]
+    # 6 near-simultaneous submissions within a 200 ms window must coalesce
+    # into far fewer device calls than 6
+    assert sum(calls) == 6 and len(calls) <= 3, calls

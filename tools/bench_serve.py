@@ -1,0 +1,106 @@
+"""Serve-daemon load test (dev tool).
+
+Starts scripts/serve.py as a subprocess against a checkpoint, fires
+concurrent /transcribe requests with synthetic WAVs, reports QPS and
+latency percentiles.
+
+Usage: python tools/bench_serve.py --checkpoint <dir> [--clients 8]
+       [--requests 64] [--seconds 30] [--no-batching]
+"""
+import argparse
+import io
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+import wave
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def make_wav_bytes(seconds: float, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    sig = (rng.standard_normal(int(seconds * 16000)) * 0.1).astype(np.float32)
+    pcm = (sig * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--port", type=int, default=8571)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=30.0, help="utterance length")
+    ap.add_argument("--no-batching", action="store_true",
+                    help="run the server with --max-batch 1 (round-1 behavior)")
+    args = ap.parse_args()
+
+    cmd = [sys.executable, "/root/repo/scripts/serve.py",
+           "--checkpoint", args.checkpoint, "--port", str(args.port)]
+    if args.no_batching:
+        cmd += ["--max-batch", "1"]
+    proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        base = f"http://127.0.0.1:{args.port}"
+        for _ in range(600):
+            try:
+                urllib.request.urlopen(base + "/health", timeout=1)
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            raise RuntimeError("server never became healthy")
+
+        wav = make_wav_bytes(args.seconds, 0)
+        # warm the compile cache (batch shapes 1..max) before timing
+        for k in range(3):
+            urllib.request.urlopen(
+                urllib.request.Request(base + "/transcribe", data=wav), timeout=600
+            )
+
+        latencies = []
+        lock = threading.Lock()
+        per_client = args.requests // args.clients
+
+        def client(cid):
+            for i in range(per_client):
+                t0 = time.perf_counter()
+                urllib.request.urlopen(
+                    urllib.request.Request(base + "/transcribe", data=wav), timeout=600
+                ).read()
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat = np.sort(np.asarray(latencies))
+        n = len(lat)
+        print(f"clients={args.clients} requests={n} utterance={args.seconds:.0f}s "
+              f"batching={'off' if args.no_batching else 'on'}")
+        print(f"QPS={n / wall:.2f}  p50={lat[n // 2] * 1e3:.0f} ms  "
+              f"p95={lat[int(n * 0.95)] * 1e3:.0f} ms  "
+              f"audio-throughput={n * args.seconds / wall:.1f} s/s")
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+if __name__ == "__main__":
+    main()

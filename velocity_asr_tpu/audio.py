@@ -203,11 +203,15 @@ def masked_normalize_mel(mel: jnp.ndarray, n_valid) -> jnp.ndarray:
     Device-side equivalent of computing mel on the unpadded utterance and
     normalizing (reference audio.py:132-135, unbiased std): statistics
     exclude padding, and padded frames are zeroed (the batch pad value).
-    n_valid may be a traced scalar, so one compiled graph serves every
-    length within a bucket.
+    n_valid may be a traced scalar (one length for the whole batch) or a
+    (batch,) vector (per-item lengths — the serving micro-batch path), so
+    one compiled graph serves every length within a bucket.
     """
     t = mel.shape[-2]
-    valid = (jnp.arange(t) < n_valid)[..., :, None]
+    n_valid = jnp.asarray(n_valid)
+    if n_valid.ndim == 1:  # (batch,) -> (batch, 1, 1)
+        n_valid = n_valid[:, None, None]
+    valid = jnp.arange(t)[:, None] < n_valid  # (t, 1) or (batch, t, 1)
     n = jnp.maximum(n_valid, 1).astype(mel.dtype)
     mean = jnp.sum(jnp.where(valid, mel, 0.0), axis=-2, keepdims=True) / n
     var = jnp.sum(jnp.where(valid, (mel - mean) ** 2, 0.0), axis=-2, keepdims=True) / (
