@@ -72,7 +72,10 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         eval_ds = SyntheticSpeechDataset(
             max(64, n_synth // 100), split="dev", seed=seed
         )
-        collator = ASRCollator()
+        # frame_bucket 200 keeps the number of compiled train-step shapes
+        # at ~3 for the 1-6 s synthetic utterances (first TPU compiles
+        # through the tunnel cost minutes each).
+        collator = ASRCollator(frame_bucket=200)
         train_loader = DataLoader(
             train_ds, batch_size=batch_size, shuffle=True, num_workers=8,
             collate_fn=collator, drop_last=True, prefetch=4,
