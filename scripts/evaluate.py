@@ -55,6 +55,20 @@ def main():
     parser.add_argument("--beam-width", type=int, default=0)
     parser.add_argument("--max-utts", type=int, default=0, help="0 = all")
     parser.add_argument("--output", help="write per-utterance results (JSON)")
+    parser.add_argument("--int8", action="store_true",
+                        help="run the INT8 MXU inference path (dynamic "
+                             "per-tensor activation scales)")
+    parser.add_argument("--int8-static", action="store_true",
+                        help="INT8 with calibrated static activation scales "
+                             "(the ORT quantize_static analog); calibrates "
+                             "on --calib-batches batches first")
+    parser.add_argument("--calib-batches", type=int, default=8)
+    parser.add_argument("--streaming", action="store_true",
+                        help="decode each utterance with the chunked "
+                             "streaming pipeline (carried SSM state) instead "
+                             "of the offline batched forward — measures the "
+                             "streaming-vs-offline accuracy gap")
+    parser.add_argument("--chunk-seconds", type=float, default=2.0)
     args = parser.parse_args()
 
     if not args.audio_dir and not args.test_set:
@@ -68,7 +82,12 @@ def main():
     from velocity_asr_tpu.models.model import forward, from_pretrained
     from velocity_asr_tpu.training import compute_cer, compute_wer
 
-    model, params = from_pretrained(args.checkpoint)
+    overrides = {}
+    if args.int8 or args.int8_static:
+        overrides["int8_inference"] = True
+    if args.int8_static:
+        overrides["int8_static"] = True
+    model, params = from_pretrained(args.checkpoint, **overrides)
 
     vocab_path = os.path.join(args.checkpoint, "vocabulary.json")
     if os.path.exists(vocab_path):
@@ -100,11 +119,72 @@ def main():
     logger.info("Evaluating %d utterances from %s", n, args.test_set)
     collator = ASRCollator(frame_bucket=200, target_bucket=1)
 
+    quant_stats = None
+    if args.int8_static:
+        from velocity_asr_tpu.quantize import calibrate_int8_model
+
+        n_calib = min(n, args.calib_batches * args.batch_size)
+        logger.info("Calibrating static INT8 scales on %d utterances", n_calib)
+        calib = (
+            collator([ds[i] for i in range(s, min(s + args.batch_size, n_calib))])[
+                "mel_spectrogram"
+            ]
+            for s in range(0, n_calib, args.batch_size)
+        )
+        quant_stats = calibrate_int8_model(model, params, calib)
+
+    if args.streaming:
+        # Streaming benchmark: chunked decode with carried SSM/conv state
+        # (per-utterance; measures the streaming-vs-offline accuracy gap,
+        # VERDICT item: reference README.md:480-482 future-work claim).
+        from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
+        from velocity_asr_tpu.streaming import StreamingTranscriber
+
+        frames = int(args.chunk_seconds * 100)
+        frames += frames % 2
+        block = int(args.chunk_seconds * SAMPLE_RATE)
+        st = StreamingTranscriber(model, params, decoder, chunk_frames=frames)
+        predictions, references = [], []
+        total_audio_s, total_wall = 0.0, 0.0
+        for i in range(n):
+            item = ds.samples[i] if hasattr(ds, "samples") else None
+            assert item is not None, "--streaming needs a JSONL manifest test set"
+            audio = load_audio(item["audio_path"])
+            t0 = time.perf_counter()
+            st.reset()
+            text = ""
+            for s in range(0, len(audio), block):
+                text += st.feed(audio[s : s + block])
+            text += st.finish()
+            total_wall += time.perf_counter() - t0
+            predictions.append(text)
+            references.append(item["text"])
+            total_audio_s += len(audio) / SAMPLE_RATE
+            if i % 50 == 0:
+                logger.info("  %d/%d", i + 1, n)
+        wer = compute_wer(predictions, references)
+        cer = compute_cer(predictions, references)
+        rtf = total_wall / max(total_audio_s, 1e-9)
+        logger.info(
+            "STREAMING WER: %.2f%% | CER: %.2f%% | RTF: %.5f | utts/s: %.2f",
+            wer * 100, cer * 100, rtf, n / max(total_wall, 1e-9),
+        )
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(
+                    {"wer": wer, "cer": cer, "rtf": rtf, "utterances": n,
+                     "streaming": True,
+                     "results": [{"prediction": p, "reference": r}
+                                 for p, r in zip(predictions, references)]},
+                    f, indent=2,
+                )
+        return {"wer": wer, "cer": cer, "rtf": rtf}
+
     from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
     from velocity_asr_tpu.decode import ctc_greedy_decode_jax
 
     def masked_logits(p, mel, input_lengths):
-        logits = forward(model, p, mel, train=False)
+        logits = forward(model, p, mel, train=False, quant_stats=quant_stats)
         out_lens = (input_lengths + 1) // 2
         # Force blank on padded frames so the whole batch decodes in one
         # vectorized call (a blank emits nothing and leaves prefixes alone).

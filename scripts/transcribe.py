@@ -324,6 +324,11 @@ def main():
         "--chunk-seconds", type=float, default=2.0,
         help="streaming chunk size in seconds",
     )
+    parser.add_argument(
+        "--sequence-parallel", action="store_true",
+        help="shard the SSM scans' time axis across all local devices "
+             "(sequence parallelism for long-form audio; SURVEY.md §2.4)",
+    )
     args = parser.parse_args()
 
     if not args.audio and not args.input_dir:
@@ -332,7 +337,20 @@ def main():
     from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
     from velocity_asr_tpu.models.model import from_pretrained
 
-    model, params = from_pretrained(args.checkpoint)
+    overrides = {}
+    sp_ctx = None
+    if args.sequence_parallel:
+        import jax
+
+        from velocity_asr_tpu.parallel import create_mesh, sequence_parallel
+
+        overrides["scan_mode"] = "sp"
+        mesh = create_mesh()
+        sp_ctx = sequence_parallel(mesh)
+        logger.info(
+            "Sequence parallelism: time axis sharded over %d devices", len(jax.devices())
+        )
+    model, params = from_pretrained(args.checkpoint, **overrides)
     vocab_path = os.path.join(args.checkpoint, "vocabulary.json")
     if os.path.exists(vocab_path):
         with open(vocab_path) as f:
@@ -344,19 +362,24 @@ def main():
 
     files = [args.audio] if args.audio else collect_files(args.input_dir)
     results = []
-    for path in files:
-        try:
-            if args.streaming:
-                result = transcribe_streaming(
-                    model, params, decoder, path, args.chunk_seconds
-                )
-            else:
-                result = pipeline.transcribe_file(path, timestamps=args.timestamps)
-            results.append(result)
-            logger.info("%s -> %s (RTF %.4f)", path, result["text"], result["rtf"])
-        except Exception as e:  # per-file isolation (reference :278-279)
-            logger.error("Failed on %s: %s", path, e)
-            results.append({"file": path, "error": str(e)})
+    if sp_ctx is None:
+        import contextlib
+
+        sp_ctx = contextlib.nullcontext()
+    with sp_ctx:  # scans trace against the SP mesh inside this block
+        for path in files:
+            try:
+                if args.streaming:
+                    result = transcribe_streaming(
+                        model, params, decoder, path, args.chunk_seconds
+                    )
+                else:
+                    result = pipeline.transcribe_file(path, timestamps=args.timestamps)
+                results.append(result)
+                logger.info("%s -> %s (RTF %.4f)", path, result["text"], result["rtf"])
+            except Exception as e:  # per-file isolation (reference :278-279)
+                logger.error("Failed on %s: %s", path, e)
+                results.append({"file": path, "error": str(e)})
 
     if args.output:
         with open(args.output, "w") as f:

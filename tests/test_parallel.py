@@ -41,6 +41,50 @@ def test_sequence_parallel_scan_matches_full():
     np.testing.assert_allclose(np.asarray(full), np.asarray(sp), rtol=1e-5, atol=1e-5)
 
 
+def test_model_level_sequence_parallel_matches_parallel():
+    """Full model forward with scan_mode="sp" (every SSM scan time-sharded
+    over the 8-device mesh via the ambient sequence_parallel context) must
+    match the single-device parallel-scan forward."""
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import create_model, forward, init_params
+    from velocity_asr_tpu.parallel import sequence_parallel
+
+    cfg = dict(
+        d_model=32, ssm_layers=2, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=37,
+    )
+    model_ref = create_model(VelocityASRConfig(scan_mode="parallel", **cfg))
+    model_sp = create_model(VelocityASRConfig(scan_mode="sp", **cfg))
+    params = init_params(model_ref, jax.random.PRNGKey(0), example_frames=16)
+
+    rng = np.random.default_rng(2)
+    # 120 frames -> 60 scan steps: not divisible by 8, exercises the
+    # identity-step padding in selective_scan_sp_padded.
+    mel = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
+
+    ref = forward(model_ref, params, mel)
+    mesh = create_mesh()
+    with sequence_parallel(mesh):
+        sp = jax.jit(lambda p, m: forward(model_sp, p, m))(params, mel)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_mode_requires_context():
+    from velocity_asr_tpu.ops.scan import selective_scan
+
+    args = (
+        jnp.zeros((1, 8, 4)), jnp.zeros((1, 8, 4)),
+        -jnp.ones((2,)), jnp.zeros((1, 8, 2)), jnp.zeros((1, 8, 2)),
+        jnp.zeros((4,)),
+    )
+    try:
+        selective_scan(*args, mode="sp")
+        assert False, "expected ValueError without an active mesh"
+    except ValueError as e:
+        assert "sequence_parallel" in str(e)
+
+
 def test_sequence_parallel_scan_jitted():
     mesh = create_mesh()
     rng = np.random.default_rng(1)

@@ -47,6 +47,8 @@ class VelocityASRConfig:
 
     # Scan implementation ladder (reference ssm.py:29 maps
     # sequential/parallel/mamba -> lax.scan / lax.associative_scan / Pallas).
+    # "sp" additionally shards the scan's TIME axis over a device mesh
+    # (sequence parallelism; wrap calls in parallel.sequence_parallel(mesh)).
     scan_mode: str = "parallel"
 
     # Kept for checkpoint/API parity with the reference (model.py:62-63);

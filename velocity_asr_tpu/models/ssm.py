@@ -72,6 +72,13 @@ class SelectiveSSM(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
         # Recurrence in fp32 (see module docstring).
+        # Param-shape init never needs the mesh: during flax init, "sp"
+        # (sequence-parallel) falls back to the single-device tier so
+        # from_pretrained/init_params work outside a sequence_parallel
+        # context.
+        mode = self.scan_mode
+        if mode == "sp" and self.is_initializing():
+            mode = "parallel"
         scan_out = selective_scan(
             x_in.astype(jnp.float32),
             dt.astype(jnp.float32),
@@ -79,7 +86,7 @@ class SelectiveSSM(nn.Module):
             B.astype(jnp.float32),
             C.astype(jnp.float32),
             D,
-            mode=self.scan_mode,
+            mode=mode,
             h0=ssm_state,
             return_state=return_state,
         )

@@ -143,4 +143,24 @@ def selective_scan(
         from .scan_pallas import selective_scan_pallas
 
         return selective_scan_pallas(x, dt, A, B, C, D)
+    if mode == "sp":
+        # Sequence parallel: time axis sharded over the mesh set by
+        # parallel.sequence_parallel (SURVEY.md §2.4). Streaming chunks
+        # (h0/return_state) are short — they keep the single-device path.
+        if h0 is not None or return_state:
+            return selective_scan_parallel(x, dt, A, B, C, D, h0, return_state)
+        from ..parallel.sp_scan import (
+            current_sequence_parallel,
+            selective_scan_sp_padded,
+        )
+
+        ctx = current_sequence_parallel()
+        if ctx is None:
+            raise ValueError(
+                'scan_mode="sp" needs an active mesh: wrap the (first) '
+                "forward call in velocity_asr_tpu.parallel.sequence_parallel"
+                "(mesh, axis)"
+            )
+        mesh, axis = ctx
+        return selective_scan_sp_padded(x, dt, A, B, C, D, mesh, axis)
     raise ValueError(f"Unknown scan mode: {mode!r}")

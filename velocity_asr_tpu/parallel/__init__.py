@@ -1,5 +1,17 @@
 """Device-mesh and sharding utilities."""
 
 from .mesh import create_mesh, data_sharding, replicated_sharding
+from .sp_scan import (
+    current_sequence_parallel,
+    selective_scan_sequence_parallel,
+    sequence_parallel,
+)
 
-__all__ = ["create_mesh", "data_sharding", "replicated_sharding"]
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "sequence_parallel",
+    "current_sequence_parallel",
+    "selective_scan_sequence_parallel",
+]

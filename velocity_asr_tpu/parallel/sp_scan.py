@@ -17,10 +17,43 @@ user-level communication code.
 
 from __future__ import annotations
 
+import contextlib
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+# Ambient sequence-parallel context consulted by ops.scan.selective_scan
+# when scan_mode == "sp". Set at trace time (a Python-level static), so it
+# must wrap the first call of any jitted function that should shard its
+# scans over time. See `sequence_parallel`.
+_SP_CONTEXT: Optional[Tuple[Mesh, str]] = None
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Mesh, axis: str = "data"):
+    """Route all `scan_mode="sp"` selective scans through the time-sharded
+    mesh implementation while active.
+
+    This is the user-reachable sequence-parallel switch (SURVEY.md §2.4):
+    build a model with ``scan_mode="sp"`` and wrap forward/jit calls in
+    ``with sequence_parallel(mesh):``. The context is read when the
+    function is TRACED — wrap the first (compiling) call; already-compiled
+    executables keep whatever mode they were traced with.
+    """
+    global _SP_CONTEXT
+    prev = _SP_CONTEXT
+    _SP_CONTEXT = (mesh, axis)
+    try:
+        yield
+    finally:
+        _SP_CONTEXT = prev
+
+
+def current_sequence_parallel() -> Optional[Tuple[Mesh, str]]:
+    """The active (mesh, axis) set by `sequence_parallel`, or None."""
+    return _SP_CONTEXT
 
 
 def _local_scan_with_cum(x, dt, A, B):
@@ -95,3 +128,21 @@ def selective_scan_sequence_parallel(
         out_specs=spec_t,
     )
     return fn(x, dt, A, B, C, D)
+
+
+def selective_scan_sp_padded(x, dt, A, B, C, D, mesh: Mesh, axis: str = "data"):
+    """`selective_scan_sequence_parallel` for arbitrary L.
+
+    Pads the time axis to a multiple of the mesh axis size with identity
+    recurrence steps (dt=0 -> dA=exp(0)=1, dBx=0: the state passes through
+    unchanged) and slices the padding back off — so model code can shard
+    any sequence length without divisibility bookkeeping.
+    """
+    n_dev = mesh.shape[axis]
+    L = x.shape[1]
+    pad = (-L) % n_dev
+    if pad:
+        pad_t = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        x, dt, B, C = pad_t(x), pad_t(dt), pad_t(B), pad_t(C)
+    y = selective_scan_sequence_parallel(x, dt, A, B, C, D, mesh, axis)
+    return y[:, :L] if pad else y

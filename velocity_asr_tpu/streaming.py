@@ -177,6 +177,16 @@ class StreamingTranscriber:
 
         self._step = jax.jit(step)
 
+    def reset(self) -> None:
+        """Start a new session, reusing the compiled step function."""
+        self.mel = StreamingMel()
+        self._mel_buf = np.zeros((0, self.model.config.mel_bins), np.float32)
+        self._state = None
+        self._time_offset = 0
+        self._prev_token = BLANK_TOKEN
+        self._tokens = []
+        self._emitted_text = ""
+
     def _init_state(self):
         cfg = self.model.config
         k = cfg.ssm_kernel_size
