@@ -158,6 +158,28 @@ def test_streaming_transcriber_end_to_end(tiny_model):
     assert st._time_offset == (1 + len(audio) // 160 + 1) // 2
 
 
+def test_streaming_transcriber_reset_reproduces(tiny_model):
+    """reset() starts a fresh session on the same compiled step: feeding the
+    same audio twice must produce identical output and state."""
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=100)
+
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(2 * 16000) * 0.1).astype(np.float32)
+
+    def run_once():
+        text = st.feed(audio)
+        text += st.finish()
+        return text, st._time_offset
+
+    text1, off1 = run_once()
+    st.reset()
+    assert st.text == "" and st._time_offset == 0
+    text2, off2 = run_once()
+    assert text1 == text2 and off1 == off2
+
+
 def test_streaming_mel_short_audio_matches_offline():
     # audio shorter than the reflect pad (n_fft//2 = 200 samples)
     for n in (150, 250, 450):

@@ -196,7 +196,25 @@ def main():
     y_ref = np.asarray(oracle(x, dt, Bc, Cc))
     for name in names:
         try:
-            if "_" in name and not name.startswith("old"):
+            if name.startswith("in"):
+                # inT{t}g{g}[e][s][d]: inline chain; e=exp2, s=stacked y
+                # writes, d=materialize decay only
+                body = name[2:]
+                exp2 = y_stack = keep_dec = False
+                while body[-1] in "esd":
+                    if body[-1] == "e":
+                        exp2 = True
+                    elif body[-1] == "s":
+                        y_stack = True
+                    else:
+                        keep_dec = True
+                    body = body[:-1]
+                t, g = body[1:].split("g")
+                run = make_inline(int(t), int(g), exp2=exp2, y_stack=y_stack,
+                                  keep_dec=keep_dec)
+            elif name.startswith("xc"):
+                run = make_exp_chain_probe(int(name[2:]))
+            elif "_" in name and not name.startswith("old"):
                 body, variant = name.split("_")
                 t, g = body[1:].split("g")
                 if variant in ("suy", "sud"):
@@ -386,6 +404,106 @@ def make_block_su(chunk, group, sub=None, y_mode="vpu"):
     return run
 
 
+
+
+def make_inline(chunk, group, exp2=False, y_stack=False, keep_dec=False):
+    """Fully-inline VPU chain — NO (T, N, D) scratch arrays at all.
+
+    Hypothesis: the block kernel's 1.85 ms "exp wall" is mostly the VMEM
+    write+read of the materialized (T, N, D) decay/U arrays (2 x 1.18 GB
+    per layer at B=8), not the transcendental itself. Here each step
+    computes decay = exp(A (x) dt[t]) inline (24 vregs), forms the rank-1
+    U = B[t] (x) (dt*x)[t] by broadcast, FMAs into the register-resident
+    h, and reduces y[t] = sum_n C[t,n] h[n,:] immediately — the only VMEM
+    traffic is the input rows and y rows.
+
+    keep_dec=True instead materializes ONLY the decay (batched exp pass)
+    and keeps U/y inline: half the scratch traffic of the block kernel.
+    """
+
+    def kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref, dec_ref):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+
+        a_col2 = a_ref[:].reshape(N, 1) * (LOG2E if exp2 else 1.0)
+        e = jnp.exp2 if exp2 else jnp.exp
+        for j in range(group):
+            if keep_dec:
+                dec_ref[j] = e(a_col2.reshape(1, N, 1) * dt_ref[j][:, None, :])
+            h = h_ref[j]
+            rows = []
+            for t in range(chunk):  # static indices throughout
+                dt_t = dt_ref[j, t].reshape(1, D)
+                if keep_dec:
+                    decay = dec_ref[j, t]
+                else:
+                    decay = e(a_col2 * dt_t)  # (N, D) inline
+                u = b_ref[j, t].reshape(N, 1) * (dt_t * x_ref[j, t].reshape(1, D))
+                h = decay * h + u
+                row = jnp.sum(c_ref[j, t].reshape(N, 1) * h, axis=0)
+                if y_stack:
+                    rows.append(row)
+                else:
+                    y_ref[j, t] = row
+            if y_stack:
+                y_ref[j] = jnp.stack(rows)
+            h_ref[j] = h
+
+    def run(x, dt, Bc, Cc):
+        grid = (B // group, L // chunk)
+        seq_d = pl.BlockSpec((group, chunk, D), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+        seq_n = pl.BlockSpec((group, chunk, N), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((N, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                seq_d, seq_d, seq_n, seq_n,
+            ],
+            out_specs=seq_d,
+            scratch_shapes=[
+                pltpu.VMEM((group, N, D), jnp.float32),
+                pltpu.VMEM((group, chunk if keep_dec else 1, N, D), jnp.float32),
+            ],
+        )(a_col, x, dt, Bc, Cc)
+
+    return run
+
+
+def make_exp_chain_probe(chunk, group=1):
+    """Pure in-chain exp throughput: per-step exp (N, D) accumulated into a
+    register value; no scratch writes. Lower-bounds the inline variant."""
+
+    def kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
+        a_col_ = a_ref[:].reshape(N, 1)
+        for j in range(group):
+            acc = h_ref[j]
+            for t in range(chunk):
+                acc = acc + jnp.exp(a_col_ * dt_ref[j, t].reshape(1, D))
+            h_ref[j] = acc
+            y_ref[j] = x_ref[j]
+
+    def run(x, dt, Bc, Cc):
+        grid = (B // group, L // chunk)
+        seq_d = pl.BlockSpec((group, chunk, D), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+        seq_n = pl.BlockSpec((group, chunk, N), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((N, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                seq_d, seq_d, seq_n, seq_n,
+            ],
+            out_specs=seq_d,
+            scratch_shapes=[pltpu.VMEM((group, N, D), jnp.float32)],
+        )(a_col, x, dt, Bc, Cc)
+
+    return run
 
 
 def make_block_fused(chunk, group, mode):
