@@ -141,6 +141,10 @@ def main():
     parser.add_argument("--model-config", default="configs/model.yaml")
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
     parser.add_argument("--max-steps", type=int, default=None, help="override max_steps")
+    parser.add_argument("--lr-total-steps", type=int, default=None,
+                        help="cosine-decay horizon in optimizer updates "
+                             "(default: max_steps, reference parity; see "
+                             "TrainingConfig.lr_total_steps)")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of a few steps here")
@@ -170,6 +174,8 @@ def main():
     train_cfg = training_config_from_yaml(train_cfg_dict)
     if args.max_steps is not None:
         train_cfg = dataclasses.replace(train_cfg, max_steps=args.max_steps)
+    if args.lr_total_steps is not None:
+        train_cfg = dataclasses.replace(train_cfg, lr_total_steps=args.lr_total_steps)
     if args.batch_size is not None:
         train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
     if args.profile_dir is not None:

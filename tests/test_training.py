@@ -83,6 +83,25 @@ def test_scheduler_matches_reference(torch_reference):
         np.testing.assert_allclose(ours, ref_sched.get_lr()[0], rtol=1e-5)
 
 
+def test_lr_total_steps_overrides_decay_horizon():
+    """lr_total_steps re-times the cosine in optimizer updates: with
+    accumulation k the default horizon (max_steps micro-steps) never
+    anneals within the run; the override reaches min_lr at the end."""
+    from velocity_asr_tpu.training import TrainingConfig, make_optimizer
+
+    base = dict(learning_rate=3e-4, warmup_steps=100,
+                max_steps=4000, gradient_accumulation_steps=4)
+    _, sched_default = make_optimizer(TrainingConfig(**base))
+    _, sched_anneal = make_optimizer(
+        TrainingConfig(**base, lr_total_steps=1000))
+    final_update = 4000 // 4 - 1
+    # parity default: barely decayed at the run's final update
+    assert float(sched_default(final_update)) > 0.8 * 3e-4
+    # override: fully annealed to min_lr_ratio * base
+    np.testing.assert_allclose(
+        float(sched_anneal(final_update)), 0.1 * 3e-4, rtol=1e-2)
+
+
 def test_wer_cer_match_reference(torch_reference):
     preds = ["the cat sat", "hello world", ""]
     refs = ["the cat sat on the mat", "hello word", "abc"]

@@ -1,0 +1,119 @@
+"""Train-step cost decomposition at the full recipe shape (dev tool, TPU).
+
+Times, at batch 8 x FRAMES:
+  fwd        : jit model forward only
+  fwd+loss   : forward + CTC loss value
+  grad       : value_and_grad (fwd + bwd)
+  step       : full Trainer device step (grad + clip + AdamW/MultiSteps)
+  scan8      : the 8 local-SSM Pallas scans alone (fwd)
+  scan8 grad : the 8 scans alone, fwd + bwd
+
+Usage: python tools/probe_train_cost.py [frames] [batch]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from velocity_asr_tpu.models.config import VelocityASRConfig
+from velocity_asr_tpu.models.model import create_model, forward, init_params
+from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+VOCAB = 30
+REP = 4
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)  # sync
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(REP)]
+    for o in outs:
+        jax.tree_util.tree_map(np.asarray, o)
+    dt = (time.perf_counter() - t0) / REP
+    print(f"{name:12s}: {dt*1e3:8.1f} ms")
+    return dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cfg = VelocityASRConfig(dtype="bfloat16", scan_mode="pallas", vocab_size=VOCAB)
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=64)
+    mel = jnp.asarray(rng.standard_normal((BATCH, FRAMES, 80)), jnp.float32)
+
+    fwd = jax.jit(lambda p, m: jnp.sum(forward(model, p, m, train=False)))
+    timeit("fwd", fwd, params, mel)
+
+    # full device train step via the Trainer (same graph as training)
+    batch = {
+        "mel_spectrogram": np.asarray(mel),
+        "targets": rng.integers(3, VOCAB, size=(BATCH, 60)).astype(np.int32),
+        "input_lengths": np.full((BATCH,), FRAMES, np.int32),
+        "target_lengths": np.full((BATCH,), 60, np.int32),
+    }
+    tc = TrainingConfig(max_steps=8, warmup_steps=2, log_interval=10**9,
+                        eval_interval=10**9, save_interval=10**9,
+                        gradient_accumulation_steps=4)
+
+    def batches():
+        while True:
+            yield batch
+
+    tr = Trainer(model, tc, batches())
+    timeit("step", tr._train_step_device, batch)
+
+    # loss+grad without the optimizer (isolates optax/MultiSteps cost)
+    from velocity_asr_tpu.training import CTCLoss
+
+    ctc = CTCLoss()
+    out_lens = (batch["input_lengths"] + 1) // 2
+
+    def loss_fn(p, m, tgt, tl):
+        logits = forward(model, p, m, train=False)
+        return ctc(logits, tgt, jnp.asarray(out_lens), tl)
+
+    loss_jit = jax.jit(loss_fn)
+    timeit("fwd+loss", loss_jit, params, mel,
+           jnp.asarray(batch["targets"]), jnp.asarray(batch["target_lengths"]))
+    # reduce grads to a scalar ON DEVICE: the host tunnel is ~slow, so
+    # downloading the 6M-param grad pytree would swamp the measurement
+    def grad_scalar(p, m, tgt, tl):
+        val, grads = jax.value_and_grad(loss_fn)(p, m, tgt, tl)
+        return val + sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+
+    grad_jit = jax.jit(grad_scalar)
+    timeit("grad", grad_jit, params, mel,
+           jnp.asarray(batch["targets"]), jnp.asarray(batch["target_lengths"]))
+
+    # scans alone (the 8-layer local stack's scan op, fwd and fwd+bwd)
+    from velocity_asr_tpu.ops.scan_pallas import selective_scan_pallas
+
+    L = (FRAMES + 1) // 2
+    d_inner, n_state = cfg.d_inner, cfg.ssm_state_dim
+    xs = jnp.asarray(rng.standard_normal((BATCH, L, d_inner)), jnp.float32)
+    dts = jnp.asarray(np.abs(rng.standard_normal((BATCH, L, d_inner))) * 0.4, jnp.float32)
+    As = -jnp.exp(jnp.log(jnp.arange(1, n_state + 1, dtype=jnp.float32)))
+    Bs = jnp.asarray(rng.standard_normal((BATCH, L, n_state)), jnp.float32)
+    Cs = jnp.asarray(rng.standard_normal((BATCH, L, n_state)), jnp.float32)
+    Ds = jnp.ones((d_inner,), jnp.float32)
+
+    def scans8(x):
+        for _ in range(8):
+            x = selective_scan_pallas(x, dts, As, Bs, Cs, Ds)
+        return x
+
+    s8 = jax.jit(lambda x: jnp.sum(scans8(x)))
+    timeit("scan8 fwd", s8, xs)
+    s8g = jax.jit(lambda x: jnp.sum(jax.grad(lambda z: jnp.sum(scans8(z)))(x)))
+    timeit("scan8 grad", s8g, xs)
+
+
+if __name__ == "__main__":
+    main()

@@ -200,10 +200,12 @@ def main():
                 # inT{t}g{g}[e][s][d]: inline chain; e=exp2, s=stacked y
                 # writes, d=materialize decay only
                 body = name[2:]
-                exp2 = y_stack = keep_dec = False
-                while body[-1] in "esd":
+                exp2, y_stack, keep_dec = "exp", False, False
+                while body[-1] in "espd":
                     if body[-1] == "e":
-                        exp2 = True
+                        exp2 = "exp2"
+                    elif body[-1] == "p":
+                        exp2 = "poly"
                     elif body[-1] == "s":
                         y_stack = True
                     else:
@@ -213,7 +215,13 @@ def main():
                 run = make_inline(int(t), int(g), exp2=exp2, y_stack=y_stack,
                                   keep_dec=keep_dec)
             elif name.startswith("xc"):
-                run = make_exp_chain_probe(int(name[2:]))
+                body = name[2:]
+                mode = "exp"
+                if body.endswith("e"):
+                    mode, body = "exp2", body[:-1]
+                elif body.endswith("p"):
+                    mode, body = "poly", body[:-1]
+                run = make_exp_chain_probe(int(body), mode=mode)
             elif "_" in name and not name.startswith("old"):
                 body, variant = name.split("_")
                 t, g = body[1:].split("g")
@@ -406,7 +414,7 @@ def make_block_su(chunk, group, sub=None, y_mode="vpu"):
 
 
 
-def make_inline(chunk, group, exp2=False, y_stack=False, keep_dec=False):
+def make_inline(chunk, group, exp2="exp", y_stack=False, keep_dec=False):
     """Fully-inline VPU chain — NO (T, N, D) scratch arrays at all.
 
     Hypothesis: the block kernel's 1.85 ms "exp wall" is mostly the VMEM
@@ -428,8 +436,8 @@ def make_inline(chunk, group, exp2=False, y_stack=False, keep_dec=False):
         def _():
             h_ref[:] = jnp.zeros_like(h_ref)
 
-        a_col2 = a_ref[:].reshape(N, 1) * (LOG2E if exp2 else 1.0)
-        e = jnp.exp2 if exp2 else jnp.exp
+        a_col2 = a_ref[:].reshape(N, 1) * (1.0 if exp2 == "exp" else LOG2E)
+        e = {"exp": jnp.exp, "exp2": jnp.exp2, "poly": fast_exp_poly}[exp2]
         for j in range(group):
             if keep_dec:
                 dec_ref[j] = e(a_col2.reshape(1, N, 1) * dt_ref[j][:, None, :])
@@ -474,16 +482,38 @@ def make_inline(chunk, group, exp2=False, y_stack=False, keep_dec=False):
     return run
 
 
-def make_exp_chain_probe(chunk, group=1):
+def fast_exp_poly(w):
+    """exp(z) given w = z*log2(e): round-to-nearest split w = k + f,
+    f in [-0.5, 0.5]; 2^f by degree-7 Taylor (max rel err ~7e-9); scale by
+    2^k via exponent-bit add. Clamps at the fp32 normal range."""
+    w = jnp.maximum(w, -126.0)
+    kf = jnp.floor(w + 0.5)
+    f = (w - kf) * 0.6931471805599453  # f*ln2: 2^f = e^(f ln2)
+    p = 1.0 + f * (1.0 + f * (0.5 + f * (
+        1 / 6 + f * (1 / 24 + f * (1 / 120 + f * (1 / 720 + f * (1 / 5040)))))))
+    bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    bits = bits + (kf.astype(jnp.int32) << 23)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def make_exp_chain_probe(chunk, group=1, mode="exp"):
     """Pure in-chain exp throughput: per-step exp (N, D) accumulated into a
-    register value; no scratch writes. Lower-bounds the inline variant."""
+    register value; no scratch writes. Lower-bounds the inline variant.
+    mode: exp | exp2 (pre-scaled A) | poly (fast_exp_poly)."""
 
     def kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, y_ref, h_ref):
-        a_col_ = a_ref[:].reshape(N, 1)
+        scale = LOG2E if mode in ("exp2", "poly") else 1.0
+        a_col_ = a_ref[:].reshape(N, 1) * scale
         for j in range(group):
             acc = h_ref[j]
             for t in range(chunk):
-                acc = acc + jnp.exp(a_col_ * dt_ref[j, t].reshape(1, D))
+                w = a_col_ * dt_ref[j, t].reshape(1, D)
+                if mode == "exp":
+                    acc = acc + jnp.exp(w)
+                elif mode == "exp2":
+                    acc = acc + jnp.exp2(w)
+                else:
+                    acc = acc + fast_exp_poly(w)
             h_ref[j] = acc
             y_ref[j] = x_ref[j]
 

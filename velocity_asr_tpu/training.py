@@ -53,6 +53,14 @@ class TrainingConfig:
     batch_size: int = 32
     gradient_accumulation_steps: int = 1
 
+    # Cosine-decay horizon in *optimizer updates*. The reference scheduler
+    # (training.py:196-204, 251-268) steps once per optimizer update but is
+    # constructed with total_steps=max_steps (micro-steps), so with
+    # accumulation k the decay horizon is k x longer than the run — the LR
+    # never fully anneals. Default None keeps that parity; set explicitly
+    # (e.g. max_steps // k) for a schedule that reaches min_lr by the end.
+    lr_total_steps: Optional[int] = None
+
     # Mixed precision: bf16 compute on TPU (replaces the reference's fp16
     # AMP; no loss scaling required). use_amp=False forces fp32 compute in
     # the model config (applied by scripts/train.py); the model.yaml
@@ -205,7 +213,9 @@ class WarmupCosineScheduler:
 def make_optimizer(config: TrainingConfig) -> Tuple[optax.GradientTransformation, Callable]:
     """AdamW + clip + warmup-cosine + gradient accumulation."""
     schedule = warmup_cosine_schedule(
-        config.learning_rate, config.warmup_steps, config.max_steps
+        config.learning_rate, config.warmup_steps,
+        config.lr_total_steps if config.lr_total_steps is not None
+        else config.max_steps,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(config.grad_clip_norm),
