@@ -26,6 +26,12 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from velocity_asr_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+# The suite's wall time is dominated by jit compiles (the assertions are
+# fast); a persistent cache makes re-runs take minutes instead of ~15.
+enable_compilation_cache()
+
 import pytest  # noqa: E402
 
 REFERENCE_PATH = "/root/reference"

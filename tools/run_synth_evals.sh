@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-2 held-out eval suite over the synthetic test set (1000 unseen
+# utterances): FP32, INT8-dynamic, INT8-static (calibrated), streaming,
+# and beam-search decoding — the accuracy deltas the reference reports
+# (README.md:255, 274-275) reproduced on the in-container corpus.
+#
+# Usage: tools/run_synth_evals.sh <checkpoint_dir> [outdir]
+set -e
+CKPT=${1:?usage: run_synth_evals.sh <checkpoint_dir> [outdir]}
+OUT=${2:-checkpoints/synth_run}
+TEST=data/synth_test/test_manifest.jsonl
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name ==="
+  python scripts/evaluate.py --checkpoint "$CKPT" --test-set "$TEST" \
+    --output "$OUT/eval_${name}.json" "$@" 2>&1 | tail -3
+}
+
+run fp32_final
+run int8_dynamic --int8
+run int8_static --int8-static --calib-batches 8
+run beam8 --beam-width 8
+run streaming --streaming
+echo "=== summary ==="
+python - <<'EOF'
+import glob, json
+for f in sorted(glob.glob("checkpoints/synth_run/eval_*.json")):
+    d = json.load(open(f))
+    print(f"{f.split('/')[-1]:28s} WER {d['wer']*100:6.2f}%  CER {d['cer']*100:5.2f}%  RTF {d['rtf']:.5f}")
+EOF
