@@ -121,6 +121,11 @@ class Transcriber:
             # n_valid_frames: (batch,) int32 — the pipeline is batched so the
             # serving daemon can micro-batch concurrent requests into one
             # device call.
+            if audio.dtype == jnp.int16:
+                # Audio crosses the host link as int16 PCM (the source WAV
+                # sample format — lossless, half the bytes of fp32; the
+                # link is the serve bottleneck) and is rescaled on device.
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             mel = compute_mel_spectrogram(audio, normalize=False)
             mel = masked_normalize_mel(mel, n_valid_frames)
             logits = forward(model, params, mel, train=False)
@@ -164,12 +169,19 @@ class Transcriber:
             padded[: len(audio)] = audio
         return padded[None], n_frames
 
+    @staticmethod
+    def _to_wire(audio_f32: np.ndarray) -> np.ndarray:
+        """int16 PCM for the host->device link (see masked_logits)."""
+        return np.clip(audio_f32 * 32768.0, -32768, 32767).astype(np.int16)
+
     def logits_for(self, audio: np.ndarray):
         n_frames = 1 + len(audio) // self.hop
         if self.device_mel:
             padded, n_frames = self._pad_audio(audio)
             logits = np.asarray(
-                self._infer_audio(self.params, self._jnp.asarray(padded), n_frames)
+                self._infer_audio(
+                    self.params, self._jnp.asarray(self._to_wire(padded)), n_frames
+                )
             )
         else:
             bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
@@ -207,7 +219,7 @@ class Transcriber:
         # ids cross the host link (full logits are ~vocab/2 KB per frame).
         padded, n_frames = self._pad_audio(audio)
         out_len = (n_frames + 1) // 2
-        audio_dev = self._jnp.asarray(padded)
+        audio_dev = self._jnp.asarray(self._to_wire(padded))
         if timestamps:
             preds = np.asarray(self._frame_preds(self.params, audio_dev, n_frames))
             tokens, stamps = timestamps_from_predictions(preds[:, :out_len])[0]
@@ -250,7 +262,7 @@ class Transcriber:
         nvec = np.ones((bpad,), np.int32)
         nvec[:b] = n_frames_list
         toks, lens = self._greedy_tokens(
-            self.params, self._jnp.asarray(batch), self._jnp.asarray(nvec)
+            self.params, self._jnp.asarray(self._to_wire(batch)), self._jnp.asarray(nvec)
         )
         toks, lens = np.asarray(toks), np.asarray(lens)
         return [

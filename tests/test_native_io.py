@@ -130,6 +130,26 @@ def test_unsupported_format_fails_fast(tmp_path):
         va_io.decode_audio_file(str(p))
 
 
+def test_unknown_extension_sniffs_content(tmp_path):
+    """The serve daemon writes request bodies to extensionless temp files;
+    decode must dispatch on magic bytes (RIFF/fLaC), not the filename."""
+    t = np.arange(1600) / 16000
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    path = str(tmp_path / "body.audio")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    data, rate = va_io.decode_audio_file(path)
+    assert rate == 16000 and data.shape[1] == 1600
+    # garbage with an unknown extension still fails fast
+    bad = tmp_path / "body2.audio"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(RuntimeError, match="unsupported format"):
+        va_io.decode_audio_file(str(bad))
+
+
 def test_supported_exts_advertised():
     exts = va_io.supported_audio_exts()
     assert ".wav" in exts

@@ -63,11 +63,23 @@ def main():
             raise RuntimeError("server never became healthy")
 
         wav = make_wav_bytes(args.seconds, 0)
-        # warm the compile cache (batch shapes 1..max) before timing
-        for k in range(3):
+
+        # Warm the compile cache BEFORE timing: sequential requests warm
+        # batch-1, then rounds of concurrent requests warm the power-of-two
+        # micro-batch shapes (2/4/8) the timed run will hit.
+        def fire():
             urllib.request.urlopen(
                 urllib.request.Request(base + "/transcribe", data=wav), timeout=600
-            )
+            ).read()
+
+        for k in range(2):
+            fire()
+        for k in range(3):
+            ws = [threading.Thread(target=fire) for _ in range(args.clients)]
+            for t in ws:
+                t.start()
+            for t in ws:
+                t.join()
 
         latencies = []
         lock = threading.Lock()

@@ -69,6 +69,15 @@ def main():
     tr = Trainer(model, tc, batches())
     timeit("step", tr._train_step_device, batch)
 
+    # steady-state loop with transfer prefetch (what Trainer.train runs)
+    dev_iter = tr._device_batches()
+    tr._train_step_sharded(next(dev_iter))  # warm
+    import numpy as _np
+    t0 = time.perf_counter()
+    losses = [tr._train_step_sharded(next(dev_iter)) for _ in range(REP)]
+    _np.asarray(losses[-1])
+    print(f"{'step+prefetch':12s}: {(time.perf_counter()-t0)/REP*1e3:8.1f} ms")
+
     # loss+grad without the optimizer (isolates optax/MultiSteps cost)
     from velocity_asr_tpu.training import CTCLoss
 

@@ -149,20 +149,40 @@ def supported_audio_exts() -> Tuple[str, ...]:
     return (".wav", ".flac") if native_available() else (".wav",)
 
 
+def _sniff_format(path: str) -> str:
+    """Container format from magic bytes: 'wav' | 'flac' | '' (unknown)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+    except OSError:
+        return ""
+    if head == b"RIFF":
+        return "wav"
+    if head == b"fLaC":
+        return "flac"
+    return ""
+
+
 def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
     """Decode an audio file to ((channels, samples) float32, sample_rate).
 
-    Fails fast with a clear message on formats no decoder handles
-    (mp3/ogg/m4a — supported by the reference via torchaudio, not here).
+    Dispatch is by extension, falling back to content sniffing (magic
+    bytes) for unknown extensions — the serve daemon receives raw request
+    bodies without a meaningful filename. Fails fast with a clear message
+    on formats no decoder handles (mp3/ogg/m4a — supported by the
+    reference via torchaudio, not here).
     """
     lower = path.lower()
     exts = supported_audio_exts()
     if not lower.endswith(exts):
-        raise RuntimeError(
-            f"Cannot decode {path!r}: unsupported format. Supported: "
-            f"{', '.join(exts)}. (mp3/ogg/m4a require an external decoder; "
-            "convert with e.g. `ffmpeg -i in.mp3 -ar 16000 out.wav`.)"
-        )
+        sniffed = _sniff_format(path)
+        known = {"wav": True, "flac": native_available()}
+        if not known.get(sniffed, False):
+            raise RuntimeError(
+                f"Cannot decode {path!r}: unsupported format. Supported: "
+                f"{', '.join(exts)}. (mp3/ogg/m4a require an external decoder; "
+                "convert with e.g. `ffmpeg -i in.mp3 -ar 16000 out.wav`.)"
+            )
     if native_available():
         return _decode_native(path)
     return _decode_wav_python(path)

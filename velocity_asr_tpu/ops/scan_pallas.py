@@ -54,12 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 # (chunk, N, D) scratch; chunk 32 won the T in {16,32,64,128} sweep
 # (tools/sweep_scan_block.py) and keeps scratch ~6.3 MB at N=64, D=384.
 DEFAULT_CHUNK = 32
-# Backward keeps (BWD_GROUP, TRAIN_CHUNK+1, N, D) recomputed states in VMEM;
-# chunk 32 x group 2 fits comfortably and interleaves two adjoint chains.
-TRAIN_CHUNK = 32
+# Training uses one chunk size for the forward's saved boundaries and the
+# backward's in-VMEM recompute. The block backward holds four (chunk, N, D)
+# fp32 buffers (dec/hbuf/lbuf + the U/P temporaries) per group member, so
+# chunk 16 x group 1 keeps the kernel well under the 16 MB VMEM budget.
+TRAIN_CHUNK = 16
 FWD_GROUP = 1  # batch elements per program (g1 won the fwd sweep)
-BWD_GROUP = 2
-BWD_UNROLL = 2
+BWD_GROUP = 1
 
 
 def _interpret() -> bool:
@@ -190,18 +191,41 @@ def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
 # -------------------------------------------------------------- backward
 
 
-def _make_bwd_kernel(group: int, unroll: int):
-    """Backward kernel over (batch-group, reversed time-chunk) grid steps.
+def _make_bwd_kernel(group: int, chunk: int):
+    """Block-recurrence backward kernel over (batch-group, reversed
+    time-chunk) grid steps.
 
-    Inputs are chunk blocks indexed in REVERSE chunk order; lam_ref carries
-    the adjoint states across chunks; hbuf_ref holds each group member's
-    recomputed forward states h[start-1 .. end-1] (T_c+1 slots).
+    Mirrors the forward's structure (see _make_fwd_kernel): every
+    O(chunk*N*D) quantity is computed as one batched VPU op, the two serial
+    dependencies (forward-state recompute and the adjoint recurrence) are
+    statically-unrolled bare-FMA chains, and the gradient rows come from
+    batched broadcast-multiply + reductions. The decays are exponentiated
+    ONCE per chunk and reused by both chains — the round-1 per-step kernel
+    paid the exp twice (recompute + adjoint) plus four HIGHEST-precision
+    MXU dots per step, which measured 4x slower than this form
+    (tools/sweep_scan_block.py; BENCH_DETAILS_r02.md).
+
+    Per (batch-group, reverse-chunk) program:
+      1. batched: dec[t] = exp(A (x) dt[t]); U[t] = B[t] (x) (dt*x)[t];
+         P[t] = C[t] (x) g[t]
+      2. forward chain from the saved boundary: hbuf[t+1] = dec[t]*hbuf[t]
+         + U[t] (bare FMA per step)
+      3. adjoint chain (reverse): lam[t] = lam_in + P[t], stored to lbuf;
+         lam_in = dec[t]*lam[t] — the carry leaves the chunk already
+         propagated across its first step, matching the chunk-boundary
+         convention of the per-step formulation
+      4. batched extraction:
+         dC[t] = sum_d g[t,d]*h[t+1]      dB[t]  = sum_d (dt*x)[t,d]*lam[t]
+         ds[t] = sum_n B[t,n]*lam[t]      dx[t]  = ds[t]*dt[t]
+         ddecay[t] = lam[t]*h[t]*dec[t]
+         ddt[t] = sum_n ddecay[t]*A + ds[t]*x[t]
+         dA    += sum_{t,d} ddecay[t]*dt[t]
     """
 
     def kernel(
         a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref,
         dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
-        lam_ref, hbuf_ref,
+        lam_ref, dec_ref, hbuf_ref, lbuf_ref,
     ):
         rev_idx = pl.program_id(1)
 
@@ -210,113 +234,47 @@ def _make_bwd_kernel(group: int, unroll: int):
             lam_ref[:] = jnp.zeros_like(lam_ref)
             da_ref[:] = jnp.zeros_like(da_ref)
 
-        a_col = a_ref[:]  # (N, 1)
-        t_c = x_ref.shape[1]
-
-        # ---- forward sub-pass: rebuild in-chunk states from the boundary.
+        n = a_ref.shape[0]
+        a_row = a_ref[:].reshape(1, n, 1)
         for j in range(group):
-            hbuf_ref[j, 0] = bound_ref[j, 0]
+            dt_j = dt_ref[j]  # (T, D)
+            x_j = x_ref[j]
+            g_j = g_ref[j]
+            s_j = dt_j * x_j  # (T, D)
 
-        def fwd_body(k, hs):
-            for u in range(unroll):
-                t = k * unroll + u
-                new = []
-                for j in range(group):
-                    h = hs[j]
-                    dt_t = dt_ref[j, pl.ds(t, 1), :]
-                    x_t = x_ref[j, pl.ds(t, 1), :]
-                    b_t = b_ref[j, pl.ds(t, 1), :]
-                    decay = jnp.exp(a_col * dt_t)
-                    dbx = jax.lax.dot_general(
-                        b_t, dt_t * x_t,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-                    )
-                    h = decay * h + dbx
-                    hbuf_ref[j, t + 1] = h
-                    new.append(h)
-                hs = tuple(new)
-            return hs
+            # 1. batched precompute (one exp pass, reused by both chains)
+            dec_ref[j] = jnp.exp(a_row * dt_j[:, None, :])
+            u = b_ref[j][:, :, None] * s_j[:, None, :]  # (T, N, D)
+            p = c_ref[j][:, :, None] * g_j[:, None, :]
 
-        jax.lax.fori_loop(
-            0, t_c // unroll, fwd_body, tuple(hbuf_ref[j, 0] for j in range(group))
-        )
+            # 2. forward-state recompute chain
+            h = bound_ref[j, 0]
+            hbuf_ref[j, 0] = h
+            for t in range(chunk):
+                h = dec_ref[j, t] * h + u[t]
+                hbuf_ref[j, t + 1] = h
 
-        # ---- reverse sub-pass: adjoint recurrence + gradient rows.
-        def bwd_one(j, t, lam, da_acc):
-            dt_t = dt_ref[j, pl.ds(t, 1), :]  # (1, D)
-            x_t = x_ref[j, pl.ds(t, 1), :]
-            b_t = b_ref[j, pl.ds(t, 1), :]  # (1, N)
-            c_t = c_ref[j, pl.ds(t, 1), :]
-            g_t = g_ref[j, pl.ds(t, 1), :]  # (1, D)
-            h_t = hbuf_ref[j, t + 1]  # (N, D)
-            h_prev = hbuf_ref[j, t]
+            # 3. adjoint chain (reverse, FMA per step)
+            lam = lam_ref[j]
+            for t in range(chunk - 1, -1, -1):
+                lam = lam + p[t]
+                lbuf_ref[j, t] = lam
+                lam = dec_ref[j, t] * lam
+            lam_ref[j] = lam
 
-            # dC[t] = g_t . h_t^T  -> (1, N)
-            dc_row = jax.lax.dot_general(
-                g_t, h_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            dc_ref[j, pl.ds(t, 1), :] = dc_row
-
-            # lam[t] = outer(c_t, g_t) + dA[t+1]*lam[t+1] (latter already in lam)
-            lam = lam + jax.lax.dot_general(
-                c_t, g_t,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-            decay = jnp.exp(a_col * dt_t)  # dA[t], (N, D)
-            dda = lam * h_prev
-            s_t = dt_t * x_t  # (1, D)
-
-            ds_row = jax.lax.dot_general(  # (1, D) = b_t . lam
-                b_t, lam,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            db_row = jax.lax.dot_general(  # (1, N) = s_t . lam^T
-                s_t, lam,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            db_ref[j, pl.ds(t, 1), :] = db_row
-
-            ddecay = dda * decay  # (N, D)
-            ddt_row = jnp.sum(ddecay * a_col, axis=0, keepdims=True) + ds_row * x_t
-            ddt_ref[j, pl.ds(t, 1), :] = ddt_row
-            dx_ref[j, pl.ds(t, 1), :] = ds_row * dt_t
-
-            da_acc = da_acc + jnp.sum(ddecay * dt_t, axis=1, keepdims=True)  # (N, 1)
-            lam = decay * lam  # propagate to t-1
-            return lam, da_acc
-
-        def bwd_body(k, carry):
-            lams, da_accs = carry
-            for u in range(unroll):
-                t = t_c - 1 - (k * unroll + u)
-                new_l, new_a = [], []
-                for j in range(group):
-                    lam, da_acc = bwd_one(j, t, lams[j], da_accs[j])
-                    new_l.append(lam)
-                    new_a.append(da_acc)
-                lams, da_accs = tuple(new_l), tuple(new_a)
-            return lams, da_accs
-
-        init = (
-            tuple(lam_ref[j] for j in range(group)),
-            tuple(jnp.zeros_like(da_ref[j]) for j in range(group)),
-        )
-        lams, da_accs = jax.lax.fori_loop(0, t_c // unroll, bwd_body, init)
-        for j in range(group):
-            lam_ref[j] = lams[j]
-            da_ref[j] = da_ref[j] + da_accs[j]
+            # 4. batched gradient extraction (all VPU, fp32)
+            lam_v = lbuf_ref[j]  # (T, N, D): lam[t]
+            h_post = hbuf_ref[j, 1:chunk + 1]
+            h_pre = hbuf_ref[j, 0:chunk]
+            dc_ref[j] = jnp.sum(h_post * g_j[:, None, :], axis=2)
+            ds = jnp.sum(lam_v * b_ref[j][:, :, None], axis=1)  # (T, D)
+            db_ref[j] = jnp.sum(lam_v * s_j[:, None, :], axis=2)
+            ddecay = lam_v * h_pre * dec_ref[j]
+            ddt_ref[j] = jnp.sum(ddecay * a_row, axis=1) + ds * x_j
+            dx_ref[j] = ds * dt_j
+            da_ref[j] = da_ref[j] + jnp.sum(
+                ddecay * dt_j[:, None, :], axis=(0, 2)
+            ).reshape(n, 1)
 
     return kernel
 
@@ -334,7 +292,6 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
     num_chunks = padded_len // chunk
     a_col = A.reshape(state_dim, 1).astype(jnp.float32)
     group = _pick_group(batch, BWD_GROUP)
-    unroll = math.gcd(chunk, BWD_UNROLL)
     grid = (batch // group, num_chunks)
     nc = num_chunks
 
@@ -354,7 +311,7 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
     )
 
     dx, ddt, dB_, dC_, dA_b = pl.pallas_call(
-        _make_bwd_kernel(group, unroll),
+        _make_bwd_kernel(group, chunk),
         out_shape=(
             jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
             jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
@@ -367,7 +324,9 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
         out_specs=(seq_d, seq_d, seq_n, seq_n, da_spec),
         scratch_shapes=[
             pltpu.VMEM((group, state_dim, d_inner), jnp.float32),  # lam
+            pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # dec
             pltpu.VMEM((group, chunk + 1, state_dim, d_inner), jnp.float32),  # hbuf
+            pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # lbuf
         ],
         interpret=_interpret(),
     )(a_col, x, dt, B, C, g, bounds)

@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -262,6 +263,7 @@ class Trainer:
         self.global_step = 0
         self.best_eval_loss = float("inf")
         self._rng = rng
+        self._transfer_bf16 = getattr(model.config, "dtype", "float32") == "bfloat16"
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -295,6 +297,13 @@ class Trainer:
             v = np.asarray(v)
             if pad:
                 v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+            if k == "mel_spectrogram" and self._transfer_bf16:
+                # bf16-compute models read the mel in bf16 anyway; casting
+                # on the host before device_put halves the bytes on the
+                # wire — the train step is transfer-bound at long shapes
+                # (~390 ms for the fp32 8 x 30 s mel batch through the TPU
+                # tunnel vs ~70 ms of compute, tools/probe_train_cost.py).
+                v = v.astype(ml_dtypes.bfloat16)
             spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
             out[k] = jax.device_put(jnp.asarray(v), NamedSharding(self.mesh, spec))
         return out, n_valid
@@ -364,12 +373,31 @@ class Trainer:
         """One step, returning the loss as a device array (no host sync —
         the host<->TPU link costs ~30 ms per sync; the train loop converts
         losses only at log_interval)."""
-        batch, n_valid = self.shard_batch(batch)
+        return self._train_step_sharded(self.shard_batch(batch))
+
+    def _train_step_sharded(self, sharded):
+        batch, n_valid = sharded
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, batch, self._rng, n_valid
         )
         self.global_step += 1
         return loss
+
+    def _device_batches(self):
+        """Device-batch iterator with one-step transfer prefetch: the next
+        batch's host->device copy (async jax.device_put) is issued BEFORE
+        the current step is dispatched, so the DMA overlaps with compute.
+        Without this the transfer serializes with the step — at the 30 s
+        recipe shape (7.7 MB mel) it costs ~150 ms through the TPU tunnel,
+        ~3x the bwd+optimizer compute (tools/probe_train_cost.py)."""
+        prev = None
+        for batch in self.train_iter:
+            cur = self.shard_batch(batch)
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         batch, n_valid = self.shard_batch(batch)
@@ -379,6 +407,7 @@ class Trainer:
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         history: Dict[str, List[float]] = {"train_loss": [], "eval_loss": [], "lr": []}
         device_losses: List[jnp.ndarray] = []
+        dev_iter = self._device_batches()
         tracing = False
         t0 = time.perf_counter()
 
@@ -394,8 +423,7 @@ class Trainer:
                     tracing = False
                     logger.info("profiler trace stopped")
 
-            batch = next(self.train_iter)
-            device_losses.append(self._train_step_device(batch))
+            device_losses.append(self._train_step_sharded(next(dev_iter)))
 
             if (step + 1) % self.config.log_interval == 0:
                 # Convert losses to host floats only here (one sync per
