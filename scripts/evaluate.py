@@ -69,6 +69,12 @@ def main():
                              "of the offline batched forward — measures the "
                              "streaming-vs-offline accuracy gap")
     parser.add_argument("--chunk-seconds", type=float, default=2.0)
+    parser.add_argument("--stream-tokens", type=int, default=None,
+                        help="override config.stream_summary_tokens (per-chunk "
+                             "pooled summary size; offline level-1 uses "
+                             "max(64, L//8))")
+    parser.add_argument("--stream-memory", type=int, default=None,
+                        help="override config.stream_memory_chunks")
     args = parser.parse_args()
 
     if not args.audio_dir and not args.test_set:
@@ -87,6 +93,10 @@ def main():
         overrides["int8_inference"] = True
     if args.int8_static:
         overrides["int8_static"] = True
+    if args.stream_tokens is not None:
+        overrides["stream_summary_tokens"] = args.stream_tokens
+    if args.stream_memory is not None:
+        overrides["stream_memory_chunks"] = args.stream_memory
     model, params = from_pretrained(args.checkpoint, **overrides)
 
     vocab_path = os.path.join(args.checkpoint, "vocabulary.json")

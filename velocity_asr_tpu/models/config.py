@@ -81,7 +81,14 @@ class VelocityASRConfig:
     # ~chunk_seconds * stream_memory_chunks of recent audio. The GlobalSSM
     # runs incrementally over the summary-token stream with carried state,
     # so its receptive field is the entire session, not just the window.
-    stream_summary_tokens: int = 4
+    #
+    # 64 summary tokens matches the offline level-1 pooling density
+    # (K1 = max(64, L//8), attention.py pool rules): held-out streaming WER
+    # on the trained flagship is 10.5% at 4 tokens vs 6.3% at 64 (offline
+    # 3.7%); 32 -> 6.5%, 128 -> 7.0% (BENCH_DETAILS_r02.md). The per-chunk
+    # summary granularity — not memory span or causal normalization — was
+    # the round-1 streaming accuracy gap.
+    stream_summary_tokens: int = 64
     stream_memory_chunks: int = 16
 
     @property

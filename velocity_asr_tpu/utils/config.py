@@ -60,6 +60,9 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         learning_rate=float(opt.get("learning_rate", 1e-4)),
         weight_decay=float(opt.get("weight_decay", 0.01)),
         warmup_steps=int(opt.get("warmup_steps", 10000)),
+        lr_total_steps=(
+            int(opt["lr_total_steps"]) if opt.get("lr_total_steps") else None
+        ),
         max_steps=int(trn.get("max_steps", 80000)),
         grad_clip_norm=float(opt.get("grad_clip_norm", 1.0)),
         batch_size=int(trn.get("batch_size", 32)),
