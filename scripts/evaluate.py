@@ -52,6 +52,9 @@ def main():
     parser.add_argument("--test-set", help="manifest path or LibriSpeech split name")
     parser.add_argument("--librispeech-root", default="./data")
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--frame-bucket", type=int, default=200,
+                        help="mel-frame padding bucket; raise for long-form "
+                             "sets so XLA compiles fewer shapes")
     parser.add_argument("--beam-width", type=int, default=0)
     parser.add_argument("--max-utts", type=int, default=0, help="0 = all")
     parser.add_argument("--output", help="write per-utterance results (JSON)")
@@ -127,7 +130,7 @@ def main():
     # ----- WER/CER benchmark -----
     ds, n = load_test_data(args.test_set, args.librispeech_root, args.max_utts)
     logger.info("Evaluating %d utterances from %s", n, args.test_set)
-    collator = ASRCollator(frame_bucket=200, target_bucket=1)
+    collator = ASRCollator(frame_bucket=args.frame_bucket, target_bucket=1)
 
     quant_stats = None
     if args.int8_static:

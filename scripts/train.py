@@ -68,14 +68,22 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
 
         logger.info("Using synthetic speech corpus: %d train utterances", n_synth)
         seed = int(data_cfg.get("synthetic_seed", 1234))
-        train_ds = SyntheticSpeechDataset(n_synth, split="train", seed=seed)
+        # Sentence length is configurable so a length-extension fine-tune
+        # can cover long-form audio (default 2-8 words = 1-6 s clips).
+        min_w = int(data_cfg.get("synthetic_min_words", 2))
+        max_w = int(data_cfg.get("synthetic_max_words", 8))
+        train_ds = SyntheticSpeechDataset(
+            n_synth, split="train", seed=seed, min_words=min_w, max_words=max_w
+        )
         eval_ds = SyntheticSpeechDataset(
-            max(64, n_synth // 100), split="dev", seed=seed
+            max(64, n_synth // 100), split="dev", seed=seed,
+            min_words=min_w, max_words=max_w,
         )
         # frame_bucket 200 keeps the number of compiled train-step shapes
         # at ~3 for the 1-6 s synthetic utterances (first TPU compiles
-        # through the tunnel cost minutes each).
-        collator = ASRCollator(frame_bucket=200)
+        # through the tunnel cost minutes each); long-sentence configs
+        # should raise it to bound the shape count.
+        collator = ASRCollator(frame_bucket=int(data_cfg.get("frame_bucket", 200)))
         train_loader = DataLoader(
             train_ds, batch_size=batch_size, shuffle=True, num_workers=8,
             collate_fn=collator, drop_last=True, prefetch=4,

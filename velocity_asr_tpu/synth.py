@@ -208,11 +208,20 @@ def write_corpus(
     split: str = "test",
     seed: int = 1234,
     lexicon_words: int = 1500,
+    min_words: int = 2,
+    max_words: int = 8,
 ) -> str:
     """Materialize a split as WAV files + JSONL manifest (for the evaluate
     CLI, which measures WER over files like the reference's benchmark
-    mode). Returns the manifest path."""
-    ds = SyntheticSpeechDataset(n_utts, split=split, seed=seed, lexicon_words=lexicon_words)
+    mode). Returns the manifest path.
+
+    min_words/max_words scale utterance length: the defaults give 1.5-6 s
+    clips (the training distribution); ~90/110 gives 60-90 s long-form
+    utterances for the >60 s benchmark config (BASELINE config #3)."""
+    ds = SyntheticSpeechDataset(
+        n_utts, split=split, seed=seed, lexicon_words=lexicon_words,
+        min_words=min_words, max_words=max_words,
+    )
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, f"{split}_manifest.jsonl")
     with open(manifest, "w") as mf:
