@@ -106,3 +106,40 @@ def test_matches_torch_reference(torch_reference):
 
     y = selective_scan_sequential(*(jnp.asarray(v) for v in (x, dt, A, B, C, D)))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_state_carry_matches_sequential():
+    """Pallas tier h0/return_state (streaming contract): chunked evaluation
+    with carried state must equal the full-length oracle exactly."""
+    x, dt, A, B, C, D = make_inputs(length=100, d_inner=32, state_dim=8)
+    y_full, h_full = selective_scan_sequential(
+        x, dt, A, B, C, D, return_state=True
+    )
+    s = 37  # non-multiple of the kernel chunk: exercises padding exactness
+    y1, h1 = selective_scan_pallas(
+        x[:, :s], dt[:, :s], A, B[:, :s], C[:, :s], D,
+        chunk=16, return_state=True,
+    )
+    y2, h2 = selective_scan_pallas(
+        x[:, s:], dt[:, s:], A, B[:, s:], C[:, s:], D,
+        chunk=16, h0=h1, return_state=True,
+    )
+    y_cat = jnp.concatenate([y1, y2], axis=1)
+    np.testing.assert_allclose(y_cat, y_full, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(h2, h_full, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_h0_only_and_state_only():
+    """h0 without return_state and return_state without h0 both work."""
+    x, dt, A, B, C, D = make_inputs(length=48, d_inner=16, state_dim=8, seed=3)
+    _, h = selective_scan_sequential(x, dt, A, B, C, D, return_state=True)
+    y_ref = selective_scan_sequential(x, dt, A, B, C, D, h0=h)
+    y_pal = selective_scan_pallas(x, dt, A, B, C, D, chunk=16, h0=h)
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-5, atol=1e-5)
+
+    y_ref2, h_ref2 = selective_scan_sequential(x, dt, A, B, C, D, return_state=True)
+    y_pal2, h_pal2 = selective_scan_pallas(
+        x, dt, A, B, C, D, chunk=16, return_state=True
+    )
+    np.testing.assert_allclose(y_pal2, y_ref2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(h_pal2, h_ref2, rtol=1e-5, atol=1e-5)

@@ -129,20 +129,20 @@ def selective_scan(
 ):
     """Dispatch to a scan implementation (reference mode ladder, ssm.py:119-126).
 
-    With h0/return_state (the streaming path), the Pallas tier falls back to
-    the XLA parallel scan: streaming chunks are short, and the kernel does
-    not expose its final state yet.
+    The Pallas tier handles h0/return_state natively (the kernel seeds its
+    VMEM carry and flushes the final state), so streaming chunks run the
+    fast kernel too.
     """
     if mode == "sequential":
         return selective_scan_sequential(x, dt, A, B, C, D, h0, return_state)
     if mode == "parallel":
         return selective_scan_parallel(x, dt, A, B, C, D, h0, return_state)
     if mode == "pallas":
-        if h0 is not None or return_state:
-            return selective_scan_parallel(x, dt, A, B, C, D, h0, return_state)
         from .scan_pallas import selective_scan_pallas
 
-        return selective_scan_pallas(x, dt, A, B, C, D)
+        return selective_scan_pallas(
+            x, dt, A, B, C, D, h0=h0, return_state=return_state
+        )
     if mode == "sp":
         # Sequence parallel: time axis sharded over the mesh set by
         # parallel.sequence_parallel (SURVEY.md §2.4). Streaming chunks

@@ -74,7 +74,8 @@ def _pick_group(batch: int, want: int) -> int:
 # --------------------------------------------------------------- forward
 
 
-def _make_fwd_kernel(group: int, chunk: int, save_bounds: bool):
+def _make_fwd_kernel(group: int, chunk: int, save_bounds: bool,
+                     with_state: bool = False):
     """Block-recurrence forward kernel (no MXU dots — see module note on
     Mosaic fp32 dot precision).
 
@@ -85,18 +86,39 @@ def _make_fwd_kernel(group: int, chunk: int, save_bounds: bool):
          h[t] = decay[t] * h[t-1] + U[t], overwriting U with h in place
       3. batched output: y[t] = sum_n C[t,n] * h[t,n,:] as one
          broadcast-multiply + sublane reduction over the chunk
+
+    with_state adds an h0 input (seeding the carry at chunk 0) and an
+    h_final output (flushed on the last chunk) — the streaming contract
+    (reference mamba-tier semantics, ssm.py:297-337). Chunk padding keeps
+    the final state exact: padded steps have dt=0 so decay=1 and U=0.
     """
 
-    def kernel(a_ref, x_ref, dt_ref, b_ref, c_ref, *rest):
+    def kernel(*refs):
+        a_ref, x_ref, dt_ref, b_ref, c_ref = refs[:5]
+        idx = 5
+        h0_ref = None
+        if with_state:
+            h0_ref = refs[idx]
+            idx += 1
+        y_ref = refs[idx]
+        idx += 1
+        bound_ref = None
         if save_bounds:
-            y_ref, bound_ref, h_ref, dec_ref, w_ref = rest
-        else:
-            y_ref, h_ref, dec_ref, w_ref = rest
+            bound_ref = refs[idx]
+            idx += 1
+        hout_ref = None
+        if with_state:
+            hout_ref = refs[idx]
+            idx += 1
+        h_ref, dec_ref, w_ref = refs[idx:idx + 3]
         chunk_idx = pl.program_id(1)
 
         @pl.when(chunk_idx == 0)
         def _():
-            h_ref[:] = jnp.zeros_like(h_ref)
+            if with_state:
+                h_ref[:] = h0_ref[:]
+            else:
+                h_ref[:] = jnp.zeros_like(h_ref)
 
         if save_bounds:
             bound_ref[0, 0] = h_ref[:].reshape(bound_ref.shape[2:])
@@ -114,6 +136,11 @@ def _make_fwd_kernel(group: int, chunk: int, save_bounds: bool):
                 w_ref[j, t] = h
             h_ref[j] = h
             y_ref[j] = jnp.sum(c_ref[j][:, :, None] * w_ref[j], axis=1)
+
+        if with_state:
+            @pl.when(chunk_idx == pl.num_programs(1) - 1)
+            def _():
+                hout_ref[:] = h_ref[:]
 
     return kernel
 
@@ -186,6 +213,50 @@ def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
     bounds = bounds.reshape(batch // group, num_chunks, group, state_dim, d_inner)
     bounds = jnp.moveaxis(bounds, 2, 1).reshape(batch, num_chunks, state_dim, d_inner)
     return y[:, :length], bounds
+
+
+def _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0):
+    """Streaming forward launch: seeds the carry from h0 and emits the final
+    state. h0/h_final are in kernel layout (batch, state_dim, d_inner).
+    Used by the inference/streaming path only (no VJP)."""
+    batch, length, d_inner = x.shape
+    state_dim = A.shape[0]
+    (x, dt, B, C), padded_len = _pad_chunk(
+        [x.astype(jnp.float32), dt.astype(jnp.float32),
+         B.astype(jnp.float32), C.astype(jnp.float32)],
+        length, chunk,
+    )
+    num_chunks = padded_len // chunk
+    a_col = A.reshape(state_dim, 1).astype(jnp.float32)
+
+    group = _pick_group(batch, FWD_GROUP)
+    grid = (batch // group, num_chunks)
+
+    a_spec = pl.BlockSpec((state_dim, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    seq_d = pl.BlockSpec((group, chunk, d_inner), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+    seq_n = pl.BlockSpec((group, chunk, state_dim), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec(
+        (group, state_dim, d_inner), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    scratch = [
+        pltpu.VMEM((group, state_dim, d_inner), jnp.float32),  # h carry
+        pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # decay
+        pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # U / hseq
+    ]
+
+    y, h_final = pl.pallas_call(
+        _make_fwd_kernel(group, chunk, save_bounds=False, with_state=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+            jax.ShapeDtypeStruct((batch, state_dim, d_inner), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[a_spec, seq_d, seq_d, seq_n, seq_n, h_spec],
+        out_specs=(seq_d, h_spec),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(a_col, x, dt, B, C, h0.astype(jnp.float32))
+    return y[:, :length], h_final
 
 
 # -------------------------------------------------------------- backward
@@ -380,11 +451,31 @@ def selective_scan_pallas(
     C: jnp.ndarray,
     D: jnp.ndarray,
     chunk: int = DEFAULT_CHUNK,
-) -> jnp.ndarray:
+    h0: jnp.ndarray = None,
+    return_state: bool = False,
+):
     """Selective scan via the Pallas TPU kernels.
 
     Same contract as ops.scan.selective_scan_sequential (the reference
     recurrence, ssm.py:158-168); differentiable via the dedicated
     reverse-scan backward kernel.
+
+    With h0/return_state (the streaming contract, reference mamba-tier
+    semantics ssm.py:297-337) the kernel seeds its VMEM carry from h0 and
+    flushes the final state — this path is inference-only (no VJP; the
+    training graph never carries state).
     """
-    return _selective_scan_pallas(x, dt, A, B, C, D, chunk)
+    if h0 is None and not return_state:
+        return _selective_scan_pallas(x, dt, A, B, C, D, chunk)
+    batch, _, d_inner = x.shape
+    state_dim = A.shape[0]
+    if h0 is None:
+        h0_k = jnp.zeros((batch, state_dim, d_inner), jnp.float32)
+    else:
+        # oracle layout (batch, d_inner, state_dim) -> kernel (batch, N, D)
+        h0_k = jnp.swapaxes(h0, 1, 2)
+    y, h_final = _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0_k)
+    y = (y + x.astype(jnp.float32) * D).astype(x.dtype)
+    if not return_state:
+        return y
+    return y, jnp.swapaxes(h_final, 1, 2).astype(x.dtype)
