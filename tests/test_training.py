@@ -83,23 +83,29 @@ def test_scheduler_matches_reference(torch_reference):
         np.testing.assert_allclose(ours, ref_sched.get_lr()[0], rtol=1e-5)
 
 
-def test_lr_total_steps_overrides_decay_horizon():
-    """lr_total_steps re-times the cosine in optimizer updates: with
-    accumulation k the default horizon (max_steps micro-steps) never
-    anneals within the run; the override reaches min_lr at the end."""
+def test_lr_horizon_default_anneals_parity_opt_in():
+    """The default cosine horizon is max_steps // accumulation (reaches
+    min_lr by the final update); the reference's never-anneals behavior
+    (horizon = max_steps micro-steps, training.py:196-204) is opt-in via
+    lr_parity_horizon, and lr_total_steps overrides both."""
     from velocity_asr_tpu.training import TrainingConfig, make_optimizer
 
     base = dict(learning_rate=3e-4, warmup_steps=100,
                 max_steps=4000, gradient_accumulation_steps=4)
     _, sched_default = make_optimizer(TrainingConfig(**base))
-    _, sched_anneal = make_optimizer(
-        TrainingConfig(**base, lr_total_steps=1000))
+    _, sched_parity = make_optimizer(
+        TrainingConfig(**base, lr_parity_horizon=True))
+    _, sched_override = make_optimizer(
+        TrainingConfig(**base, lr_total_steps=500))
     final_update = 4000 // 4 - 1
-    # parity default: barely decayed at the run's final update
-    assert float(sched_default(final_update)) > 0.8 * 3e-4
-    # override: fully annealed to min_lr_ratio * base
+    # default: fully annealed to min_lr_ratio * base at the final update
     np.testing.assert_allclose(
-        float(sched_anneal(final_update)), 0.1 * 3e-4, rtol=1e-2)
+        float(sched_default(final_update)), 0.1 * 3e-4, rtol=1e-2)
+    # parity opt-in: barely decayed at the run's final update
+    assert float(sched_parity(final_update)) > 0.8 * 3e-4
+    # explicit horizon beats both: annealed by update 500 already
+    np.testing.assert_allclose(
+        float(sched_override(500)), 0.1 * 3e-4, rtol=1e-2)
 
 
 def test_wer_cer_match_reference(torch_reference):

@@ -54,13 +54,16 @@ class TrainingConfig:
     batch_size: int = 32
     gradient_accumulation_steps: int = 1
 
-    # Cosine-decay horizon in *optimizer updates*. The reference scheduler
+    # Cosine-decay horizon in *optimizer updates*. Default (None) anneals
+    # over the run: max_steps // gradient_accumulation_steps, reaching
+    # min_lr by the final update. The reference scheduler
     # (training.py:196-204, 251-268) steps once per optimizer update but is
     # constructed with total_steps=max_steps (micro-steps), so with
-    # accumulation k the decay horizon is k x longer than the run — the LR
-    # never fully anneals. Default None keeps that parity; set explicitly
-    # (e.g. max_steps // k) for a schedule that reaches min_lr by the end.
+    # accumulation k its decay horizon is k x longer than the run — the LR
+    # never fully anneals. That behavior is reproducible with
+    # lr_parity_horizon=True (opt-in; it was the default until round 3).
     lr_total_steps: Optional[int] = None
+    lr_parity_horizon: bool = False
 
     # Mixed precision: bf16 compute on TPU (replaces the reference's fp16
     # AMP; no loss scaling required). use_amp=False forces fp32 compute in
@@ -213,10 +216,14 @@ class WarmupCosineScheduler:
 
 def make_optimizer(config: TrainingConfig) -> Tuple[optax.GradientTransformation, Callable]:
     """AdamW + clip + warmup-cosine + gradient accumulation."""
+    if config.lr_total_steps is not None:
+        horizon = config.lr_total_steps
+    elif config.lr_parity_horizon:
+        horizon = config.max_steps  # reference bug-parity (see TrainingConfig)
+    else:
+        horizon = max(1, config.max_steps // config.gradient_accumulation_steps)
     schedule = warmup_cosine_schedule(
-        config.learning_rate, config.warmup_steps,
-        config.lr_total_steps if config.lr_total_steps is not None
-        else config.max_steps,
+        config.learning_rate, config.warmup_steps, horizon,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(config.grad_clip_norm),

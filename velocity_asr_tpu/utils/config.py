@@ -63,6 +63,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         lr_total_steps=(
             int(opt["lr_total_steps"]) if opt.get("lr_total_steps") else None
         ),
+        lr_parity_horizon=bool(opt.get("lr_parity_horizon", False)),
         max_steps=int(trn.get("max_steps", 80000)),
         grad_clip_norm=float(opt.get("grad_clip_norm", 1.0)),
         batch_size=int(trn.get("batch_size", 32)),
