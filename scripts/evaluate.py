@@ -82,6 +82,13 @@ def main():
 
     if not args.audio_dir and not args.test_set:
         parser.error("provide --audio-dir or --test-set")
+    if args.streaming and args.int8_static:
+        parser.error("--int8-static is not supported with --streaming "
+                     "(static quant_stats are not threaded through the "
+                     "streaming step); use --int8 (dynamic scales)")
+    if args.streaming and args.beam_width > 1:
+        parser.error("--beam-width is not supported with --streaming "
+                     "(streaming decodes greedily per chunk)")
 
     import jax
     import jax.numpy as jnp
@@ -147,34 +154,41 @@ def main():
         quant_stats = calibrate_int8_model(model, params, calib)
 
     if args.streaming:
-        # Streaming benchmark: chunked decode with carried SSM/conv state
-        # (per-utterance; measures the streaming-vs-offline accuracy gap,
-        # VERDICT item: reference README.md:480-482 future-work claim).
+        # Streaming benchmark: chunked decode with carried SSM/conv state,
+        # batched across utterances (one compiled chunk step runs
+        # batch-size independent streams; measures the streaming-vs-offline
+        # accuracy gap, reference README.md:480-482 future-work claim).
+        # Works on any test set the offline mode accepts: JSONL manifests
+        # and LibriSpeech splits.
         from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
-        from velocity_asr_tpu.streaming import StreamingTranscriber
+        from velocity_asr_tpu.streaming import BatchedStreamingTranscriber
+
+        def utterance(i):
+            if hasattr(ds, "samples"):
+                item = ds.samples[i]
+                return item["audio_path"], item["text"]
+            path, text = ds.entries[i]  # LibriSpeechDataset layout
+            return path, text.lower()
 
         frames = int(args.chunk_seconds * 100)
         frames += frames % 2
-        block = int(args.chunk_seconds * SAMPLE_RATE)
-        st = StreamingTranscriber(model, params, decoder, chunk_frames=frames)
+        st = BatchedStreamingTranscriber(
+            model, params, decoder, chunk_frames=frames,
+            batch_size=args.batch_size,
+        )
         predictions, references = [], []
         total_audio_s, total_wall = 0.0, 0.0
-        for i in range(n):
-            item = ds.samples[i] if hasattr(ds, "samples") else None
-            assert item is not None, "--streaming needs a JSONL manifest test set"
-            audio = load_audio(item["audio_path"])
+        for start in range(0, n, args.batch_size):
+            idx = range(start, min(start + args.batch_size, n))
+            pairs = [utterance(i) for i in idx]
+            audios = [load_audio(p) for p, _ in pairs]
             t0 = time.perf_counter()
-            st.reset()
-            text = ""
-            for s in range(0, len(audio), block):
-                text += st.feed(audio[s : s + block])
-            text += st.finish()
+            predictions.extend(st.transcribe_batch(audios))
             total_wall += time.perf_counter() - t0
-            predictions.append(text)
-            references.append(item["text"])
-            total_audio_s += len(audio) / SAMPLE_RATE
-            if i % 50 == 0:
-                logger.info("  %d/%d", i + 1, n)
+            references.extend(t for _, t in pairs)
+            total_audio_s += sum(len(a) for a in audios) / SAMPLE_RATE
+            if (start // args.batch_size) % 10 == 0:
+                logger.info("  %d/%d", start + len(audios), n)
         wer = compute_wer(predictions, references)
         cer = compute_cer(predictions, references)
         rtf = total_wall / max(total_audio_s, 1e-9)

@@ -265,3 +265,43 @@ def test_ssm_block_streaming_exact_pallas():
         outs.append(out)
     chunked = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-4, atol=1e-5)
+
+
+def test_batched_streaming_matches_per_utterance():
+    """BatchedStreamingTranscriber reproduces the per-utterance
+    StreamingTranscriber exactly, including length masking of padded
+    chunks (VERDICT r2 item 9: batched streaming eval)."""
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.streaming import (
+        BatchedStreamingTranscriber,
+        StreamingTranscriber,
+    )
+
+    cfg = va.VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=32, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    params = va.init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    dec = va.CTCDecoder(va.create_default_vocabulary(32))
+
+    rng = np.random.default_rng(5)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (9000, 16000, 12345)
+    ]
+    chunk_frames, block = 50, 50 * 160
+
+    singles = []
+    st = StreamingTranscriber(model, params, dec, chunk_frames=chunk_frames)
+    for a in audios:
+        st.reset()
+        text = "".join(st.feed(a[s:s + block]) for s in range(0, len(a), block))
+        singles.append(text + st.finish())
+
+    bt = BatchedStreamingTranscriber(
+        model, params, dec, chunk_frames=chunk_frames, batch_size=3
+    )
+    batched = bt.transcribe_batch(audios)
+    assert batched == singles

@@ -24,9 +24,9 @@ run int8_static --int8-static --calib-batches 8
 run beam8 --beam-width 8
 run streaming --streaming
 echo "=== summary ==="
-python - <<'EOF'
-import glob, json
-for f in sorted(glob.glob("checkpoints/synth_run/eval_*.json")):
+OUT="$OUT" python - <<'EOF'
+import glob, json, os
+for f in sorted(glob.glob(os.path.join(os.environ["OUT"], "eval_*.json"))):
     d = json.load(open(f))
     print(f"{f.split('/')[-1]:28s} WER {d['wer']*100:6.2f}%  CER {d['cer']*100:5.2f}%  RTF {d['rtf']:.5f}")
 EOF

@@ -18,6 +18,7 @@ user-level communication code.
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -27,8 +28,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 # Ambient sequence-parallel context consulted by ops.scan.selective_scan
 # when scan_mode == "sp". Set at trace time (a Python-level static), so it
 # must wrap the first call of any jitted function that should shard its
-# scans over time. See `sequence_parallel`.
-_SP_CONTEXT: Optional[Tuple[Mesh, str]] = None
+# scans over time. Thread-local: a concurrent thread (e.g. a serve worker)
+# tracing outside the with-block sees no context — and raises — rather
+# than silently inheriting another thread's mesh. A retrace triggered
+# after the context exits (e.g. a new shape bucket) raises the same
+# ValueError: enter sequence_parallel around every call that may compile.
+_SP_TLS = threading.local()
 
 
 @contextlib.contextmanager
@@ -40,20 +45,20 @@ def sequence_parallel(mesh: Mesh, axis: str = "data"):
     build a model with ``scan_mode="sp"`` and wrap forward/jit calls in
     ``with sequence_parallel(mesh):``. The context is read when the
     function is TRACED — wrap the first (compiling) call; already-compiled
-    executables keep whatever mode they were traced with.
+    executables keep whatever mode they were traced with. The context is
+    per-thread (see _SP_TLS).
     """
-    global _SP_CONTEXT
-    prev = _SP_CONTEXT
-    _SP_CONTEXT = (mesh, axis)
+    prev = getattr(_SP_TLS, "ctx", None)
+    _SP_TLS.ctx = (mesh, axis)
     try:
         yield
     finally:
-        _SP_CONTEXT = prev
+        _SP_TLS.ctx = prev
 
 
 def current_sequence_parallel() -> Optional[Tuple[Mesh, str]]:
     """The active (mesh, axis) set by `sequence_parallel`, or None."""
-    return _SP_CONTEXT
+    return getattr(_SP_TLS, "ctx", None)
 
 
 def _local_scan_with_cum(x, dt, A, B):

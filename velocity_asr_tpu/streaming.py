@@ -139,6 +139,37 @@ class StreamingMel:
         return mel
 
 
+def init_stream_state(cfg, batch: int):
+    """Fresh carried-state pytree for a batch of independent streams."""
+    k = cfg.ssm_kernel_size
+    blocks = [
+        {
+            "conv": jnp.zeros((batch, k - 1, cfg.d_model), jnp.float32),
+            "ssm": jnp.zeros((batch, cfg.d_inner, cfg.ssm_state_dim), jnp.float32),
+        }
+        for _ in range(cfg.ssm_layers)
+    ]
+    # GlobalSSM blocks hardcode expand=2, kernel=4 (reference
+    # ssm.py:529-538), so the carried state shapes follow suit.
+    gc_blocks = [
+        {
+            "conv": jnp.zeros((batch, 3, cfg.d_model), jnp.float32),
+            "ssm": jnp.zeros(
+                (batch, 2 * cfg.d_model, cfg.global_ssm_state_dim), jnp.float32
+            ),
+        }
+        for _ in range(cfg.global_ssm_layers)
+    ]
+    mem_tokens = cfg.stream_memory_chunks * cfg.stream_summary_tokens
+    return {
+        "mel_carry": jnp.zeros((batch, 1, cfg.mel_bins), jnp.float32),
+        "blocks": blocks,
+        "gc_mem": jnp.zeros((batch, mem_tokens, cfg.d_model), jnp.float32),
+        "gc_blocks": gc_blocks,
+        "gc_init": jnp.zeros((), jnp.bool_),
+    }
+
+
 class StreamingTranscriber:
     """Low-latency chunked transcription with carried model state.
 
@@ -188,34 +219,7 @@ class StreamingTranscriber:
         self._emitted_text = ""
 
     def _init_state(self):
-        cfg = self.model.config
-        k = cfg.ssm_kernel_size
-        blocks = [
-            {
-                "conv": jnp.zeros((1, k - 1, cfg.d_model), jnp.float32),
-                "ssm": jnp.zeros((1, cfg.d_inner, cfg.ssm_state_dim), jnp.float32),
-            }
-            for _ in range(cfg.ssm_layers)
-        ]
-        # GlobalSSM blocks hardcode expand=2, kernel=4 (reference
-        # ssm.py:529-538), so the carried state shapes follow suit.
-        gc_blocks = [
-            {
-                "conv": jnp.zeros((1, 3, cfg.d_model), jnp.float32),
-                "ssm": jnp.zeros(
-                    (1, 2 * cfg.d_model, cfg.global_ssm_state_dim), jnp.float32
-                ),
-            }
-            for _ in range(cfg.global_ssm_layers)
-        ]
-        mem_tokens = cfg.stream_memory_chunks * cfg.stream_summary_tokens
-        return {
-            "mel_carry": jnp.zeros((1, 1, cfg.mel_bins), jnp.float32),
-            "blocks": blocks,
-            "gc_mem": jnp.zeros((1, mem_tokens, cfg.d_model), jnp.float32),
-            "gc_blocks": gc_blocks,
-            "gc_init": jnp.zeros((), jnp.bool_),
-        }
+        return init_stream_state(self.model.config, 1)
 
     def _run_chunks(self, flush: bool = False) -> str:
         out = []
@@ -266,3 +270,98 @@ class StreamingTranscriber:
     @property
     def text(self) -> str:
         return self._emitted_text
+
+
+class BatchedStreamingTranscriber:
+    """Streaming-path evaluation batched across utterances.
+
+    Runs B independent streams through one compiled chunk step (the carried
+    state pytree simply gains a batch axis), reproducing the per-utterance
+    StreamingTranscriber semantics exactly: each utterance's mel is
+    extracted with the causal StreamingMel front-end fed in
+    feed_block-sample blocks, chunks are zero-padded to the static shape,
+    and greedy collapse state is carried per stream. Tokens past an
+    utterance's own output-frame count are masked out, so shorter
+    utterances in a batch are unaffected by their padding chunks.
+
+    This is the evaluation analog of the serve daemon's micro-batching: it
+    exists so `evaluate --streaming` scales past one-utterance-at-a-time
+    (VERDICT r2 item 9)."""
+
+    def __init__(
+        self,
+        model: VelocityASR,
+        params,
+        decoder: CTCDecoder,
+        chunk_frames: int = 200,
+        batch_size: int = 8,
+        feed_block: Optional[int] = None,  # samples per StreamingMel feed
+    ):
+        assert chunk_frames % 2 == 0
+        self.model = model
+        self.params = params
+        self.decoder = decoder
+        self.chunk_frames = chunk_frames
+        self.batch_size = batch_size
+        # default: one chunk's worth of audio per mel feed, matching the
+        # per-utterance loop in scripts/evaluate.py
+        self.feed_block = feed_block or chunk_frames * HOP_LENGTH
+
+        def step(params, mel_chunk, state, offset):
+            return model.apply(
+                {"params": params}, mel_chunk, train=False,
+                stream_state=state, time_offset=offset, return_state=True,
+            )
+
+        self._step = jax.jit(step)
+
+    def _causal_mel(self, audio: np.ndarray) -> np.ndarray:
+        sm = StreamingMel()
+        frames = [
+            sm.feed(audio[s : s + self.feed_block])
+            for s in range(0, len(audio), self.feed_block)
+        ]
+        frames.append(sm.finish())
+        return np.concatenate(frames)
+
+    def transcribe_batch(self, audios: List[np.ndarray]) -> List[str]:
+        """Transcribe a list of utterances; returns one text per input."""
+        texts: List[str] = []
+        for s in range(0, len(audios), self.batch_size):
+            texts.extend(self._run_group(audios[s : s + self.batch_size]))
+        return texts
+
+    def _run_group(self, audios: List[np.ndarray]) -> List[str]:
+        n = len(audios)
+        b = self.batch_size
+        mels = [self._causal_mel(a) for a in audios]
+        out_frames = [(m.shape[0] + 1) // 2 for m in mels]
+        max_frames = max(m.shape[0] for m in mels)
+        num_chunks = -(-max_frames // self.chunk_frames)
+        padded = np.zeros(
+            (b, num_chunks * self.chunk_frames, mels[0].shape[1]), np.float32
+        )
+        for i, m in enumerate(mels):
+            padded[i, : m.shape[0]] = m
+
+        state = init_stream_state(self.model.config, b)
+        chunk_out = self.chunk_frames // 2
+        prev = np.full(b, BLANK_TOKEN, np.int64)
+        tokens: List[List[int]] = [[] for _ in range(b)]
+        offset = 0
+        for c in range(num_chunks):
+            chunk = padded[:, c * self.chunk_frames : (c + 1) * self.chunk_frames]
+            logits, state = self._step(
+                self.params, jnp.asarray(chunk), state,
+                jnp.asarray(offset, jnp.int32),
+            )
+            preds = np.asarray(jnp.argmax(logits, axis=-1))  # (b, chunk_out)
+            for i in range(n):
+                valid = min(max(out_frames[i] - offset, 0), preds.shape[1])
+                for tok in preds[i, :valid]:
+                    tok = int(tok)
+                    if tok != BLANK_TOKEN and tok != prev[i]:
+                        tokens[i].append(tok)
+                    prev[i] = tok
+            offset += chunk_out
+        return [self.decoder._tokens_to_text(t) for t in tokens[:n]]
