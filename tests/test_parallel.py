@@ -4,6 +4,7 @@ exactness on the 8-device virtual CPU mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from velocity_asr_tpu.ops.scan import selective_scan_parallel
 from velocity_asr_tpu.parallel.mesh import create_mesh, shard_batch
@@ -102,3 +103,94 @@ def test_sequence_parallel_scan_jitted():
     )
     full = selective_scan_parallel(*args)
     np.testing.assert_allclose(np.asarray(fn(*args)), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def _tiny_cfg(vocab=256):
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+
+    return VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=vocab, dropout=0.0,
+    )
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """CTC head sharded over the model axis on a (4,2) mesh: the sharded
+    forward equals the replicated one (VERDICT r2 item 5)."""
+    from velocity_asr_tpu.models.model import create_model, forward, init_params
+    from velocity_asr_tpu.parallel.tp import shard_params_tp, tp_param_specs
+    from jax.sharding import PartitionSpec as P
+
+    cfg = _tiny_cfg()
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 80)), jnp.float32
+    )
+    ref = forward(model, params, mel)
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    specs = tp_param_specs(params)
+    assert specs["ctc_head"]["proj"]["kernel"] == P(None, "model")
+    assert specs["ctc_head"]["proj"]["bias"] == P("model",)
+    sharded = shard_params_tp(params, mesh)
+    # the head kernel really is split over the model axis
+    k = sharded["ctc_head"]["proj"]["kernel"]
+    assert k.addressable_shards[0].data.shape[-1] == cfg.vocab_size // 2
+    out = jax.jit(lambda p, m: forward(model, p, m))(sharded, mel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tensor_parallel_train_step():
+    """dp+tp training: one Trainer step on a (4,2) mesh with the head and
+    its Adam moments sharded; loss finite and params stay sharded."""
+    from velocity_asr_tpu.models.model import create_model
+    from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+    cfg = _tiny_cfg(vocab=128)
+    model = create_model(cfg)
+    mesh = create_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(1)
+    batch = {
+        "mel_spectrogram": rng.standard_normal((4, 32, 80)).astype(np.float32),
+        "targets": rng.integers(3, 128, size=(4, 6)).astype(np.int32),
+        "input_lengths": np.full((4,), 32, np.int32),
+        "target_lengths": np.full((4,), 6, np.int32),
+    }
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(max_steps=1, warmup_steps=1, log_interval=10**9,
+                           eval_interval=10**9, save_interval=10**9)
+    trainer = Trainer(model, tconf, batches(), mesh=mesh)
+    m1 = trainer.train_step(batch)
+    m2 = trainer.train_step(batch)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    k = trainer.params["ctc_head"]["proj"]["kernel"]
+    assert k.addressable_shards[0].data.shape[-1] == 128 // 2
+
+
+@pytest.mark.slow
+def test_large_vocab_preset_forward_sharded():
+    """The 50k-vocab preset (the TP motivating case: ~9.6M-param CTC head)
+    runs its forward with the head sharded over the model axis."""
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import create_model, forward, init_params
+    from velocity_asr_tpu.parallel.tp import shard_params_tp
+
+    cfg = VelocityASRConfig.from_preset(
+        "large-vocab", ssm_layers=1, global_ssm_layers=1
+    )
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    mesh = create_mesh(n_data=4, n_model=2)
+    sharded = shard_params_tp(params, mesh)
+    k = sharded["ctc_head"]["proj"]["kernel"]
+    assert k.shape == (192, 50000)
+    assert k.addressable_shards[0].data.shape[-1] == 25000
+    mel = jnp.zeros((2, 32, 80), jnp.float32)
+    out = jax.jit(lambda p, m: forward(model, p, m))(sharded, mel)
+    assert out.shape == (2, 16, 50000) and bool(jnp.isfinite(out).all())

@@ -1,6 +1,7 @@
 """Device-mesh and sharding utilities."""
 
 from .mesh import create_mesh, data_sharding, replicated_sharding
+from .tp import shard_params_tp, tp_param_shardings, tp_param_specs
 from .sp_scan import (
     current_sequence_parallel,
     selective_scan_sequence_parallel,
@@ -9,6 +10,9 @@ from .sp_scan import (
 
 __all__ = [
     "create_mesh",
+    "shard_params_tp",
+    "tp_param_shardings",
+    "tp_param_specs",
     "data_sharding",
     "replicated_sharding",
     "sequence_parallel",

@@ -3,9 +3,11 @@
 The reference ships only a dead `distributed:` config stanza
 (/root/reference/configs/train.yaml:87-91, backend "nccl", never used).
 Here distribution is first-class and TPU-native: a (data, model) mesh,
-batch sharded over `data`, params replicated (6M params need no TP —
-the `model` axis is reserved so tensor shardings remain expressible),
-gradients reduced by XLA psum over ICI. No user-level comm library.
+batch sharded over `data`, gradients reduced by XLA psum over ICI, and
+tensor parallelism over `model` (parallel/tp.py: the CTC head — the
+large-vocab preset's dominant ~9.6M params — shards over the vocab
+axis; the 6M-param acoustic trunk stays replicated). No user-level comm
+library.
 """
 
 from __future__ import annotations

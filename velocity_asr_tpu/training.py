@@ -83,6 +83,12 @@ class TrainingConfig:
 
     # TPU additions
     num_data_shards: Optional[int] = None  # default: all devices
+    # Tensor parallelism: mesh model-axis size. >1 shards the CTC head
+    # (vocab axis) — and its grads and Adam moments — over MODEL_AXIS
+    # (parallel/tp.py; the large-vocab preset's ~9.6M-param head is the
+    # use case). XLA inserts the logits all-gather / gradient
+    # reduce-scatter from the shardings alone.
+    num_model_shards: int = 1
     # jax.profiler trace: capture steps [profile_start, profile_start +
     # profile_steps) into profile_dir (the reference has no profiling
     # tooling at all, SURVEY.md §5).
@@ -263,7 +269,9 @@ class Trainer:
             params = init_params(model, rng, example_frames=64)
         self.params = params
 
-        self.mesh = mesh if mesh is not None else create_mesh(config.num_data_shards)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            config.num_data_shards, n_model=config.num_model_shards
+        )
         self.tx, self.schedule = make_optimizer(config)
         self.opt_state = self.tx.init(self.params)
 
@@ -279,9 +287,33 @@ class Trainer:
     # ----- sharding helpers -------------------------------------------------
 
     def _replicate(self):
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, self.params, self._param_shardings()
+        )
+        self.opt_state = jax.tree_util.tree_map(
+            jax.device_put, self.opt_state, self._opt_shardings()
+        )
+
+    def _tp(self) -> bool:
+        from .parallel.mesh import MODEL_AXIS
+
+        return self.mesh.shape.get(MODEL_AXIS, 1) > 1
+
+    def _param_shardings(self):
+        if self._tp():
+            from .parallel.tp import tp_param_shardings
+
+            return tp_param_shardings(self.params, self.mesh)
         rep = NamedSharding(self.mesh, P())
-        self.params = jax.device_put(self.params, rep)
-        self.opt_state = jax.device_put(self.opt_state, rep)
+        return jax.tree_util.tree_map(lambda _: rep, self.params)
+
+    def _opt_shardings(self):
+        if self._tp():
+            from .parallel.tp import tp_tree_shardings
+
+            return tp_tree_shardings(self.opt_state, self.params, self.mesh)
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(lambda _: rep, self.opt_state)
 
     def shard_batch(
         self, batch: Dict[str, np.ndarray]
@@ -358,7 +390,7 @@ class Trainer:
 
         return jax.jit(
             step_fn,
-            out_shardings=(rep, rep, rep),
+            out_shardings=(self._param_shardings(), self._opt_shardings(), rep),
             donate_argnums=(0, 1),
         )
 

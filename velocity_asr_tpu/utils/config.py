@@ -75,6 +75,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         checkpoint_dir=ckpt.get("dir", "./checkpoints"),
         keep_last=int(ckpt.get("keep_last", 5)),
         num_data_shards=dist.get("num_data_shards", None),
+        num_model_shards=int(dist.get("num_model_shards", 1)),
         profile_dir=log.get("profile_dir", None),
         metrics_path=log.get("metrics_path", None),
         augment=(
