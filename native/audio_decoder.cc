@@ -613,7 +613,24 @@ int ReadFile(const char* path, std::vector<uint8_t>* buf) {
   return VA_OK;
 }
 
+// MPEG-1/2/2.5 Layer III frame sync (or a leading ID3v2 container).
+bool LooksLikeMp3(const uint8_t* p, size_t n) {
+  if (n >= 3 && memcmp(p, "ID3", 3) == 0) return true;
+  if (n < 4) return false;
+  if (p[0] != 0xFF || (p[1] & 0xE0) != 0xE0) return false;
+  int version_bits = (p[1] >> 3) & 3;
+  int layer_bits = (p[1] >> 1) & 3;
+  int bitrate_index = p[2] >> 4;
+  int sr_index = (p[2] >> 2) & 3;
+  return version_bits != 1 && layer_bits == 1 && bitrate_index != 0 &&
+         bitrate_index != 15 && sr_index != 3;
+}
+
 }  // namespace
+
+// Implemented in mp3_decoder.cc.
+int DecodeMp3(const uint8_t* data, size_t size, std::vector<float>* out,
+              int64_t* out_frames, int32_t* out_channels, int32_t* out_rate);
 
 extern "C" {
 
@@ -630,6 +647,9 @@ int va_decode_file(const char* path, float** out_samples, int64_t* out_frames,
                     out_rate);
   } else if (memcmp(buf.data(), "RIFF", 4) == 0) {
     rc = DecodeWav(buf.data(), buf.size(), &samples, out_frames, out_channels,
+                   out_rate);
+  } else if (LooksLikeMp3(buf.data(), buf.size())) {
+    rc = DecodeMp3(buf.data(), buf.size(), &samples, out_frames, out_channels,
                    out_rate);
   } else {
     rc = VA_EFORMAT;

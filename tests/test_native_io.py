@@ -122,10 +122,11 @@ def test_load_audio_resamples(tmp_path):
 
 
 def test_unsupported_format_fails_fast(tmp_path):
-    """mp3/ogg/m4a are not decodable here (reference uses torchaudio);
-    the error must be immediate and actionable, not a decoder crash."""
-    p = tmp_path / "music.mp3"
-    p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    """ogg/m4a are not decodable here (reference uses torchaudio); the
+    error must be immediate and actionable, not a decoder crash. (mp3 IS
+    decodable since native/mp3_decoder.cc.)"""
+    p = tmp_path / "music.ogg"
+    p.write_bytes(b"OggS\x00\x02" + b"\x00" * 64)
     with pytest.raises(RuntimeError, match="unsupported format.*ffmpeg"):
         va_io.decode_audio_file(str(p))
 
@@ -155,7 +156,8 @@ def test_supported_exts_advertised():
     assert ".wav" in exts
     if va_io.native_available():
         assert ".flac" in exts
-    for bad in (".mp3", ".ogg", ".m4a"):
+        assert ".mp3" in exts
+    for bad in (".ogg", ".m4a"):
         assert bad not in exts
     # the transcribe CLI advertises the same set
     from scripts.transcribe import AUDIO_EXTS

@@ -143,14 +143,15 @@ def supported_audio_exts() -> Tuple[str, ...]:
     """Extensions the current build can actually decode.
 
     The reference decodes mp3/ogg/m4a through torchaudio (audio.py:39-56);
-    this build ships its own decoder (WAV + FLAC) and advertises exactly
-    what it supports instead of failing at decode time.
+    this build ships its own decoders (WAV + FLAC + MPEG-1/2/2.5 Layer III
+    mp3, native/mp3_decoder.cc) and advertises exactly what it supports
+    instead of failing at decode time.
     """
-    return (".wav", ".flac") if native_available() else (".wav",)
+    return (".wav", ".flac", ".mp3") if native_available() else (".wav",)
 
 
 def _sniff_format(path: str) -> str:
-    """Container format from magic bytes: 'wav' | 'flac' | '' (unknown)."""
+    """Container format from magic bytes: 'wav' | 'flac' | 'mp3' | ''."""
     try:
         with open(path, "rb") as f:
             head = f.read(4)
@@ -160,7 +161,27 @@ def _sniff_format(path: str) -> str:
         return "wav"
     if head == b"fLaC":
         return "flac"
+    if _looks_like_mp3(head):
+        return "mp3"
     return ""
+
+
+def _looks_like_mp3(head: bytes) -> bool:
+    """ID3v2 container or an MPEG-1/2/2.5 Layer III frame sync."""
+    if head[:3] == b"ID3":
+        return True
+    if len(head) < 4 or head[0] != 0xFF or (head[1] & 0xE0) != 0xE0:
+        return False
+    version_bits = (head[1] >> 3) & 3
+    layer_bits = (head[1] >> 1) & 3
+    bitrate_index = head[2] >> 4
+    sr_index = (head[2] >> 2) & 3
+    return (
+        version_bits != 1
+        and layer_bits == 1
+        and bitrate_index not in (0, 15)
+        and sr_index != 3
+    )
 
 
 def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
@@ -169,19 +190,23 @@ def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
     Dispatch is by extension, falling back to content sniffing (magic
     bytes) for unknown extensions — the serve daemon receives raw request
     bodies without a meaningful filename. Fails fast with a clear message
-    on formats no decoder handles (mp3/ogg/m4a — supported by the
-    reference via torchaudio, not here).
+    on formats no decoder handles (ogg/m4a — supported by the reference
+    via torchaudio, not here).
     """
     lower = path.lower()
     exts = supported_audio_exts()
     if not lower.endswith(exts):
         sniffed = _sniff_format(path)
-        known = {"wav": True, "flac": native_available()}
+        known = {
+            "wav": True,
+            "flac": native_available(),
+            "mp3": native_available(),
+        }
         if not known.get(sniffed, False):
             raise RuntimeError(
                 f"Cannot decode {path!r}: unsupported format. Supported: "
-                f"{', '.join(exts)}. (mp3/ogg/m4a require an external decoder; "
-                "convert with e.g. `ffmpeg -i in.mp3 -ar 16000 out.wav`.)"
+                f"{', '.join(exts)}. (ogg/m4a require an external decoder; "
+                "convert with e.g. `ffmpeg -i in.ogg -ar 16000 out.wav`.)"
             )
     if native_available():
         return _decode_native(path)
