@@ -39,13 +39,19 @@ def main():
                              "synthetic corpus (implies --quantize)")
     parser.add_argument("--calibrate-batches", type=int, default=16)
     parser.add_argument("--verify", action="store_true", help="reload + compare outputs")
+    parser.add_argument("--tflite", nargs="?", const="fp32", default=None,
+                        choices=["fp32", "dynamic", "float16"],
+                        help="also write a .tflite edge artifact (runs outside "
+                             "JAX); optional arg picks the weight precision")
     args = parser.parse_args()
 
     import jax.numpy as jnp
 
     from velocity_asr_tpu.export import (
         export_stablehlo,
+        export_tflite,
         load_exported,
+        run_tflite,
         save_int8_checkpoint,
     )
     from velocity_asr_tpu.models.model import forward, from_pretrained
@@ -106,15 +112,43 @@ def main():
             ", calibrated" if info.get("calibrated") else "",
         )
 
+    tflite_path = None
+    if args.tflite:
+        quant = None if args.tflite == "fp32" else args.tflite
+        tflite_path = os.path.join(args.output_dir, "velocity_asr.tflite")
+        export_tflite(model, params, tflite_path, input_shape=shape, quantize=quant)
+        logger.info("TFLite (%s): %s (%.2f MB)", args.tflite, tflite_path,
+                    os.path.getsize(tflite_path) / 1e6)
+
     if args.verify:
         mel = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
         live = np.asarray(forward(model, params, jnp.asarray(mel)))
         fn = load_exported(hlo_path)
         reloaded = np.asarray(fn(params, jnp.asarray(mel)))
         diff = np.abs(live - reloaded).max()
-        logger.info("Verification max |live - exported| = %.2e", diff)
-        if diff > 1e-3:
+        hlo_match = float((live.argmax(-1) == reloaded.argmax(-1)).mean())
+        logger.info("Verification max |live - exported| = %.2e, "
+                    "argmax agreement %.4f", diff, hlo_match)
+        # bf16-compute models: the exported module may fuse differently
+        # from the live jit, so logits carry bf16 rounding noise; fp32
+        # models reproduce to 1e-3.
+        bf16 = getattr(model.config, "dtype", "float32") == "bfloat16"
+        if diff > (0.3 if bf16 else 1e-3) or hlo_match < 0.99:
             raise SystemExit("verification failed")
+        if tflite_path:
+            tfl = run_tflite(tflite_path, mel)
+            tdiff = np.abs(live - tfl).max()
+            match = float((live.argmax(-1) == tfl.argmax(-1)).mean())
+            logger.info("TFLite verification max |live - tflite| = %.2e, "
+                        "argmax agreement %.4f", tdiff, match)
+            # The live model may run bf16 (TPU policy) while the TFLite
+            # artifact is fp32/int8, so logits differ at bf16/int8 rounding
+            # scale; the decode-relevant check is argmax agreement (the
+            # measured end-task WER of the artifact is in
+            # BENCH_DETAILS_r03).
+            bound = 0.3 if args.tflite == "fp32" else 2.5
+            if tdiff > bound or match < 0.95:
+                raise SystemExit("tflite verification failed")
         logger.info("Verification OK")
 
 

@@ -124,3 +124,46 @@ def test_manifest_from_synthetic_librispeech(tmp_path):
         ds = ASRDataset(manifest)
         item = ds[0]
         assert item["mel_spectrogram"].shape[1] == 80
+
+
+# ---------------------------------------------------------------------------
+# TFLite edge artifact (reference README.md:11,263: the ONNX export runs on
+# ORT CPU / browser WebGPU; the TPU-native equivalent runs outside JAX via
+# TFLite/LiteRT)
+# ---------------------------------------------------------------------------
+
+tf = pytest.importorskip("tensorflow")
+
+
+def test_tflite_export_parity(tmp_path, tiny):
+    from velocity_asr_tpu.export import export_tflite, run_tflite
+
+    model, params = tiny
+    path = str(tmp_path / "m.tflite")
+    export_tflite(model, params, path, input_shape=(1, 64, 80))
+    assert os.path.getsize(path) > 0
+
+    mel = np.random.default_rng(1).standard_normal((1, 64, 80)).astype(np.float32)
+    live = np.asarray(va.forward(model, params, jnp.asarray(mel)))
+    out = run_tflite(path, mel)
+    assert out.shape == live.shape
+    np.testing.assert_allclose(live, out, rtol=1e-4, atol=1e-4)
+
+
+def test_tflite_dynamic_int8_smaller_and_close(tmp_path, tiny):
+    from velocity_asr_tpu.export import export_tflite, run_tflite
+
+    model, params = tiny
+    fp32 = str(tmp_path / "fp32.tflite")
+    int8 = str(tmp_path / "int8.tflite")
+    export_tflite(model, params, fp32, input_shape=(1, 64, 80))
+    export_tflite(model, params, int8, input_shape=(1, 64, 80), quantize="dynamic")
+    assert os.path.getsize(int8) < os.path.getsize(fp32)
+
+    mel = np.random.default_rng(2).standard_normal((1, 64, 80)).astype(np.float32)
+    live = np.asarray(va.forward(model, params, jnp.asarray(mel)))
+    out = run_tflite(int8, mel)
+    # dynamic-range weights: argmax decisions should survive quantization
+    assert np.abs(live - out).max() < 0.5
+    match = (live.argmax(-1) == out.argmax(-1)).mean()
+    assert match > 0.9

@@ -1,13 +1,17 @@
 """Model export (the reference's ONNX path, reference quantize.py:374-474
 and scripts/export_onnx.py, rebuilt TPU/XLA-native).
 
-Two artifacts:
+Three artifacts:
   - a serialized StableHLO module via jax.export — the portable compiled
     graph (ONNX's role in the reference), reloadable with
     load_exported() and runnable on any JAX backend;
   - an INT8 weight package: per-channel symmetric int8 weights + scales
     (the ONNX quantize_dynamic role, reference quantize.py:434-440) with
-    a size report.
+    a size report;
+  - a .tflite flatbuffer via jax2tf — the deployment artifact that runs
+    OUTSIDE JAX (the reference's "runs on ORT CPU / browser WebGPU" story,
+    reference README.md:11,263): weights baked in, runnable with any
+    TFLite/LiteRT interpreter, optional dynamic-range INT8 or fp16.
 """
 
 from __future__ import annotations
@@ -60,6 +64,90 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
     return exported.call
+
+
+def export_tflite(
+    model: VelocityASR,
+    params: Dict[str, Any],
+    output_path: str,
+    input_shape: Tuple[int, int, int] = (1, 500, 80),
+    quantize: str = None,
+) -> str:
+    """Export the forward pass to a .tflite flatbuffer (weights baked in).
+
+    The non-JAX deployment artifact (reference README.md:11,263 runs its
+    ONNX export on ORT CPU and browser WebGPU; here the equivalent edge
+    runtime is TFLite/LiteRT). Path: jax2tf native serialization →
+    tf.function → TFLiteConverter with SELECT_TF_OPS fallback for the ops
+    the StableHLO-in-TFLite bridge doesn't cover as builtins.
+
+    The model is rebuilt with scan_mode="parallel" (pure-XLA associative
+    scan) and dtype="float32" regardless of the checkpoint's mode: Pallas
+    custom calls cannot cross into a TFLite graph, and TFLite has no
+    bfloat16 kernels (the bf16 compute policy is a TPU choice; params are
+    stored fp32 either way). The scan tiers are equivalent
+    (tests/test_scan.py).
+
+    quantize: None (fp32), "dynamic" (dynamic-range INT8 weights — the
+    ONNX quantize_dynamic analog), or "float16".
+    """
+    import dataclasses
+
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from .models.model import create_model
+
+    cfg = model.config
+    if cfg.scan_mode != "parallel" or cfg.dtype != "float32":
+        model = create_model(
+            dataclasses.replace(cfg, scan_mode="parallel", dtype="float32")
+        )
+
+    def fn(mel):
+        return forward(model, params, mel, train=False)
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, native_serialization=True),
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name="mel")],
+        autograph=False,
+    )
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()], tf_fn
+    )
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS,
+        tf.lite.OpsSet.SELECT_TF_OPS,
+    ]
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "float16":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    elif quantize is not None:
+        raise ValueError(f"unknown tflite quantize mode: {quantize!r}")
+    blob = converter.convert()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    return output_path
+
+
+def run_tflite(path: str, mel: np.ndarray) -> np.ndarray:
+    """Run an exported .tflite artifact on host CPU (no JAX involved).
+
+    Reference scripts/export_onnx.py:36-74 verifies its ONNX export by
+    running it under onnxruntime; this is the TFLite analog, used by the
+    export CLI's --verify and the parity tests."""
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    interp.set_tensor(inp["index"], np.asarray(mel, np.float32))
+    interp.invoke()
+    return interp.get_tensor(out["index"])
 
 
 def quantize_weights_int8(
