@@ -72,6 +72,11 @@ def main():
                              "of the offline batched forward — measures the "
                              "streaming-vs-offline accuracy gap")
     parser.add_argument("--chunk-seconds", type=float, default=2.0)
+    parser.add_argument("--lookahead", type=int, default=0,
+                        help="streaming only: emit each chunk N chunks late, "
+                             "re-decoded with the future chunks' global "
+                             "context and normalization statistics (trades "
+                             "N*chunk latency for offline-like accuracy)")
     parser.add_argument("--stream-tokens", type=int, default=None,
                         help="override config.stream_summary_tokens (per-chunk "
                              "pooled summary size; offline level-1 uses "
@@ -174,7 +179,7 @@ def main():
         frames += frames % 2
         st = BatchedStreamingTranscriber(
             model, params, decoder, chunk_frames=frames,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, lookahead_chunks=args.lookahead,
         )
         predictions, references = [], []
         total_audio_s, total_wall = 0.0, 0.0

@@ -284,15 +284,18 @@ class Transcriber:
         return result
 
 
-def transcribe_streaming(model, params, decoder, path, chunk_seconds=2.0):
+def transcribe_streaming(model, params, decoder, path, chunk_seconds=2.0,
+                         lookahead=0):
     """Chunked streaming transcription: exact SSM/conv carry, per-chunk
-    global context (velocity_asr_tpu.streaming)."""
+    global context (velocity_asr_tpu.streaming). lookahead > 0 emits each
+    chunk N chunks late with offline-like context (see StreamingTranscriber)."""
     from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
     from velocity_asr_tpu.streaming import StreamingTranscriber
 
     frames = int(chunk_seconds * 100)
     frames += frames % 2  # even chunk contract
-    st = StreamingTranscriber(model, params, decoder, chunk_frames=frames)
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=frames,
+                              lookahead_chunks=lookahead)
     t0 = time.perf_counter()
     audio = load_audio(path)
     block = int(chunk_seconds * SAMPLE_RATE)
@@ -335,6 +338,12 @@ def main():
     parser.add_argument(
         "--chunk-seconds", type=float, default=2.0,
         help="streaming chunk size in seconds",
+    )
+    parser.add_argument(
+        "--lookahead", type=int, default=0,
+        help="streaming: emit each chunk N chunks late, re-decoded with "
+             "future global context + normalization stats (offline-like "
+             "accuracy at N*chunk extra latency)",
     )
     parser.add_argument(
         "--sequence-parallel", action="store_true",
@@ -383,7 +392,8 @@ def main():
             try:
                 if args.streaming:
                     result = transcribe_streaming(
-                        model, params, decoder, path, args.chunk_seconds
+                        model, params, decoder, path, args.chunk_seconds,
+                        lookahead=args.lookahead,
                     )
                 else:
                     result = pipeline.transcribe_file(path, timestamps=args.timestamps)

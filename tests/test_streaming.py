@@ -305,3 +305,138 @@ def test_batched_streaming_matches_per_utterance():
     )
     batched = bt.transcribe_batch(audios)
     assert batched == singles
+
+
+# ---------------------------------------------------------------------------
+# Lookahead emission (VERDICT r3: close the streaming-vs-offline WER residue)
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_emit_matches_advance_on_final_chunk(tiny_model):
+    """The frozen_mem emit pass is defined so that re-decoding chunk c with
+    (entry conv/SSM state of c) + (memory after chunk c) reproduces the
+    normal advancing step's logits for chunk c exactly: the advancing step
+    attends over the memory it just rolled (which includes chunk c), and
+    the local path is state-exact."""
+    from velocity_asr_tpu.streaming import init_stream_state
+
+    model, params = tiny_model
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 80)), jnp.float32)
+
+    state = init_stream_state(model.config, 1)
+    entry_states = []
+    adv_logits = []
+    for c in range(2):
+        entry_states.append((state["mel_carry"], state["blocks"]))
+        logits, state = model.apply(
+            {"params": params}, mel[:, c * 40 : (c + 1) * 40], train=False,
+            stream_state=state, time_offset=c * 20, return_state=True,
+        )
+        adv_logits.append(np.asarray(logits))
+
+    # emit chunk 1 with its entry state + post-chunk-1 memory (src == c)
+    mel_carry, blocks = entry_states[1]
+    emit_state = {
+        "mel_carry": mel_carry, "blocks": blocks,
+        "gc_mem": state["gc_mem"], "gc_blocks": state["gc_blocks"],
+        "gc_init": state["gc_init"],
+    }
+    emit_logits, echoed = model.apply(
+        {"params": params}, mel[:, 40:80], train=False,
+        stream_state=emit_state, time_offset=20, return_state=True,
+        frozen_mem=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(emit_logits), adv_logits[1], rtol=1e-4, atol=1e-4
+    )
+    # the emit pass must not advance the global-context state
+    np.testing.assert_array_equal(
+        np.asarray(echoed["gc_mem"]), np.asarray(state["gc_mem"])
+    )
+
+
+def test_frozen_emit_sees_future_memory(tiny_model):
+    """Emitting chunk 0 with memory from after chunk 1 must differ from the
+    plain chunk-0 logits — the future context actually reaches the
+    cross-attention."""
+    from velocity_asr_tpu.streaming import init_stream_state
+
+    model, params = tiny_model
+    rng = np.random.default_rng(12)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 80)), jnp.float32)
+
+    state = init_stream_state(model.config, 1)
+    entry0 = (state["mel_carry"], state["blocks"])
+    logits0, state1 = model.apply(
+        {"params": params}, mel[:, :40], train=False,
+        stream_state=state, time_offset=0, return_state=True,
+    )
+    _, state2 = model.apply(
+        {"params": params}, mel[:, 40:], train=False,
+        stream_state=state1, time_offset=20, return_state=True,
+    )
+    emit_logits, _ = model.apply(
+        {"params": params}, mel[:, :40], train=False,
+        stream_state={"mel_carry": entry0[0], "blocks": entry0[1],
+                      "gc_mem": state2["gc_mem"],
+                      "gc_blocks": state2["gc_blocks"],
+                      "gc_init": state2["gc_init"]},
+        time_offset=0, return_state=True, frozen_mem=True,
+    )
+    assert np.abs(np.asarray(emit_logits) - np.asarray(logits0)).max() > 1e-6
+
+
+def test_streaming_transcriber_lookahead_end_to_end(tiny_model):
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(
+        model, params, decoder, chunk_frames=100, lookahead_chunks=1
+    )
+
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(3 * 16000) * 0.1).astype(np.float32)
+
+    def run_once():
+        text = ""
+        for i in range(0, len(audio), 8000):
+            text += st.feed(audio[i : i + 8000])
+        return text + st.finish()
+
+    text1 = run_once()
+    assert isinstance(text1, str)
+    assert st._time_offset == (1 + len(audio) // 160 + 1) // 2
+    assert not st._pending  # all chunks emitted at finish
+    st.reset()
+    assert run_once() == text1  # deterministic across reset
+
+
+def test_batched_streaming_lookahead_runs():
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.streaming import BatchedStreamingTranscriber
+
+    cfg = va.VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=32, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    params = va.init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    dec = va.CTCDecoder(va.create_default_vocabulary(32))
+
+    rng = np.random.default_rng(14)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (9000, 16000, 12345)
+    ]
+    bt = BatchedStreamingTranscriber(
+        model, params, dec, chunk_frames=50, batch_size=3, lookahead_chunks=1
+    )
+    texts = bt.transcribe_batch(audios)
+    assert len(texts) == 3 and all(isinstance(t, str) for t in texts)
+    # lookahead 0 path unchanged
+    bt0 = BatchedStreamingTranscriber(
+        model, params, dec, chunk_frames=50, batch_size=3
+    )
+    texts0 = bt0.transcribe_batch(audios)
+    assert len(texts0) == 3

@@ -199,6 +199,7 @@ class HierarchicalGlobalContext(nn.Module):
         train: bool = False,
         summary: Optional[jnp.ndarray] = None,
         gc_state: Optional[dict] = None,
+        frozen: bool = False,
     ):
         """Full-sequence global context, or one streaming step.
 
@@ -212,6 +213,14 @@ class HierarchicalGlobalContext(nn.Module):
         (fused, new_gc_state). On the first chunk (gc_state["init"] false)
         the memory warm-starts by tiling the chunk's own tokens so every
         slot holds valid statistics.
+
+        frozen (streaming only): a pure EMIT pass — attend over
+        gc_state["mem"] exactly as given, without pooling this chunk's
+        summary in or advancing the GlobalSSM. Used by the lookahead
+        re-decode path (streaming.py): the memory passed in was produced by
+        normal (advancing) steps and may already include FUTURE chunks'
+        summaries. Must only be called after at least one advancing step
+        (so the memory is warm). Returns (fused, gc_state) unchanged.
         """
         streaming = summary is not None
         pool1 = AdaptivePool(
@@ -228,7 +237,11 @@ class HierarchicalGlobalContext(nn.Module):
             name="global_ssm",
         )
 
-        if streaming:
+        if streaming and frozen:
+            x_ssm = gc_state["mem"].astype(self.dtype)
+            pool_size1 = x_ssm.shape[1]
+            new_gc_state = gc_state
+        elif streaming:
             x_new, _ = pool1(summary.astype(self.dtype), train=train, pre_pooled=True)
             ssm_new, new_blocks = global_ssm(
                 x_new, train,

@@ -47,6 +47,7 @@ class VelocityASR(nn.Module):
         stream_state: Optional[Dict[str, Any]] = None,
         time_offset: int = 0,
         return_state: bool = False,
+        frozen_mem: bool = False,
     ):
         """Full forward, or one streaming chunk step.
 
@@ -57,6 +58,12 @@ class VelocityASR(nn.Module):
         per chunk (an approximation — the full-sequence path pools over the
         whole utterance). time_offset is the absolute output-frame offset
         for the positional encoding.
+
+        frozen_mem (streaming only): EMIT pass for the lookahead re-decode —
+        the global context attends over stream_state["gc_mem"] exactly as
+        given (which may already contain future chunks' summaries) and no
+        state advances; the returned state echoes the inputs. See
+        streaming.py lookahead_chunks.
         """
         cfg = self.config
         dtype = cfg.compute_dtype
@@ -142,7 +149,8 @@ class VelocityASR(nn.Module):
         )
         if streaming:
             fused_features, new_gc_state = global_context(
-                local_features, train, summary=summary, gc_state=gc_state
+                local_features, train, summary=summary, gc_state=gc_state,
+                frozen=frozen_mem,
             )
         else:
             fused_features = global_context(local_features, train)

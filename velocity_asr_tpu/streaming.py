@@ -60,6 +60,10 @@ class StreamingMel:
         self._count = 0
         self._sum = np.zeros(n_mels, np.float64)
         self._sumsq = np.zeros(n_mels, np.float64)
+        # un-normalized log-mel of every frame extracted so far, so the
+        # lookahead re-decode path can re-normalize an older chunk with
+        # LATER statistics (see StreamingTranscriber lookahead_chunks)
+        self._raw_mel = np.zeros((0, n_mels), np.float32)
 
     def _frames_available(self, total_padded: int) -> int:
         if total_padded < self.n_fft:
@@ -74,19 +78,34 @@ class StreamingMel:
         frames = signal[idx] * self.window
         spec = np.fft.rfft(frames, n=self.n_fft, axis=-1)
         power = (spec.real**2 + spec.imag**2).astype(np.float32)
-        mel = np.log(power @ self.fb.T + 1e-10)
+        mel = np.log(power @ self.fb.T + 1e-10).astype(np.float32)
+        self._raw_mel = np.concatenate([self._raw_mel, mel])
         if self.normalize:
             self._count += mel.shape[0]
-            self._sum += mel.sum(axis=0)
+            self._sum += mel.sum(axis=0, dtype=np.float64)
             self._sumsq += (mel.astype(np.float64) ** 2).sum(axis=0)
-            mean = self._sum / self._count
-            if self._count > 1:
-                var = (self._sumsq - self._count * mean**2) / (self._count - 1)
-                std = np.sqrt(np.maximum(var, 0.0))
-            else:
-                std = np.zeros_like(mean)
-            mel = (mel - mean.astype(np.float32)) / (std.astype(np.float32) + 1e-10)
-        return mel.astype(np.float32)
+            mel = self.apply_stats(mel)
+        return mel
+
+    def current_stats(self):
+        """(mean, std) of the running per-bin statistics (fp32)."""
+        count = max(self._count, 1)
+        mean = self._sum / count
+        if self._count > 1:
+            var = (self._sumsq - count * mean**2) / (count - 1)
+            std = np.sqrt(np.maximum(var, 0.0))
+        else:
+            std = np.zeros_like(mean)
+        return mean.astype(np.float32), std.astype(np.float32)
+
+    def apply_stats(self, raw_mel: np.ndarray) -> np.ndarray:
+        """Normalize raw log-mel frames with the CURRENT running stats."""
+        mean, std = self.current_stats()
+        return ((raw_mel - mean) / (std + 1e-10)).astype(np.float32)
+
+    def raw_frames(self, start: int, count: int) -> np.ndarray:
+        """Un-normalized log-mel of frames [start, start+count)."""
+        return self._raw_mel[start : start + count]
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Append samples; return newly available mel frames (m, n_mels)."""
@@ -178,6 +197,17 @@ class StreamingTranscriber:
         for block in audio_blocks:
             print(st.feed(block), end="")
         print(st.finish())
+
+    lookahead_chunks (default 0): delay each chunk's EMISSION by N chunks
+    and re-decode it with (a) its mel re-normalized using the statistics
+    available N chunks later and (b) the global-context memory that by then
+    includes the N future chunks' summaries (model frozen_mem pass). The
+    carried conv/SSM entry state keeps the local path exact. This trades
+    N*chunk latency for closing most of the streaming-vs-offline WER gap —
+    both residue causes (causal normalization, missing future global
+    context; tools/ablate_streaming_gap.py) are addressed. Advancing steps
+    are unchanged, so the recurrent state stream is identical to
+    lookahead 0.
     """
 
     def __init__(
@@ -186,16 +216,20 @@ class StreamingTranscriber:
         params,
         decoder: CTCDecoder,
         chunk_frames: int = 200,  # mel frames per step (2 s); must be even
+        lookahead_chunks: int = 0,
     ):
         assert chunk_frames % 2 == 0
         self.model = model
         self.params = params
         self.decoder = decoder
         self.chunk_frames = chunk_frames
+        self.lookahead_chunks = lookahead_chunks
         self.mel = StreamingMel()
         self._mel_buf = np.zeros((0, model.config.mel_bins), np.float32)
         self._state = None
         self._time_offset = 0
+        self._frame_cursor = 0  # absolute mel-frame index of _mel_buf[0]
+        self._pending: List[dict] = []
         self._prev_token = BLANK_TOKEN
         self._tokens: List[int] = []
         self._emitted_text = ""
@@ -206,7 +240,15 @@ class StreamingTranscriber:
                 stream_state=state, time_offset=offset, return_state=True,
             )
 
+        def emit_step(params, mel_chunk, state, offset):
+            return model.apply(
+                {"params": params}, mel_chunk, train=False,
+                stream_state=state, time_offset=offset, return_state=True,
+                frozen_mem=True,
+            )
+
         self._step = jax.jit(step)
+        self._emit_step = jax.jit(emit_step)
 
     def reset(self) -> None:
         """Start a new session, reusing the compiled step function."""
@@ -214,6 +256,8 @@ class StreamingTranscriber:
         self._mel_buf = np.zeros((0, self.model.config.mel_bins), np.float32)
         self._state = None
         self._time_offset = 0
+        self._frame_cursor = 0
+        self._pending = []
         self._prev_token = BLANK_TOKEN
         self._tokens = []
         self._emitted_text = ""
@@ -221,8 +265,34 @@ class StreamingTranscriber:
     def _init_state(self):
         return init_stream_state(self.model.config, 1)
 
+    def _decode_logits(self, logits, out_valid: int) -> None:
+        preds = np.asarray(jnp.argmax(logits[0, :out_valid], axis=-1))
+        for tok in preds:
+            tok = int(tok)
+            if tok != BLANK_TOKEN and tok != self._prev_token:
+                self._tokens.append(tok)
+            self._prev_token = tok
+
+    def _emit(self, p: dict) -> None:
+        """Lookahead emission of a pending chunk (frozen-memory re-decode)."""
+        raw = self.mel.raw_frames(p["frame_start"], p["valid"])
+        chunk = self.mel.apply_stats(raw)
+        if chunk.shape[0] < self.chunk_frames:
+            chunk = np.pad(chunk, ((0, self.chunk_frames - chunk.shape[0]), (0, 0)))
+        state = {
+            "mel_carry": p["mel_carry"],
+            "blocks": p["blocks"],
+            "gc_mem": self._state["gc_mem"],
+            "gc_blocks": self._state["gc_blocks"],
+            "gc_init": self._state["gc_init"],
+        }
+        logits, _ = self._emit_step(
+            self.params, jnp.asarray(chunk[None]), state,
+            jnp.asarray(p["offset"], jnp.int32),
+        )
+        self._decode_logits(logits, (p["valid"] + 1) // 2)
+
     def _run_chunks(self, flush: bool = False) -> str:
-        out = []
         while self._mel_buf.shape[0] >= self.chunk_frames or (
             flush and self._mel_buf.shape[0] > 0
         ):
@@ -235,19 +305,30 @@ class StreamingTranscriber:
                 chunk = np.pad(chunk, ((0, self.chunk_frames - valid), (0, 0)))
             if self._state is None:
                 self._state = self._init_state()
+            if self.lookahead_chunks > 0:
+                self._pending.append({
+                    "mel_carry": self._state["mel_carry"],
+                    "blocks": self._state["blocks"],
+                    "offset": self._time_offset,
+                    "valid": valid,
+                    "frame_start": self._frame_cursor,
+                })
             logits, self._state = self._step(
                 self.params, jnp.asarray(chunk[None]), self._state,
                 jnp.asarray(self._time_offset, jnp.int32),
             )
             # (valid+1)//2 == valid//2 for even valid; odd only on final flush.
             out_valid = (valid + 1) // 2
-            preds = np.asarray(jnp.argmax(logits[0, :out_valid], axis=-1))
             self._time_offset += out_valid
-            for tok in preds:
-                tok = int(tok)
-                if tok != BLANK_TOKEN and tok != self._prev_token:
-                    self._tokens.append(tok)
-                self._prev_token = tok
+            self._frame_cursor += valid
+            if self.lookahead_chunks == 0:
+                self._decode_logits(logits, out_valid)
+            else:
+                while len(self._pending) > self.lookahead_chunks:
+                    self._emit(self._pending.pop(0))
+        if flush:
+            while self._pending:
+                self._emit(self._pending.pop(0))
         text = self.decoder._tokens_to_text(self._tokens)
         new = text[len(self._emitted_text) :]
         self._emitted_text = text
@@ -286,7 +367,15 @@ class BatchedStreamingTranscriber:
 
     This is the evaluation analog of the serve daemon's micro-batching: it
     exists so `evaluate --streaming` scales past one-utterance-at-a-time
-    (VERDICT r2 item 9)."""
+    (VERDICT r2 item 9).
+
+    lookahead_chunks: see StreamingTranscriber — chunk c is re-decoded
+    (frozen-memory emit pass) with memory from chunk min(c+L, last) and
+    mel re-normalized with the statistics available then. The live
+    transcriber's running stats at emission time may cover slightly more
+    frames than the (c+1+L)*chunk_frames cutoff used here (its mel
+    extraction runs ahead of chunk consumption by up to one feed block);
+    the difference is a handful of frames of statistics."""
 
     def __init__(
         self,
@@ -296,6 +385,7 @@ class BatchedStreamingTranscriber:
         chunk_frames: int = 200,
         batch_size: int = 8,
         feed_block: Optional[int] = None,  # samples per StreamingMel feed
+        lookahead_chunks: int = 0,
     ):
         assert chunk_frames % 2 == 0
         self.model = model
@@ -303,6 +393,7 @@ class BatchedStreamingTranscriber:
         self.decoder = decoder
         self.chunk_frames = chunk_frames
         self.batch_size = batch_size
+        self.lookahead_chunks = lookahead_chunks
         # default: one chunk's worth of audio per mel feed, matching the
         # per-utterance loop in scripts/evaluate.py
         self.feed_block = feed_block or chunk_frames * HOP_LENGTH
@@ -313,16 +404,39 @@ class BatchedStreamingTranscriber:
                 stream_state=state, time_offset=offset, return_state=True,
             )
 
+        def emit_step(params, mel_chunk, state, offset):
+            return model.apply(
+                {"params": params}, mel_chunk, train=False,
+                stream_state=state, time_offset=offset, return_state=True,
+                frozen_mem=True,
+            )
+
         self._step = jax.jit(step)
+        self._emit_step = jax.jit(emit_step)
 
     def _causal_mel(self, audio: np.ndarray) -> np.ndarray:
+        return self._causal_mel_raw(audio)[0]
+
+    def _causal_mel_raw(self, audio: np.ndarray):
+        """(causally normalized mel, raw log-mel) — frame-aligned."""
         sm = StreamingMel()
         frames = [
             sm.feed(audio[s : s + self.feed_block])
             for s in range(0, len(audio), self.feed_block)
         ]
         frames.append(sm.finish())
-        return np.concatenate(frames)
+        return np.concatenate(frames), sm._raw_mel
+
+    @staticmethod
+    def _renormalize(raw: np.ndarray, upto: int) -> np.ndarray:
+        """Normalize raw log-mel with stats over its first `upto` frames
+        (what a live stream's running statistics hold at emission time)."""
+        k = max(min(upto, raw.shape[0]), 1)
+        x = raw[:k].astype(np.float64)
+        mean = x.mean(axis=0)
+        std = x.std(axis=0, ddof=1) if k > 1 else np.zeros_like(mean)
+        return ((raw - mean.astype(np.float32))
+                / (std.astype(np.float32) + 1e-10)).astype(np.float32)
 
     def transcribe_batch(self, audios: List[np.ndarray]) -> List[str]:
         """Transcribe a list of utterances; returns one text per input."""
@@ -334,27 +448,63 @@ class BatchedStreamingTranscriber:
     def _run_group(self, audios: List[np.ndarray]) -> List[str]:
         n = len(audios)
         b = self.batch_size
-        mels = [self._causal_mel(a) for a in audios]
+        F = self.chunk_frames
+        pairs = [self._causal_mel_raw(a) for a in audios]
+        mels = [p[0] for p in pairs]
         out_frames = [(m.shape[0] + 1) // 2 for m in mels]
         max_frames = max(m.shape[0] for m in mels)
-        num_chunks = -(-max_frames // self.chunk_frames)
-        padded = np.zeros(
-            (b, num_chunks * self.chunk_frames, mels[0].shape[1]), np.float32
-        )
+        num_chunks = -(-max_frames // F)
+        padded = np.zeros((b, num_chunks * F, mels[0].shape[1]), np.float32)
         for i, m in enumerate(mels):
             padded[i, : m.shape[0]] = m
 
+        L = self.lookahead_chunks
         state = init_stream_state(self.model.config, b)
-        chunk_out = self.chunk_frames // 2
+        chunk_out = F // 2
         prev = np.full(b, BLANK_TOKEN, np.int64)
         tokens: List[List[int]] = [[] for _ in range(b)]
         offset = 0
+        pending = []  # (chunk index, entry mel_carry, entry blocks)
+        chunk_logits = []
+
+        def emit(c, mel_carry, blocks, stats_upto_chunk):
+            # Re-decode chunk c with its entry conv/SSM state (exact local
+            # path), the CURRENT memory (includes chunks through the one
+            # just advanced), and mel re-normalized with the statistics
+            # available at that time — the online lookahead semantics.
+            buf = np.zeros((b, F, padded.shape[2]), np.float32)
+            for i, (_, raw) in enumerate(pairs):
+                renorm = self._renormalize(raw, (stats_upto_chunk + 1) * F)
+                seg = renorm[c * F : (c + 1) * F]
+                buf[i, : seg.shape[0]] = seg
+            st = {"mel_carry": mel_carry, "blocks": blocks,
+                  "gc_mem": state["gc_mem"], "gc_blocks": state["gc_blocks"],
+                  "gc_init": state["gc_init"]}
+            logits, _ = self._emit_step(
+                self.params, jnp.asarray(buf), st,
+                jnp.asarray(c * chunk_out, jnp.int32),
+            )
+            chunk_logits.append(logits)
+
         for c in range(num_chunks):
-            chunk = padded[:, c * self.chunk_frames : (c + 1) * self.chunk_frames]
+            if L > 0:
+                pending.append((c, state["mel_carry"], state["blocks"]))
+            chunk = padded[:, c * F : (c + 1) * F]
             logits, state = self._step(
                 self.params, jnp.asarray(chunk), state,
                 jnp.asarray(offset, jnp.int32),
             )
+            if L > 0:
+                if len(pending) > L:
+                    emit(*pending.pop(0), stats_upto_chunk=c)
+            else:
+                chunk_logits.append(logits)
+            offset += chunk_out
+        while pending:
+            emit(*pending.pop(0), stats_upto_chunk=num_chunks - 1)
+
+        offset = 0
+        for logits in chunk_logits:
             preds = np.asarray(jnp.argmax(logits, axis=-1))  # (b, chunk_out)
             for i in range(n):
                 valid = min(max(out_frames[i] - offset, 0), preds.shape[1])
