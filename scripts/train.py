@@ -59,6 +59,7 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         create_librispeech_dataloaders,
     )
 
+    device_mel = bool(data_cfg.get("device_mel", False))
     n_synth = int(data_cfg.get("synthetic", 0) or 0)
     if n_synth:
         # Deterministic synthetic speech corpus (velocity_asr_tpu.synth):
@@ -73,11 +74,12 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         min_w = int(data_cfg.get("synthetic_min_words", 2))
         max_w = int(data_cfg.get("synthetic_max_words", 8))
         train_ds = SyntheticSpeechDataset(
-            n_synth, split="train", seed=seed, min_words=min_w, max_words=max_w
+            n_synth, split="train", seed=seed, min_words=min_w,
+            max_words=max_w, device_mel=device_mel,
         )
         eval_ds = SyntheticSpeechDataset(
             max(64, n_synth // 100), split="dev", seed=seed,
-            min_words=min_w, max_words=max_w,
+            min_words=min_w, max_words=max_w, device_mel=device_mel,
         )
         # frame_bucket 200 keeps the number of compiled train-step shapes
         # at ~3 for the 1-6 s synthetic utterances (first TPU compiles
@@ -103,6 +105,7 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
             shuffle=True,
             max_duration=data_cfg.get("max_duration", 30.0),
             min_duration=data_cfg.get("min_duration", 0.5),
+            device_mel=device_mel,
         )
         eval_loader = None
         eval_manifest = data_cfg.get("eval_manifest")

@@ -206,3 +206,47 @@ def test_train_step_sharded_over_mesh():
     assert sharded5["mel_spectrogram"].shape[0] == 8
     m5 = trainer.eval_step(batch5)
     assert np.isfinite(m5["eval_loss"])
+
+
+def test_device_mel_train_path_matches_host_mel():
+    """device-mel training (collator ships int16 PCM; the compiled step
+    computes mel + masked per-utterance normalization on device) produces
+    the same loss as the host-mel path on the same utterances
+    (VERDICT r3 item 6: the input pipeline must be able to feed a
+    multi-chip mesh, so mel moves on device)."""
+    from velocity_asr_tpu.data import ASRCollator
+    from velocity_asr_tpu.synth import SyntheticSpeechDataset
+
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=31, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+
+    host_ds = SyntheticSpeechDataset(8, split="dev", seed=7)
+    dev_ds = SyntheticSpeechDataset(8, split="dev", seed=7, device_mel=True)
+    collator = ASRCollator(frame_bucket=100)
+    host_batch = collator([host_ds[i] for i in range(8)])
+    dev_batch = collator([dev_ds[i] for i in range(8)])
+    assert "audio" in dev_batch and dev_batch["audio"].dtype == np.int16
+    np.testing.assert_array_equal(
+        host_batch["input_lengths"], dev_batch["input_lengths"])
+
+    def batches(b):
+        while True:
+            yield b
+
+    tconf = TrainingConfig(
+        learning_rate=0.0, warmup_steps=1, max_steps=4, grad_clip_norm=1e9,
+        log_interval=1000, eval_interval=10**9, save_interval=10**9,
+        augment=None,
+    )
+    t_host = Trainer(model, tconf, batches(host_batch))
+    loss_host = float(t_host._train_step_device(host_batch))
+    t_dev = Trainer(model, tconf, batches(dev_batch),
+                    params=jax.device_get(t_host.params))
+    loss_dev = float(t_dev._train_step_device(dev_batch))
+    # int16 wire + boundary-window reflection differences are tiny
+    assert abs(loss_host - loss_dev) < 2e-2 * max(abs(loss_host), 1.0), (
+        loss_host, loss_dev)

@@ -22,7 +22,7 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .audio import SAMPLE_RATE, compute_mel_spectrogram_np
+from .audio import HOP_LENGTH, SAMPLE_RATE, compute_mel_spectrogram_np
 from .audio import load_audio
 
 logger = logging.getLogger(__name__)
@@ -47,6 +47,7 @@ class ASRDataset:
         min_duration: float = 0.5,
         sample_rate: int = SAMPLE_RATE,
         normalize_audio: bool = True,
+        device_mel: bool = False,
     ):
         self.manifest_path = manifest_path
         self.tokenizer = tokenizer
@@ -54,6 +55,12 @@ class ASRDataset:
         self.min_duration = min_duration
         self.sample_rate = sample_rate
         self.normalize_audio = normalize_audio
+        # device_mel: skip the host mel transform; items carry raw audio and
+        # the train step computes the (fused Pallas) mel on device — the
+        # host pipeline then only decodes audio, which is what lets one
+        # host feed a multi-chip data-parallel mesh
+        # (tools/bench_input_pipeline.py measures the margin).
+        self.device_mel = device_mel
 
         self.samples = self._load_manifest()
         self.vocab = self._build_vocab() if tokenizer is None else None
@@ -96,15 +103,20 @@ class ASRDataset:
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         sample = self.samples[idx]
         audio = load_audio(sample["audio_path"], sample_rate=self.sample_rate)
-        mel = compute_mel_spectrogram_np(audio, normalize=self.normalize_audio)
         tokens = self.text_to_tokens(sample["text"])
-        return {
-            "mel_spectrogram": mel,
+        item = {
             "targets": np.asarray(tokens, np.int32),
-            "input_lengths": np.int32(mel.shape[0]),
             "target_lengths": np.int32(len(tokens)),
             "text": sample["text"],
         }
+        if self.device_mel:
+            item["audio"] = np.asarray(audio, np.float32)
+            item["input_lengths"] = np.int32(1 + len(audio) // HOP_LENGTH)
+        else:
+            mel = compute_mel_spectrogram_np(audio, normalize=self.normalize_audio)
+            item["mel_spectrogram"] = mel
+            item["input_lengths"] = np.int32(mel.shape[0])
+        return item
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -132,6 +144,8 @@ class ASRCollator:
         self.target_bucket = max(target_bucket, 1)
 
     def __call__(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if "audio" in batch[0]:
+            return self._collate_audio(batch)
         max_mel = _round_up(
             max(item["mel_spectrogram"].shape[0] for item in batch), self.frame_bucket
         )
@@ -157,6 +171,56 @@ class ASRCollator:
 
         return {
             "mel_spectrogram": mels,
+            "targets": targets,
+            "input_lengths": input_lengths,
+            "target_lengths": target_lengths,
+            "texts": texts,
+        }
+
+    def _collate_audio(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """device-mel collation: pad raw audio instead of mel.
+
+        Each utterance is reflect-padded to the common sample length (the
+        same convention as the transcribe/serve pipeline, so the device mel
+        of the valid frames is exact — the reflection at the utterance end
+        IS the offline right reflect-pad), and crosses the host link as
+        int16 PCM (half the bytes of fp32; rescaled on device). The train
+        step computes the fused-Pallas mel + masked per-utterance
+        normalization on device (training.py device-mel path)."""
+        from .audio import HOP_LENGTH as hop
+
+        # ceil-based frame sizing guarantees target_samples >= every len
+        max_mel = _round_up(
+            max(1 + -(-len(item["audio"]) // hop) for item in batch),
+            self.frame_bucket,
+        )
+        target_samples = (max_mel - 1) * hop
+        max_tgt = _round_up(
+            max(1, max(item["targets"].shape[0] for item in batch)), self.target_bucket
+        )
+
+        n = len(batch)
+        audio = np.zeros((n, target_samples), np.int16)
+        targets = np.full((n, max_tgt), self.pad_token_id, np.int32)
+        input_lengths = np.empty((n,), np.int32)
+        target_lengths = np.empty((n,), np.int32)
+        texts = []
+        for i, item in enumerate(batch):
+            a = np.asarray(item["audio"], np.float32)
+            if len(a) >= 2:
+                padded = np.pad(a, (0, target_samples - len(a)), mode="reflect")
+            else:
+                padded = np.zeros(target_samples, np.float32)
+                padded[: len(a)] = a
+            audio[i] = np.clip(padded * 32768.0, -32768, 32767).astype(np.int16)
+            t = item["targets"]
+            targets[i, : t.shape[0]] = t
+            input_lengths[i] = item["input_lengths"]
+            target_lengths[i] = item["target_lengths"]
+            texts.append(item.get("text", ""))
+
+        return {
+            "audio": audio,
             "targets": targets,
             "input_lengths": input_lengths,
             "target_lengths": target_lengths,
@@ -279,6 +343,7 @@ def create_dataloader(
     max_duration: Optional[float] = 30.0,
     min_duration: float = 0.5,
     tokenizer: Optional[Any] = None,
+    device_mel: bool = False,
 ) -> Tuple[DataLoader, ASRDataset]:
     """Create a manifest DataLoader (reference create_dataloader,
     data.py:206-251)."""
@@ -288,6 +353,7 @@ def create_dataloader(
         tokenizer=tokenizer,
         max_duration=max_duration,
         min_duration=min_duration,
+        device_mel=device_mel,
     )
     loader = DataLoader(
         dataset,

@@ -158,6 +158,7 @@ class SyntheticSpeechDataset:
         min_words: int = 2,
         max_words: int = 8,
         normalize_audio: bool = True,
+        device_mel: bool = False,
     ):
         self.n_utts = n_utts
         self.split = split
@@ -165,6 +166,8 @@ class SyntheticSpeechDataset:
         self.min_words = min_words
         self.max_words = max_words
         self.normalize_audio = normalize_audio
+        # see data.ASRDataset: items carry raw audio; mel runs on device
+        self.device_mel = device_mel
         self.voice = SynthVoice(seed=seed)
         self.lexicon = make_lexicon(lexicon_words, seed=seed)
         specials = ["<blank>", "<unk>", "<pad>"]
@@ -191,15 +194,22 @@ class SyntheticSpeechDataset:
     def __getitem__(self, idx: int) -> Dict:
         text = self.text_for(idx)
         audio = self.audio_for(idx)
-        mel = compute_mel_spectrogram_np(audio, normalize=self.normalize_audio)
         tokens = self.text_to_tokens(text)
-        return {
-            "mel_spectrogram": mel,
+        item = {
             "targets": np.asarray(tokens, np.int32),
-            "input_lengths": np.int32(mel.shape[0]),
             "target_lengths": np.int32(len(tokens)),
             "text": text,
         }
+        if self.device_mel:
+            from .audio import HOP_LENGTH
+
+            item["audio"] = np.asarray(audio, np.float32)
+            item["input_lengths"] = np.int32(1 + len(audio) // HOP_LENGTH)
+        else:
+            mel = compute_mel_spectrogram_np(audio, normalize=self.normalize_audio)
+            item["mel_spectrogram"] = mel
+            item["input_lengths"] = np.int32(mel.shape[0])
+        return item
 
 
 def write_corpus(

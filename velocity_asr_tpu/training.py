@@ -350,7 +350,20 @@ class Trainer:
     # ----- compiled steps ---------------------------------------------------
 
     def _loss_fn(self, params, batch, dropout_rng, train: bool, n_valid):
-        mel = batch["mel_spectrogram"]
+        if "audio" in batch:
+            # device-mel path: the host pipeline ships int16 PCM (audio
+            # decode only — what lets one host feed a multi-chip DP mesh,
+            # tools/bench_input_pipeline.py) and the fused mel front-end +
+            # masked per-utterance normalization run inside this compiled
+            # step, exactly like the transcribe/serve pipeline
+            # (scripts/transcribe.py masked_logits).
+            from .audio import compute_mel_spectrogram, masked_normalize_mel
+
+            audio = batch["audio"].astype(jnp.float32) * (1.0 / 32768.0)
+            mel = compute_mel_spectrogram(audio, normalize=False)
+            mel = masked_normalize_mel(mel, batch["input_lengths"])
+        else:
+            mel = batch["mel_spectrogram"]
         if train and self.config.augment is not None and self.config.augment.enabled:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = spec_augment(
