@@ -143,3 +143,56 @@ def test_pallas_h0_only_and_state_only():
     )
     np.testing.assert_allclose(y_pal2, y_ref2, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(h_pal2, h_ref2, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_stateful_gradient_matches_sequential():
+    """Gradients through the stateful kernel path (h0 in, h_final out) —
+    the streaming-aware training graph differentiates a chain of these.
+    Checks dx/ddt/dA/dB/dC/dD AND dh0, with a loss that uses both outputs
+    (so the h_final cotangent seeds the adjoint chain)."""
+    x, dt, A, B, C, D = make_inputs(length=50, d_inner=16, state_dim=8, seed=5)
+    rng = np.random.default_rng(6)
+    h0 = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+
+    def loss(fn):
+        def f(x, dt, A, B, C, D, h0):
+            y, h = fn(x, dt, A, B, C, D, h0=h0, return_state=True)
+            return jnp.sum(jnp.sin(y)) + jnp.sum(h ** 2)
+        return f
+
+    def pal(x, dt, A, B, C, D, h0, return_state):
+        return selective_scan_pallas(
+            x, dt, A, B, C, D, chunk=16, h0=h0, return_state=return_state
+        )
+
+    args = (x, dt, A, B, C, D, h0)
+    g_pal = jax.grad(loss(pal), argnums=tuple(range(7)))(*args)
+    g_seq = jax.grad(loss(selective_scan_sequential), argnums=tuple(range(7)))(*args)
+    names = ["dx", "ddt", "dA", "dB", "dC", "dD", "dh0"]
+    for name, a, b in zip(names, g_pal, g_seq):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_pallas_chained_stateful_gradient():
+    """Two chained stateful calls (chunked streaming training) back-prop the
+    same as one full-length differentiable scan."""
+    x, dt, A, B, C, D = make_inputs(length=64, d_inner=8, state_dim=4, seed=7)
+    s = 32
+
+    def loss_chunked(x, dt, A, B, C, D):
+        y1, h1 = selective_scan_pallas(
+            x[:, :s], dt[:, :s], A, B[:, :s], C[:, :s], D,
+            chunk=16, return_state=True,
+        )
+        y2 = selective_scan_pallas(
+            x[:, s:], dt[:, s:], A, B[:, s:], C[:, s:], D, chunk=16, h0=h1
+        )
+        return jnp.sum(jnp.sin(jnp.concatenate([y1, y2], axis=1)))
+
+    def loss_full(x, dt, A, B, C, D):
+        return jnp.sum(jnp.sin(selective_scan_parallel(x, dt, A, B, C, D)))
+
+    g_c = jax.grad(loss_chunked, argnums=(0, 1, 2, 3, 4, 5))(x, dt, A, B, C, D)
+    g_f = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4, 5))(x, dt, A, B, C, D)
+    for name, a, b in zip(["dx", "ddt", "dA", "dB", "dC", "dD"], g_c, g_f):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=name)

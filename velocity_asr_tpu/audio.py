@@ -221,6 +221,41 @@ def masked_normalize_mel(mel: jnp.ndarray, n_valid) -> jnp.ndarray:
     return jnp.where(valid, out, 0.0)
 
 
+def causal_normalize_mel(
+    mel: jnp.ndarray, n_valid, chunk_frames: int
+) -> jnp.ndarray:
+    """Per-bin normalization with CAUSAL per-chunk statistics on device.
+
+    Frame t in chunk c is normalized with the mean/unbiased-std of frames
+    [0, min((c+1)*chunk_frames, n_valid)) — the statistics a live stream's
+    running normalizer holds when chunk c is processed (streaming.py
+    StreamingMel fed chunk-sized blocks). Used by the streaming-aware
+    training objective so the model trains under the exact feature
+    distribution the streaming runtime produces. Padded frames are zeroed.
+
+    mel: (batch, t, mels) un-normalized log-mel; n_valid: (batch,) valid
+    frame counts; t need not be a multiple of chunk_frames.
+    """
+    b, t, m = mel.shape
+    n_valid = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
+    valid = jnp.arange(t)[None, :, None] < n_valid[:, :, None]
+    x = jnp.where(valid, mel.astype(jnp.float32), 0.0)
+    cs = jnp.cumsum(x, axis=1)
+    cs2 = jnp.cumsum(x * x, axis=1)
+    chunk = jnp.arange(t, dtype=jnp.int32) // chunk_frames
+    cutoff = jnp.minimum((chunk[None, :] + 1) * chunk_frames, n_valid)
+    cutoff = jnp.maximum(cutoff, 1)  # (b, t)
+    idx = jnp.broadcast_to((cutoff - 1)[:, :, None], (b, t, m))
+    s = jnp.take_along_axis(cs, idx, axis=1)
+    s2 = jnp.take_along_axis(cs2, idx, axis=1)
+    n = cutoff[:, :, None].astype(jnp.float32)
+    mean = s / n
+    var = (s2 - n * mean * mean) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    out = (mel - mean) / (std + 1e-10)
+    return jnp.where(valid, out, 0.0)
+
+
 def compute_mel_spectrogram_np(
     audio: np.ndarray,
     sample_rate: int = SAMPLE_RATE,

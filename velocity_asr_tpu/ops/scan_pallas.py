@@ -215,10 +215,11 @@ def _pallas_scan_fwd(x, dt, A, B, C, chunk, save_bounds):
     return y[:, :length], bounds
 
 
-def _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0):
+def _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0, save_bounds=False):
     """Streaming forward launch: seeds the carry from h0 and emits the final
     state. h0/h_final are in kernel layout (batch, state_dim, d_inner).
-    Used by the inference/streaming path only (no VJP)."""
+    save_bounds additionally emits the chunk-boundary states (the VJP
+    residuals for the streaming-aware training graph)."""
     batch, length, d_inner = x.shape
     state_dim = A.shape[0]
     (x, dt, B, C), padded_len = _pad_chunk(
@@ -244,25 +245,45 @@ def _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0):
         pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # U / hseq
     ]
 
-    y, h_final = pl.pallas_call(
-        _make_fwd_kernel(group, chunk, save_bounds=False, with_state=True),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
-            jax.ShapeDtypeStruct((batch, state_dim, d_inner), jnp.float32),
-        ),
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+    ]
+    out_specs = [seq_d]
+    if save_bounds:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch // group, num_chunks, group * state_dim, d_inner), jnp.float32
+        ))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, group * state_dim, d_inner), lambda b, c: (b, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    out_shape.append(
+        jax.ShapeDtypeStruct((batch, state_dim, d_inner), jnp.float32)
+    )
+    out_specs.append(h_spec)
+
+    outs = pl.pallas_call(
+        _make_fwd_kernel(group, chunk, save_bounds=save_bounds, with_state=True),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[a_spec, seq_d, seq_d, seq_n, seq_n, h_spec],
-        out_specs=(seq_d, h_spec),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=_interpret(),
     )(a_col, x, dt, B, C, h0.astype(jnp.float32))
-    return y[:, :length], h_final
+    if not save_bounds:
+        y, h_final = outs
+        return y[:, :length], h_final
+    y, bounds, h_final = outs
+    bounds = bounds.reshape(batch // group, num_chunks, group, state_dim, d_inner)
+    bounds = jnp.moveaxis(bounds, 2, 1).reshape(batch, num_chunks, state_dim, d_inner)
+    return y[:, :length], bounds, h_final
 
 
 # -------------------------------------------------------------- backward
 
 
-def _make_bwd_kernel(group: int, chunk: int):
+def _make_bwd_kernel(group: int, chunk: int, with_state: bool = False):
     """Block-recurrence backward kernel over (batch-group, reversed
     time-chunk) grid steps.
 
@@ -293,16 +314,31 @@ def _make_bwd_kernel(group: int, chunk: int):
          dA    += sum_{t,d} ddecay[t]*dt[t]
     """
 
-    def kernel(
-        a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref,
-        dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
-        lam_ref, dec_ref, hbuf_ref, lbuf_ref,
-    ):
+    def kernel(*refs):
+        a_ref, x_ref, dt_ref, b_ref, c_ref, g_ref, bound_ref = refs[:7]
+        idx = 7
+        gh_ref = None
+        if with_state:
+            gh_ref = refs[idx]
+            idx += 1
+        dx_ref, ddt_ref, db_ref, dc_ref, da_ref = refs[idx:idx + 5]
+        idx += 5
+        dh0_ref = None
+        if with_state:
+            dh0_ref = refs[idx]
+            idx += 1
+        lam_ref, dec_ref, hbuf_ref, lbuf_ref = refs[idx:idx + 4]
         rev_idx = pl.program_id(1)
 
         @pl.when(rev_idx == 0)
         def _():
-            lam_ref[:] = jnp.zeros_like(lam_ref)
+            # With a carried state, the final state's cotangent seeds the
+            # adjoint chain: lam enters the last step as dL/dh[L-1] = g_h
+            # (padded steps are identity: dt=0 -> dec=1, P=0).
+            if with_state:
+                lam_ref[:] = gh_ref[:]
+            else:
+                lam_ref[:] = jnp.zeros_like(lam_ref)
             da_ref[:] = jnp.zeros_like(da_ref)
 
         n = a_ref.shape[0]
@@ -347,12 +383,21 @@ def _make_bwd_kernel(group: int, chunk: int):
                 ddecay * dt_j[:, None, :], axis=(0, 2)
             ).reshape(n, 1)
 
+        if with_state:
+            # After the chunk-0 program the carry is dec[0]*lam[0] =
+            # dL/dh[-1], i.e. the gradient w.r.t. the seeded initial state.
+            @pl.when(rev_idx == pl.num_programs(1) - 1)
+            def _():
+                dh0_ref[:] = lam_ref[:]
+
     return kernel
 
 
-def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
+def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk, gh=None):
     """Backward kernel launch; returns (dx, ddt, dA, dB, dC) for the scan
-    part (no D-skip terms)."""
+    part (no D-skip terms). With gh (cotangent of the emitted final state,
+    kernel layout (batch, N, D)) also returns dh0."""
+    with_state = gh is not None
     batch, length, d_inner = x.shape
     state_dim = A.shape[0]
     (x, dt, B, C, g), padded_len = _pad_chunk(
@@ -380,19 +425,34 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
     da_spec = pl.BlockSpec(
         (group, state_dim, 1), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    h_spec = pl.BlockSpec(
+        (group, state_dim, d_inner), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+    )
 
-    dx, ddt, dB_, dC_, dA_b = pl.pallas_call(
-        _make_bwd_kernel(group, chunk),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
-            jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
-            jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch, state_dim, 1), jnp.float32),
-        ),
+    in_specs = [a_spec, seq_d, seq_d, seq_n, seq_n, seq_d, bound_spec]
+    operands = [a_col, x, dt, B, C, g, bounds]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+        jax.ShapeDtypeStruct((batch, padded_len, d_inner), jnp.float32),
+        jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, padded_len, state_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, state_dim, 1), jnp.float32),
+    ]
+    out_specs = [seq_d, seq_d, seq_n, seq_n, da_spec]
+    if with_state:
+        in_specs.append(h_spec)
+        operands.append(gh.astype(jnp.float32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, state_dim, d_inner), jnp.float32)
+        )
+        out_specs.append(h_spec)
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(group, chunk, with_state=with_state),
+        out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=[a_spec, seq_d, seq_d, seq_n, seq_n, seq_d, bound_spec],
-        out_specs=(seq_d, seq_d, seq_n, seq_n, da_spec),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((group, state_dim, d_inner), jnp.float32),  # lam
             pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # dec
@@ -400,10 +460,14 @@ def _pallas_scan_bwd(x, dt, A, B, C, bounds, g, chunk):
             pltpu.VMEM((group, chunk, state_dim, d_inner), jnp.float32),  # lbuf
         ],
         interpret=_interpret(),
-    )(a_col, x, dt, B, C, g, bounds)
+    )(*operands)
 
+    dx, ddt, dB_, dC_, dA_b = outs[:5]
     dA = jnp.sum(dA_b, axis=(0, 2))  # (N,)
-    return dx[:, :length], ddt[:, :length], dA, dB_[:, :length], dC_[:, :length]
+    grads = (dx[:, :length], ddt[:, :length], dA, dB_[:, :length], dC_[:, :length])
+    if with_state:
+        return grads + (outs[5],)
+    return grads
 
 
 # --------------------------------------------------------------- public
@@ -443,6 +507,45 @@ def _bwd(chunk, residuals, g):
 _selective_scan_pallas.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _selective_scan_pallas_state(x, dt, A, B, C, D, chunk, h0_k):
+    """Stateful variant: h0_k/h_final in kernel layout (batch, N, D)."""
+    y, h_final = _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0_k)
+    return (y + x.astype(jnp.float32) * D).astype(x.dtype), h_final
+
+
+def _fwd_state(x, dt, A, B, C, D, chunk, h0_k):
+    y, bounds, h_final = _pallas_scan_fwd_state(
+        x, dt, A, B, C, TRAIN_CHUNK, h0_k, save_bounds=True
+    )
+    out = (y + x.astype(jnp.float32) * D).astype(x.dtype)
+    return (out, h_final), (x, dt, A, B, C, D, bounds)
+
+
+def _bwd_state(chunk, residuals, g):
+    x, dt, A, B, C, D, bounds = residuals
+    gy, gh = g
+    gf = gy.astype(jnp.float32)
+    dx_scan, ddt, dA, dB_, dC_, dh0 = _pallas_scan_bwd(
+        x, dt, A, B, C, bounds, gf, TRAIN_CHUNK, gh=gh
+    )
+    xf = x.astype(jnp.float32)
+    dx = dx_scan + gf * D
+    dD = jnp.sum(gf * xf, axis=(0, 1))
+    return (
+        dx.astype(x.dtype),
+        ddt.astype(dt.dtype),
+        dA.astype(A.dtype),
+        dB_.astype(B.dtype),
+        dC_.astype(C.dtype),
+        dD.astype(D.dtype),
+        dh0,
+    )
+
+
+_selective_scan_pallas_state.defvjp(_fwd_state, _bwd_state)
+
+
 def selective_scan_pallas(
     x: jnp.ndarray,
     dt: jnp.ndarray,
@@ -462,8 +565,10 @@ def selective_scan_pallas(
 
     With h0/return_state (the streaming contract, reference mamba-tier
     semantics ssm.py:297-337) the kernel seeds its VMEM carry from h0 and
-    flushes the final state — this path is inference-only (no VJP; the
-    training graph never carries state).
+    flushes the final state. This path is differentiable too (the
+    streaming-aware training objective scans it chunk-by-chunk): the
+    backward kernel seeds its adjoint from the final state's cotangent and
+    its reverse carry exits chunk 0 as exactly dL/dh0.
     """
     if h0 is None and not return_state:
         return _selective_scan_pallas(x, dt, A, B, C, D, chunk)
@@ -473,9 +578,8 @@ def selective_scan_pallas(
         h0_k = jnp.zeros((batch, state_dim, d_inner), jnp.float32)
     else:
         # oracle layout (batch, d_inner, state_dim) -> kernel (batch, N, D)
-        h0_k = jnp.swapaxes(h0, 1, 2)
-    y, h_final = _pallas_scan_fwd_state(x, dt, A, B, C, chunk, h0_k)
-    y = (y + x.astype(jnp.float32) * D).astype(x.dtype)
+        h0_k = jnp.swapaxes(h0, 1, 2).astype(jnp.float32)
+    y, h_final = _selective_scan_pallas_state(x, dt, A, B, C, D, chunk, h0_k)
     if not return_state:
         return y
     return y, jnp.swapaxes(h_final, 1, 2).astype(x.dtype)

@@ -189,6 +189,59 @@ def init_stream_state(cfg, batch: int):
     }
 
 
+def streaming_forward(
+    model: VelocityASR,
+    params,
+    mel: jnp.ndarray,
+    chunk_frames: int,
+    train: bool = False,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Full-utterance logits computed BY THE STREAMING PATH: a lax.scan of
+    the chunked step (carried conv/SSM state, incremental global context,
+    rolling memory) over the time axis.
+
+    This is the differentiable streaming graph — the training-side
+    counterpart of StreamingTranscriber — used by the streaming-aware
+    objective (training.TrainingConfig.streaming_chunks): CTC on these
+    logits trains the model under exactly the conditions the streaming
+    runtime evaluates under. mel's time axis must be a multiple of
+    chunk_frames (the collator's frame bucket guarantees it when
+    frame_bucket % chunk_frames == 0). Returns (batch, t//2, vocab).
+    """
+    b, t, m = mel.shape
+    assert t % chunk_frames == 0, (t, chunk_frames)
+    c = t // chunk_frames
+    chunks = mel.reshape(b, c, chunk_frames, m).transpose(1, 0, 2, 3)
+    offsets = jnp.arange(c, dtype=jnp.int32) * (chunk_frames // 2)
+    state0 = init_stream_state(model.config, b)
+    rngs = None if dropout_rng is None else jax.random.split(dropout_rng, c)
+
+    def body(state, inp):
+        if rngs is None:
+            chunk, offset = inp
+            step_rngs = {}
+        else:
+            chunk, offset, r = inp
+            step_rngs = {"dropout": r}
+        logits, new_state = model.apply(
+            {"params": params}, chunk, train=train,
+            stream_state=state, time_offset=offset, return_state=True,
+            rngs=step_rngs,
+        )
+        # Under mixed precision the model emits bf16 activations (conv
+        # carry); keep the scan carry at init_stream_state's dtypes (fp32)
+        # so the lax.scan carry signature is stable. Lossless upcast.
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), new_state, state
+        )
+        return new_state, logits
+
+    xs = (chunks, offsets) if rngs is None else (chunks, offsets, rngs)
+    _, logits = jax.lax.scan(body, state0, xs)
+    return logits.transpose(1, 0, 2, 3).reshape(b, t // 2, -1)
+
+
 class StreamingTranscriber:
     """Low-latency chunked transcription with carried model state.
 

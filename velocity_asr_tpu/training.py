@@ -97,6 +97,16 @@ class TrainingConfig:
     profile_steps: int = 5
     # SpecAugment (the reference's augmentation stanza, implemented).
     augment: Optional[SpecAugmentConfig] = None
+    # Streaming-aware objective (requires data.device_mel batches): add a
+    # CTC term on logits computed BY THE STREAMING PATH — lax.scan of the
+    # chunked step with causal per-chunk mel normalization
+    # (streaming.streaming_forward + audio.causal_normalize_mel) — so the
+    # model trains under exactly the conditions the streaming runtime
+    # evaluates under. 0 disables; otherwise the chunk size in mel frames
+    # (must divide the collator frame bucket).
+    streaming_chunks: int = 0
+    # loss = (1-w)*offline + w*streaming
+    streaming_aux_weight: float = 0.5
     # Append per-log-interval metrics as JSON lines (the reference's wandb
     # stanza was unimplemented; this is the lightweight observability sink).
     metrics_path: Optional[str] = None
@@ -350,6 +360,7 @@ class Trainer:
     # ----- compiled steps ---------------------------------------------------
 
     def _loss_fn(self, params, batch, dropout_rng, train: bool, n_valid):
+        raw_mel = None
         if "audio" in batch:
             # device-mel path: the host pipeline ships int16 PCM (audio
             # decode only — what lets one host feed a multi-chip DP mesh,
@@ -360,10 +371,12 @@ class Trainer:
             from .audio import compute_mel_spectrogram, masked_normalize_mel
 
             audio = batch["audio"].astype(jnp.float32) * (1.0 / 32768.0)
-            mel = compute_mel_spectrogram(audio, normalize=False)
-            mel = masked_normalize_mel(mel, batch["input_lengths"])
+            raw_mel = compute_mel_spectrogram(audio, normalize=False)
+            mel = masked_normalize_mel(raw_mel, batch["input_lengths"])
         else:
             mel = batch["mel_spectrogram"]
+
+        aug_rng = None
         if train and self.config.augment is not None and self.config.augment.enabled:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = spec_augment(
@@ -372,16 +385,44 @@ class Trainer:
         # Output lengths after stride-2 temporal binding
         # (reference training.py:234).
         output_lengths = (batch["input_lengths"] + 1) // 2
+
+        def masked_ctc(logits):
+            per_example = ctc_loss_per_example(
+                logits, batch["targets"], output_lengths,
+                batch["target_lengths"],
+            )
+            # Mask divisibility padding (see shard_batch).
+            valid = jnp.arange(per_example.shape[0]) < n_valid
+            return (jnp.sum(jnp.where(valid, per_example, 0.0))
+                    / jnp.maximum(n_valid, 1))
+
         logits = forward(
             self.model, params, mel, train=train,
             dropout_rng=dropout_rng if train else None,
         )
-        per_example = ctc_loss_per_example(
-            logits, batch["targets"], output_lengths, batch["target_lengths"]
-        )
-        # Mask divisibility padding (see shard_batch).
-        valid = jnp.arange(per_example.shape[0]) < n_valid
-        return jnp.sum(jnp.where(valid, per_example, 0.0)) / jnp.maximum(n_valid, 1)
+        loss = masked_ctc(logits)
+
+        if self.config.streaming_chunks and raw_mel is not None:
+            # Streaming-aware term: same utterances through the chunked
+            # streaming graph with causal per-chunk normalization.
+            from .audio import causal_normalize_mel
+            from .streaming import streaming_forward
+
+            smel = causal_normalize_mel(
+                raw_mel, batch["input_lengths"], self.config.streaming_chunks
+            )
+            if aug_rng is not None:
+                smel = spec_augment(
+                    smel, aug_rng, self.config.augment, batch["input_lengths"]
+                )
+            slogits = streaming_forward(
+                self.model, params, smel, self.config.streaming_chunks,
+                train=train,
+                dropout_rng=dropout_rng if train else None,
+            )
+            w = self.config.streaming_aux_weight
+            loss = (1.0 - w) * loss + w * masked_ctc(slogits)
+        return loss
 
     def _build_train_step(self):
         rep = NamedSharding(self.mesh, P())

@@ -69,6 +69,8 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         batch_size=int(trn.get("batch_size", 32)),
         gradient_accumulation_steps=int(trn.get("gradient_accumulation_steps", 1)),
         use_amp=bool(trn.get("use_amp", True)),
+        streaming_chunks=int(trn.get("streaming_chunks", 0)),
+        streaming_aux_weight=float(trn.get("streaming_aux_weight", 0.5)),
         log_interval=int(log.get("log_interval", 100)),
         eval_interval=int(log.get("eval_interval", 1000)),
         save_interval=int(ckpt.get("save_interval", 5000)),
