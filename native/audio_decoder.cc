@@ -632,6 +632,11 @@ bool LooksLikeMp3(const uint8_t* p, size_t n) {
 int DecodeMp3(const uint8_t* data, size_t size, std::vector<float>* out,
               int64_t* out_frames, int32_t* out_channels, int32_t* out_rate);
 
+// Implemented in vorbis_decoder.cc.
+int DecodeOggVorbis(const uint8_t* data, size_t size, std::vector<float>* out,
+                    int64_t* out_frames, int32_t* out_channels,
+                    int32_t* out_rate);
+
 extern "C" {
 
 int va_decode_file(const char* path, float** out_samples, int64_t* out_frames,
@@ -648,6 +653,9 @@ int va_decode_file(const char* path, float** out_samples, int64_t* out_frames,
   } else if (memcmp(buf.data(), "RIFF", 4) == 0) {
     rc = DecodeWav(buf.data(), buf.size(), &samples, out_frames, out_channels,
                    out_rate);
+  } else if (memcmp(buf.data(), "OggS", 4) == 0) {
+    rc = DecodeOggVorbis(buf.data(), buf.size(), &samples, out_frames,
+                         out_channels, out_rate);
   } else if (LooksLikeMp3(buf.data(), buf.size())) {
     rc = DecodeMp3(buf.data(), buf.size(), &samples, out_frames, out_channels,
                    out_rate);

@@ -122,11 +122,12 @@ def test_load_audio_resamples(tmp_path):
 
 
 def test_unsupported_format_fails_fast(tmp_path):
-    """ogg/m4a are not decodable here (reference uses torchaudio); the
-    error must be immediate and actionable, not a decoder crash. (mp3 IS
-    decodable since native/mp3_decoder.cc.)"""
-    p = tmp_path / "music.ogg"
-    p.write_bytes(b"OggS\x00\x02" + b"\x00" * 64)
+    """m4a is not decodable here (reference uses torchaudio); the error
+    must be immediate and actionable, not a decoder crash. (mp3 and ogg
+    ARE decodable since native/mp3_decoder.cc / vorbis_decoder.cc.)"""
+    p = tmp_path / "music.m4a"
+    # minimal MP4 'ftyp' box header
+    p.write_bytes(b"\x00\x00\x00\x18ftypM4A " + b"\x00" * 64)
     with pytest.raises(RuntimeError, match="unsupported format.*ffmpeg"):
         va_io.decode_audio_file(str(p))
 
@@ -157,8 +158,8 @@ def test_supported_exts_advertised():
     if va_io.native_available():
         assert ".flac" in exts
         assert ".mp3" in exts
-    for bad in (".ogg", ".m4a"):
-        assert bad not in exts
+        assert ".ogg" in exts
+    assert ".m4a" not in exts
     # the transcribe CLI advertises the same set
     from scripts.transcribe import AUDIO_EXTS
 

@@ -144,14 +144,17 @@ def supported_audio_exts() -> Tuple[str, ...]:
 
     The reference decodes mp3/ogg/m4a through torchaudio (audio.py:39-56);
     this build ships its own decoders (WAV + FLAC + MPEG-1/2/2.5 Layer III
-    mp3, native/mp3_decoder.cc) and advertises exactly what it supports
-    instead of failing at decode time.
+    mp3 + Ogg Vorbis, native/mp3_decoder.cc / native/vorbis_decoder.cc)
+    and advertises exactly what it supports instead of failing at decode
+    time.
     """
-    return (".wav", ".flac", ".mp3") if native_available() else (".wav",)
+    if native_available():
+        return (".wav", ".flac", ".mp3", ".ogg", ".oga")
+    return (".wav",)
 
 
 def _sniff_format(path: str) -> str:
-    """Container format from magic bytes: 'wav' | 'flac' | 'mp3' | ''."""
+    """Container format from magic bytes: 'wav'|'flac'|'mp3'|'ogg'|''."""
     try:
         with open(path, "rb") as f:
             head = f.read(4)
@@ -161,6 +164,8 @@ def _sniff_format(path: str) -> str:
         return "wav"
     if head == b"fLaC":
         return "flac"
+    if head == b"OggS":
+        return "ogg"
     if _looks_like_mp3(head):
         return "mp3"
     return ""
@@ -190,8 +195,8 @@ def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
     Dispatch is by extension, falling back to content sniffing (magic
     bytes) for unknown extensions — the serve daemon receives raw request
     bodies without a meaningful filename. Fails fast with a clear message
-    on formats no decoder handles (ogg/m4a — supported by the reference
-    via torchaudio, not here).
+    on formats no decoder handles (m4a — supported by the reference via
+    torchaudio, not here).
     """
     lower = path.lower()
     exts = supported_audio_exts()
@@ -201,12 +206,13 @@ def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
             "wav": True,
             "flac": native_available(),
             "mp3": native_available(),
+            "ogg": native_available(),
         }
         if not known.get(sniffed, False):
             raise RuntimeError(
                 f"Cannot decode {path!r}: unsupported format. Supported: "
-                f"{', '.join(exts)}. (ogg/m4a require an external decoder; "
-                "convert with e.g. `ffmpeg -i in.ogg -ar 16000 out.wav`.)"
+                f"{', '.join(exts)}. (m4a requires an external decoder; "
+                "convert with e.g. `ffmpeg -i in.m4a -ar 16000 out.wav`.)"
             )
     if native_available():
         return _decode_native(path)
