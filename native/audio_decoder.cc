@@ -640,7 +640,7 @@ int DecodeOggVorbis(const uint8_t* data, size_t size, std::vector<float>* out,
 extern "C" {
 
 int va_decode_file(const char* path, float** out_samples, int64_t* out_frames,
-                   int32_t* out_channels, int32_t* out_rate) {
+                   int32_t* out_channels, int32_t* out_rate) try {
   std::vector<uint8_t> buf;
   int rc = ReadFile(path, &buf);
   if (rc != VA_OK) return rc;
@@ -669,6 +669,10 @@ int va_decode_file(const char* path, float** out_samples, int64_t* out_frames,
   memcpy(mem, samples.data(), samples.size() * sizeof(float));
   *out_samples = mem;
   return VA_OK;
+} catch (...) {
+  // Exceptions (e.g. std::bad_alloc on a crafted header) must not cross
+  // the extern "C" boundary into the ctypes caller.
+  return VA_ECORRUPT;
 }
 
 void va_free(float* p) { free(p); }

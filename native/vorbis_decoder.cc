@@ -64,6 +64,7 @@ class VBits {
   }
 
   bool eop() const { return eop_; }
+  size_t remaining() const { return p_ < nbits_ ? nbits_ - p_ : 0; }
 
  private:
   const uint8_t* d_;
@@ -92,6 +93,7 @@ float Float32Unpack(uint32_t x) {
 
 // lookup1_values per spec section 9.2.3: greatest r with r^dims <= entries.
 uint32_t Lookup1Values(uint32_t entries, uint32_t dims) {
+  if (dims == 0) return 0;  // malformed codebook; rejected by the caller
   uint32_t r = 0;
   while (true) {
     uint64_t acc = 1;
@@ -130,6 +132,7 @@ struct Codebook {
       if (b->eop()) return -1;
       return single_entry_value;
     }
+    if (tree.empty()) return -1;  // all-unused codebook: nothing decodable
     int node = 0;
     while (true) {
       int bit = b->read1();
@@ -218,6 +221,9 @@ bool ParseCodebook(VBits* b, Codebook* cb) {
   if (b->read(24) != 0x564342) return false;  // sync pattern "BCV"
   cb->dims = b->read(16);
   cb->entries = b->read(24);
+  // Every entry consumes at least one bit below; a 24-bit entry count
+  // larger than the packet is a crafted header, not a decodable book.
+  if (uint64_t(cb->entries) > b->remaining()) return false;
   std::vector<int> lens(cb->entries, 0);
   int ordered = b->read1();
   if (!ordered) {
@@ -254,15 +260,22 @@ bool ParseCodebook(VBits* b, Codebook* cb) {
   float delta = Float32Unpack(b->read(32));
   int value_bits = int(b->read(4)) + 1;
   int sequence_p = b->read1();
-  uint32_t lookup_values = (cb->lookup_type == 1)
-                               ? Lookup1Values(cb->entries, cb->dims)
-                               : cb->entries * cb->dims;
+  // Size guards BEFORE any allocation: a crafted header must not be able
+  // to trigger a huge resize/read loop (entries*dims in 64-bit to avoid
+  // uint32 wrap).
+  if (cb->dims == 0) return false;
+  if (uint64_t(cb->entries) * cb->dims > (64u << 20)) return false;
+  uint64_t lookup_values64 = (cb->lookup_type == 1)
+                                 ? Lookup1Values(cb->entries, cb->dims)
+                                 : uint64_t(cb->entries) * cb->dims;
+  if (lookup_values64 == 0 || lookup_values64 > (64u << 20)) return false;
+  if (lookup_values64 * uint64_t(value_bits) > b->remaining()) return false;
+  uint32_t lookup_values = uint32_t(lookup_values64);
   std::vector<uint32_t> mults(lookup_values);
   for (uint32_t i = 0; i < lookup_values; ++i) mults[i] = b->read(value_bits);
   if (b->eop()) return false;
 
   // Expand the full VQ vector table (spec section 3.3).
-  if (uint64_t(cb->entries) * cb->dims > (64u << 20)) return false;
   cb->vectors.assign(size_t(cb->entries) * cb->dims, 0.0f);
   for (uint32_t e = 0; e < cb->entries; ++e) {
     float last = 0.0f;
@@ -306,7 +319,7 @@ struct FloorConfig {
   Floor1 f1;
 };
 
-bool ParseFloor1(VBits* b, Floor1* f) {
+bool ParseFloor1(VBits* b, Floor1* f, int n_codebooks) {
   f->partitions = int(b->read(5));
   f->partition_class.resize(f->partitions);
   int max_class = -1;
@@ -322,11 +335,16 @@ bool ParseFloor1(VBits* b, Floor1* f) {
   for (int c = 0; c < n_classes; ++c) {
     f->class_dims[c] = int(b->read(3)) + 1;
     f->class_subclasses[c] = int(b->read(2));
-    if (f->class_subclasses[c]) f->class_masterbooks[c] = int(b->read(8));
+    if (f->class_subclasses[c]) {
+      f->class_masterbooks[c] = int(b->read(8));
+      if (f->class_masterbooks[c] >= n_codebooks) return false;
+    }
     int n_sub = 1 << f->class_subclasses[c];
     f->subclass_books[c].resize(n_sub);
-    for (int s = 0; s < n_sub; ++s)
+    for (int s = 0; s < n_sub; ++s) {
       f->subclass_books[c][s] = int(b->read(8)) - 1;  // -1 = no book
+      if (f->subclass_books[c][s] >= n_codebooks) return false;
+    }
   }
   f->multiplier = int(b->read(2)) + 1;
   int rangebits = int(b->read(4));
@@ -414,6 +432,9 @@ bool DecodeFloor1Curve(const Floor1& f, const std::vector<Codebook>& books,
   int ybits = ilog(uint32_t(range - 1));
   y[0] = int(b->read(ybits));
   y[1] = int(b->read(ybits));
+  // End-of-packet anywhere during floor decode marks the channel unused
+  // (spec 7.2.3) -- including right here, before any codebook read.
+  if (b->eop()) return false;
   int off = 2;
   for (int p = 0; p < f.partitions; ++p) {
     int c = f.partition_class[p];
@@ -438,6 +459,7 @@ bool DecodeFloor1Curve(const Floor1& f, const std::vector<Codebook>& books,
     }
     off += cdim;
   }
+  if (b->eop()) return false;  // truncated mid-floor: channel unused
 
   // Amplitude value synthesis (spec 7.2.4 step 2).
   std::vector<int> final_y(n_values, 0);
@@ -719,7 +741,9 @@ bool OggUnpack(const uint8_t* data, size_t size,
 //   y[j] = C[j+M/2]        j in [0, M/2)
 //   y[j] = -C[3M/2-1-j]    j in [M/2, 3M/2)
 //   y[j] = -C[j-3M/2]      j in [3M/2, n)
-// (verified against the direct cosine sum to ~3e-10 at n=8192).
+// (the factorization is exact to ~3e-10 in double; this float32
+// implementation measures ~2e-7 relative error vs the direct cosine sum
+// at n=8192 -- the float rounding floor, matching libvorbis precision).
 struct Imdct {
   int n = 0, M = 0, L = 0;  // M = n/2 coeffs, L = n/4 complex FFT points
   std::vector<float> pre_re, pre_im;    // e^{-i pi (m+0.25)/M}
@@ -878,7 +902,7 @@ bool ParseSetup(const uint8_t* d, size_t n, VorbisStream* s) {
     int type = int(b.read(16));
     s->floors[i].type = type;
     if (type == 1) {
-      if (!ParseFloor1(&b, &s->floors[i].f1)) return false;
+      if (!ParseFloor1(&b, &s->floors[i].f1, n_books)) return false;
     } else if (type == 0) {
       // Parse past the floor0 config (spec 6.2) so the rest of the setup
       // stays aligned; decode of floor0 frames is rejected (see header

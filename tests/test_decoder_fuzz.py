@@ -28,20 +28,57 @@ needs_native = pytest.mark.skipif(
 _WORKER = textwrap.dedent(
     """
     import random
+    import struct
     import sys
 
     sys.path.insert(0, {repo!r})
     from velocity_asr_tpu import io as va_io
 
+    CRC_TABLE = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1)
+            r &= 0xFFFFFFFF
+        CRC_TABLE.append(r)
+
+    def fix_ogg_crcs(buf):
+        # Recompute page CRCs so mutations reach the Vorbis parser
+        # instead of dying at the Ogg integrity check.
+        p = 0
+        while p + 27 <= len(buf):
+            if buf[p:p + 4] != b"OggS":
+                p += 1
+                continue
+            nsegs = buf[p + 26]
+            if p + 27 + nsegs > len(buf):
+                break
+            body = sum(buf[p + 27 + i] for i in range(nsegs))
+            end = p + 27 + nsegs + body
+            if end > len(buf):
+                break
+            buf[p + 22:p + 26] = b"\\x00" * 4
+            crc = 0
+            for byte in buf[p:end]:
+                crc = ((crc << 8) & 0xFFFFFFFF) ^ CRC_TABLE[
+                    ((crc >> 24) ^ byte) & 0xFF]
+            buf[p + 22:p + 26] = struct.pack("<I", crc)
+            p = end
+
     path, seed, trials = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     random.seed(seed)
     data = bytearray(open(path, "rb").read())
-    for _ in range(trials):
+    is_ogg = data[:4] == b"OggS"
+    for trial in range(trials):
         buf = bytearray(data)
         for _ in range(random.randint(1, 40)):
             buf[random.randrange(len(buf))] = random.randrange(256)
         if random.random() < 0.3:
             buf = buf[: random.randrange(8, len(buf))]
+        # Half the ogg trials get valid CRCs: exercises the codebook /
+        # floor / residue / mapping parsers, not just the CRC gate.
+        if is_ogg and trial % 2 == 0:
+            fix_ogg_crcs(buf)
         open(path + ".fuzz", "wb").write(bytes(buf))
         try:
             va_io.decode_audio_file(path + ".fuzz")

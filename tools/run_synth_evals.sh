@@ -23,6 +23,8 @@ run int8_dynamic --int8
 run int8_static --int8-static --calib-batches 8
 run beam8 --beam-width 8
 run streaming --streaming
+run streaming_la1 --streaming --lookahead 1
+run streaming_la2 --streaming --lookahead 2
 echo "=== summary ==="
 OUT="$OUT" python - <<'EOF'
 import glob, json, os
