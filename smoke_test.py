@@ -7,6 +7,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+# Honor an explicit JAX_PLATFORMS override (e.g. JAX_PLATFORMS=cpu for a
+# quick check while the TPU is busy), like every CLI in scripts/ does.
+apply_platform_env()
+
 
 def main() -> int:
     print("=" * 60)

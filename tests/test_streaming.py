@@ -524,3 +524,53 @@ def test_streaming_aware_training_step():
     losses = [float(trainer._train_step_device(batch)) for _ in range(3)]
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0]  # it optimizes
+
+
+def test_streaming_mel_one_sample_matches_offline():
+    """Repeated-reflection edge: a 1-sample utterance must produce the
+    same (constant) mel frame as the offline np.pad reflect path, not a
+    zero-padded one."""
+    audio = np.array([0.7], np.float32)
+    offline = compute_mel_spectrogram_np(audio, normalize=False)
+    sm = StreamingMel(normalize=False)
+    streamed = np.concatenate([sm.feed(audio), sm.finish()])
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-3)
+
+
+def test_streaming_mel_memory_bounded():
+    """A long-running session must not retain full audio/mel history:
+    the padded window stays O(n_fft + feed block) and trimmed raw mel
+    stays O(lookahead window)."""
+    rng = np.random.default_rng(0)
+    sm = StreamingMel(normalize=True)
+    block = 1600
+    for i in range(200):  # 20 s of audio in 0.1 s blocks
+        sm.feed(rng.standard_normal(block).astype(np.float32) * 0.1)
+        sm.trim_raw_mel(max(sm._next_frame - 300, 0))
+    assert len(sm._padded) <= sm.n_fft + block
+    assert len(sm._head) <= sm.pad + 1
+    assert len(sm._tail) <= sm.pad + 1
+    assert sm._raw_mel.shape[0] <= 300 + block // sm.hop + 1
+    # trimmed history is refused, recent frames still served
+    with pytest.raises(AssertionError):
+        sm.raw_frames(0, 10)
+    assert sm.raw_frames(sm._next_frame - 10, 10).shape[0] == 10
+
+
+def test_streaming_mel_trim_preserves_output():
+    """Trimming raw-mel history must not change emitted frames."""
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.2
+
+    def run(trim):
+        sm = StreamingMel(normalize=True)
+        outs = []
+        for s in range(0, len(audio), 1111):
+            outs.append(sm.feed(audio[s:s + 1111]))
+            if trim:
+                sm.trim_raw_mel(sm._next_frame)
+        outs.append(sm.finish())
+        return np.concatenate(outs)
+
+    np.testing.assert_allclose(run(trim=True), run(trim=False), atol=1e-6)

@@ -76,33 +76,35 @@ def shard_params_tp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def tp_tree_shardings(tree: Any, params: Dict[str, Any], mesh: Mesh) -> Any:
     """Shardings for a params-derived pytree (e.g. optimizer state).
 
-    Optimizer moments mirror the param tree somewhere inside optax's state
-    structure but under different wrapper types, so leaves are matched by
-    (shape, dtype) against the TP-sharded params. Only the sharded params
-    participate in matching (the CTC head kernel/bias shapes are unique in
-    the model — asserted); every other leaf is replicated.
+    Optimizer moments mirror the param tree somewhere inside optax's
+    state structure (same dict names, different wrapper types), so leaves
+    are matched by PATH SUFFIX against the TP-sharded params — e.g. any
+    leaf whose path ends in ('ctc_head', 'out', 'kernel') and has the
+    kernel's shape gets the kernel's sharding. Shape-based matching is
+    NOT sound here: a replicated param can share (shape, dtype) with the
+    sharded head bias (e.g. any (vocab,)-shaped fp32 bias when another
+    layer width equals vocab_size) and would silently inherit the MODEL
+    sharding for its moments. Every unmatched leaf is replicated.
     """
-    sharded: Dict[Tuple[Tuple[int, ...], Any], NamedSharding] = {}
+    sharded_by_path: Dict[Tuple[str, ...], Tuple[Tuple[int, ...], NamedSharding]] = {}
     specs = jax.tree_util.tree_flatten_with_path(tp_param_specs(params))[0]
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]
     for (path, spec), (_, leaf) in zip(specs, leaves):
         if spec != P():
-            key = (tuple(leaf.shape), jax.numpy.result_type(leaf))
-            sh = NamedSharding(mesh, spec)
-            assert sharded.get(key, sh) == sh, (
-                f"TP shape-matching ambiguity: two sharded params with "
-                f"shape/dtype {key} but different specs; extend "
-                f"tp_tree_shardings to match by path for {_path_names(path)}"
+            sharded_by_path[_path_names(path)] = (
+                tuple(leaf.shape), NamedSharding(mesh, spec)
             )
-            sharded[key] = sh
 
     rep = NamedSharding(mesh, P())
 
-    def leaf_sharding(x):
+    def leaf_sharding(path, x):
         if hasattr(x, "shape"):
-            key = (tuple(x.shape), jax.numpy.result_type(x))
-            if key in sharded:
-                return sharded[key]
+            names = _path_names(path)
+            for ppath, (shape, sh) in sharded_by_path.items():
+                if (len(names) >= len(ppath)
+                        and names[-len(ppath):] == ppath
+                        and tuple(x.shape) == shape):
+                    return sh
         return rep
 
-    return jax.tree_util.tree_map(leaf_sharding, tree)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

@@ -43,6 +43,13 @@ class StreamingMel:
     whole-utterance. The initial reflect padding is reproduced once enough
     samples arrive; the final reflect-padded frames are emitted by
     finish().
+
+    Memory is bounded for arbitrarily long sessions: raw samples are
+    kept only as the short head (to build the front reflect pad), the
+    pad+1-sample tail (for finish()'s back pad), and the not-yet-framed
+    window of the padded signal; normalization uses running sums. The
+    raw log-mel history (needed only by lookahead re-decode) is retained
+    until the consumer calls trim_raw_mel().
     """
 
     def __init__(self, n_fft: int = N_FFT, hop: int = HOP_LENGTH, n_mels: int = N_MELS,
@@ -53,17 +60,23 @@ class StreamingMel:
         self.normalize = normalize
         self.window = hann_window(n_fft)
         self.fb = mel_filterbank(n_fft, n_mels, sample_rate)
-        self._raw = np.zeros(0, np.float32)  # all samples seen (pre-pad space)
-        self._padded: Optional[np.ndarray] = None  # front-padded signal
+        self._raw_len = 0  # total samples fed
+        self._head = np.zeros(0, np.float32)  # first <= pad+1 samples
+        self._tail = np.zeros(0, np.float32)  # last <= pad+1 samples
+        # rolling window of the front-padded signal; _padded_start is the
+        # absolute (padded-coordinate) sample index of _padded[0]
+        self._padded: Optional[np.ndarray] = None
+        self._padded_start = 0
         self._next_frame = 0
         # running normalization stats per mel bin
         self._count = 0
         self._sum = np.zeros(n_mels, np.float64)
         self._sumsq = np.zeros(n_mels, np.float64)
-        # un-normalized log-mel of every frame extracted so far, so the
+        # un-normalized log-mel of frames [_raw_mel_start, ...), so the
         # lookahead re-decode path can re-normalize an older chunk with
         # LATER statistics (see StreamingTranscriber lookahead_chunks)
         self._raw_mel = np.zeros((0, n_mels), np.float32)
+        self._raw_mel_start = 0
 
     def _frames_available(self, total_padded: int) -> int:
         if total_padded < self.n_fft:
@@ -71,9 +84,12 @@ class StreamingMel:
         return 1 + (total_padded - self.n_fft) // self.hop
 
     def _extract(self, signal: np.ndarray, start: int, count: int) -> np.ndarray:
+        """Frame+mel of `count` frames beginning at absolute frame index
+        `start`; `signal` starts at padded-sample _padded_start."""
         idx = (
             (start + np.arange(count))[:, None] * self.hop
             + np.arange(self.n_fft)[None, :]
+            - self._padded_start
         )
         frames = signal[idx] * self.window
         spec = np.fft.rfft(frames, n=self.n_fft, axis=-1)
@@ -105,51 +121,74 @@ class StreamingMel:
 
     def raw_frames(self, start: int, count: int) -> np.ndarray:
         """Un-normalized log-mel of frames [start, start+count)."""
-        return self._raw_mel[start : start + count]
+        assert start >= self._raw_mel_start, (
+            f"raw mel frames before {self._raw_mel_start} were trimmed"
+        )
+        lo = start - self._raw_mel_start
+        return self._raw_mel[lo : lo + count]
+
+    def trim_raw_mel(self, before_frame: int) -> None:
+        """Drop raw log-mel history before `before_frame` (a live session
+        only ever re-decodes its lookahead window, so the consumer trims
+        as it goes to keep memory bounded)."""
+        drop = before_frame - self._raw_mel_start
+        if drop > 0:
+            self._raw_mel = self._raw_mel[drop:]
+            self._raw_mel_start = before_frame
+
+    def _drop_consumed(self) -> None:
+        """Drop padded-signal samples before the next frame's window."""
+        keep_from = self._next_frame * self.hop - self._padded_start
+        if keep_from > 0:
+            self._padded = self._padded[keep_from:]
+            self._padded_start += keep_from
 
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Append samples; return newly available mel frames (m, n_mels)."""
-        self._raw = np.concatenate([self._raw, np.asarray(samples, np.float32)])
-        if self._padded is None:
-            if len(self._raw) <= self.pad:
-                return np.zeros((0, self.fb.shape[0]), np.float32)
-            front = self._raw[1 : self.pad + 1][::-1]  # reflect
-            self._padded = np.concatenate([front, self._raw])
+        samples = np.asarray(samples, np.float32)
+        self._raw_len += len(samples)
+        if len(samples) >= self.pad + 1:
+            self._tail = samples[-(self.pad + 1) :]
         else:
-            new = self._raw[len(self._padded) - self.pad :]
-            self._padded = np.concatenate([self._padded, new])
-        total = self._frames_available(len(self._padded))
+            self._tail = np.concatenate([self._tail, samples])[-(self.pad + 1) :]
+        if self._padded is None:
+            self._head = np.concatenate([self._head, samples])
+            if self._raw_len <= self.pad:
+                return np.zeros((0, self.fb.shape[0]), np.float32)
+            front = self._head[1 : self.pad + 1][::-1]  # reflect
+            self._padded = np.concatenate([front, self._head])
+            self._head = self._head[: self.pad + 1]
+        else:
+            self._padded = np.concatenate([self._padded, samples])
+        total = self._frames_available(self.pad + self._raw_len)
         count = total - self._next_frame
         if count <= 0:
             return np.zeros((0, self.fb.shape[0]), np.float32)
         mel = self._extract(self._padded, self._next_frame, count)
         self._next_frame = total
+        self._drop_consumed()
         return mel
 
     def finish(self) -> np.ndarray:
         """Emit the trailing frames that need right reflect padding."""
-        if len(self._raw) == 0:
+        if self._raw_len == 0:
             return np.zeros((0, self.fb.shape[0]), np.float32)
         if self._padded is None:
             # Short utterance (never produced frames in feed): build the
             # full reflect padding exactly like the offline pipeline
             # (np.pad handles signals shorter than the pad width by
-            # repeated reflection).
-            if len(self._raw) < 2:
-                self._padded = np.concatenate(
-                    [np.zeros(self.pad, np.float32), self._raw]
-                )
-            else:
-                self._padded = np.pad(self._raw, (self.pad, 0), mode="reflect")
-        if len(self._raw) < 2:
-            back = np.zeros(self.pad, np.float32)
-        elif len(self._raw) > self.pad:
-            back = self._padded[-(self.pad + 1) : -1][::-1]  # single reflection
+            # repeated reflection, including single-sample inputs).
+            self._padded = np.pad(self._head, (self.pad, 0), mode="reflect")
+        if self._raw_len < 2:
+            # repeated reflection of a single sample = that sample
+            back = np.full(self.pad, self._tail[-1], np.float32)
+        elif self._raw_len > self.pad:
+            back = self._tail[-(self.pad + 1) : -1][::-1]  # single reflection
         else:
-            back = np.pad(self._raw, (0, self.pad), mode="reflect")[-self.pad :]
+            back = np.pad(self._tail, (0, self.pad), mode="reflect")[-self.pad :]
         signal = np.concatenate([self._padded, back.astype(np.float32)])
-        # offline frame count: 1 + len(raw) // hop
-        total = 1 + len(self._raw) // self.hop
+        # offline frame count: 1 + raw_len // hop
+        total = 1 + self._raw_len // self.hop
         count = total - self._next_frame
         if count <= 0:
             return np.zeros((0, self.fb.shape[0]), np.float32)
@@ -288,10 +327,17 @@ class StreamingTranscriber:
         self._emitted_text = ""
 
         def step(params, mel_chunk, state, offset):
-            return model.apply(
+            logits, new_state = model.apply(
                 {"params": params}, mel_chunk, train=False,
                 stream_state=state, time_offset=offset, return_state=True,
             )
+            # Under mixed precision the model emits bf16 state leaves;
+            # keep the carried dtypes stable (same cast as
+            # streaming_forward) so chunk 2 doesn't retrace/recompile.
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype), new_state, state
+            )
+            return logits, new_state
 
         def emit_step(params, mel_chunk, state, offset):
             return model.apply(
@@ -382,6 +428,11 @@ class StreamingTranscriber:
         if flush:
             while self._pending:
                 self._emit(self._pending.pop(0))
+        # Raw-mel history is only re-read for still-pending chunks; trim
+        # everything older so a long-running session stays bounded.
+        oldest = (self._pending[0]["frame_start"] if self._pending
+                  else self._frame_cursor)
+        self.mel.trim_raw_mel(oldest)
         text = self.decoder._tokens_to_text(self._tokens)
         new = text[len(self._emitted_text) :]
         self._emitted_text = text
@@ -452,22 +503,34 @@ class BatchedStreamingTranscriber:
         self.feed_block = feed_block or chunk_frames * HOP_LENGTH
 
         def step(params, mel_chunk, state, offset):
-            return model.apply(
+            logits, new_state = model.apply(
                 {"params": params}, mel_chunk, train=False,
                 stream_state=state, time_offset=offset, return_state=True,
             )
+            # Stable carried dtypes (same cast as streaming_forward):
+            # avoids a retrace on chunk 2 under mixed precision, and the
+            # per-chunk argmax keeps only (b, F/2) token ids on device
+            # instead of (b, F/2, vocab) logits per chunk.
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype), new_state, state
+            )
+            return jnp.argmax(logits, axis=-1), new_state
 
         def emit_step(params, mel_chunk, state, offset):
-            return model.apply(
+            logits, _ = model.apply(
                 {"params": params}, mel_chunk, train=False,
                 stream_state=state, time_offset=offset, return_state=True,
                 frozen_mem=True,
             )
+            return jnp.argmax(logits, axis=-1)
 
         self._step = jax.jit(step)
         self._emit_step = jax.jit(emit_step)
 
     def _causal_mel(self, audio: np.ndarray) -> np.ndarray:
+        """Causally normalized mel for one utterance — the seam
+        tools/ablate_streaming_gap.py monkeypatches to substitute oracle
+        offline normalization (its lookahead-0 conditions)."""
         return self._causal_mel_raw(audio)[0]
 
     def _causal_mel_raw(self, audio: np.ndarray):
@@ -481,14 +544,19 @@ class BatchedStreamingTranscriber:
         return np.concatenate(frames), sm._raw_mel
 
     @staticmethod
-    def _renormalize(raw: np.ndarray, upto: int) -> np.ndarray:
-        """Normalize raw log-mel with stats over its first `upto` frames
-        (what a live stream's running statistics hold at emission time)."""
+    def _renormalize(raw: np.ndarray, upto: int,
+                     lo: int = 0, hi: Optional[int] = None) -> np.ndarray:
+        """Normalize raw[lo:hi] with stats over raw's first `upto` frames
+        (what a live stream's running statistics hold at emission time).
+        Only the requested segment is normalized — the lookahead emit
+        path calls this once per chunk, so normalizing the whole
+        utterance each time would be quadratic in audio length."""
         k = max(min(upto, raw.shape[0]), 1)
         x = raw[:k].astype(np.float64)
         mean = x.mean(axis=0)
         std = x.std(axis=0, ddof=1) if k > 1 else np.zeros_like(mean)
-        return ((raw - mean.astype(np.float32))
+        seg = raw[lo:hi]
+        return ((seg - mean.astype(np.float32))
                 / (std.astype(np.float32) + 1e-10)).astype(np.float32)
 
     def transcribe_batch(self, audios: List[np.ndarray]) -> List[str]:
@@ -502,8 +570,13 @@ class BatchedStreamingTranscriber:
         n = len(audios)
         b = self.batch_size
         F = self.chunk_frames
-        pairs = [self._causal_mel_raw(a) for a in audios]
-        mels = [p[0] for p in pairs]
+        # Normalized mel always flows through the _causal_mel seam (the
+        # ablation tool substitutes oracle offline normalization there);
+        # raw log-mel is only materialized when lookahead re-decode
+        # actually needs it.
+        mels = [self._causal_mel(a) for a in audios]
+        raws = ([self._causal_mel_raw(a)[1] for a in audios]
+                if self.lookahead_chunks > 0 else None)
         out_frames = [(m.shape[0] + 1) // 2 for m in mels]
         max_frames = max(m.shape[0] for m in mels)
         num_chunks = -(-max_frames // F)
@@ -518,7 +591,7 @@ class BatchedStreamingTranscriber:
         tokens: List[List[int]] = [[] for _ in range(b)]
         offset = 0
         pending = []  # (chunk index, entry mel_carry, entry blocks)
-        chunk_logits = []
+        chunk_preds = []  # per-chunk (b, chunk_out) argmax token ids
 
         def emit(c, mel_carry, blocks, stats_upto_chunk):
             # Re-decode chunk c with its entry conv/SSM state (exact local
@@ -526,24 +599,23 @@ class BatchedStreamingTranscriber:
             # just advanced), and mel re-normalized with the statistics
             # available at that time — the online lookahead semantics.
             buf = np.zeros((b, F, padded.shape[2]), np.float32)
-            for i, (_, raw) in enumerate(pairs):
-                renorm = self._renormalize(raw, (stats_upto_chunk + 1) * F)
-                seg = renorm[c * F : (c + 1) * F]
+            for i, raw in enumerate(raws):
+                seg = self._renormalize(raw, (stats_upto_chunk + 1) * F,
+                                        c * F, (c + 1) * F)
                 buf[i, : seg.shape[0]] = seg
             st = {"mel_carry": mel_carry, "blocks": blocks,
                   "gc_mem": state["gc_mem"], "gc_blocks": state["gc_blocks"],
                   "gc_init": state["gc_init"]}
-            logits, _ = self._emit_step(
+            chunk_preds.append(self._emit_step(
                 self.params, jnp.asarray(buf), st,
                 jnp.asarray(c * chunk_out, jnp.int32),
-            )
-            chunk_logits.append(logits)
+            ))
 
         for c in range(num_chunks):
             if L > 0:
                 pending.append((c, state["mel_carry"], state["blocks"]))
             chunk = padded[:, c * F : (c + 1) * F]
-            logits, state = self._step(
+            preds_c, state = self._step(
                 self.params, jnp.asarray(chunk), state,
                 jnp.asarray(offset, jnp.int32),
             )
@@ -551,14 +623,14 @@ class BatchedStreamingTranscriber:
                 if len(pending) > L:
                     emit(*pending.pop(0), stats_upto_chunk=c)
             else:
-                chunk_logits.append(logits)
+                chunk_preds.append(preds_c)
             offset += chunk_out
         while pending:
             emit(*pending.pop(0), stats_upto_chunk=num_chunks - 1)
 
         offset = 0
-        for logits in chunk_logits:
-            preds = np.asarray(jnp.argmax(logits, axis=-1))  # (b, chunk_out)
+        for preds_dev in chunk_preds:
+            preds = np.asarray(preds_dev)  # (b, chunk_out)
             for i in range(n):
                 valid = min(max(out_frames[i] - offset, 0), preds.shape[1])
                 for tok in preds[i, :valid]:
