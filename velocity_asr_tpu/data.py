@@ -61,6 +61,15 @@ class ASRDataset:
         # host feed a multi-chip data-parallel mesh
         # (tools/bench_input_pipeline.py measures the margin).
         self.device_mel = device_mel
+        if device_mel and not normalize_audio:
+            # The device-mel train step always applies masked
+            # normalization on device; silently ignoring the flag would
+            # make host-mel and device-mel runs of the "same" config
+            # produce different features.
+            raise ValueError(
+                "normalize_audio=False is not supported with device_mel "
+                "(the train step normalizes on device); use host mel"
+            )
 
         self.samples = self._load_manifest()
         self.vocab = self._build_vocab() if tokenizer is None else None
@@ -72,11 +81,15 @@ class ASRDataset:
                 if not line.strip():
                     continue
                 entry = json.loads(line)
-                duration = entry.get("duration", 0)
-                if duration < self.min_duration:
-                    continue
-                if self.max_duration and duration > self.max_duration:
-                    continue
+                # An absent duration is unknown, not zero: keep the entry
+                # (dropping it via the min filter would silently shrink
+                # manifests that omit the optional field).
+                duration = entry.get("duration")
+                if duration is not None:
+                    if duration < self.min_duration:
+                        continue
+                    if self.max_duration and duration > self.max_duration:
+                        continue
                 if not os.path.exists(entry["audio_path"]):
                     continue
                 samples.append(entry)
@@ -187,7 +200,7 @@ class ASRCollator:
         int16 PCM (half the bytes of fp32; rescaled on device). The train
         step computes the fused-Pallas mel + masked per-utterance
         normalization on device (training.py device-mel path)."""
-        from .audio import HOP_LENGTH as hop
+        hop = HOP_LENGTH
 
         # ceil-based frame sizing guarantees target_samples >= every len
         max_mel = _round_up(
@@ -330,8 +343,19 @@ def cycle(loader: DataLoader) -> Iterator[Dict[str, Any]]:
     """Infinite iterator over a loader (the reference Trainer's
     StopIteration-cycling, training.py:321-325)."""
     while True:
+        n = 0
         for batch in loader:
+            n += 1
             yield batch
+        if n == 0:
+            # Fail fast instead of busy-looping Trainer.train() forever:
+            # an empty loader means every sample was filtered out or the
+            # dataset is smaller than one (drop_last) batch.
+            raise RuntimeError(
+                "DataLoader yielded no batches (empty dataset after "
+                "filtering, or fewer samples than one batch with "
+                "drop_last): nothing to train on"
+            )
 
 
 def create_dataloader(

@@ -402,6 +402,15 @@ class Trainer:
         )
         loss = masked_ctc(logits)
 
+        if self.config.streaming_chunks and raw_mel is None and train:
+            # Misconfiguration, not a fallback: without device_mel batches
+            # there is no raw (un-normalized) mel to build the causal
+            # streaming view from, and silently training the pure offline
+            # objective would defeat the point of the flag.
+            raise ValueError(
+                "training.streaming_chunks requires data.device_mel: true "
+                "(the streaming-aware objective needs raw mel on device)"
+            )
         if self.config.streaming_chunks and raw_mel is not None:
             # Streaming-aware term: same utterances through the chunked
             # streaming graph with causal per-chunk normalization.
@@ -575,7 +584,13 @@ class Trainer:
         for batch in self.eval_batches():
             total += self.eval_step(batch)["eval_loss"]
             n += 1
-        return {"eval_loss": total / max(n, 1)}
+        if n == 0:
+            # An empty eval set must not report 0.0: that would become
+            # best_eval_loss and permanently suppress real best-model
+            # checkpoints (0.0 beats everything).
+            logger.warning("eval iterator yielded no batches; skipping eval")
+            return {"eval_loss": float("inf")}
+        return {"eval_loss": total / n}
 
     # ----- checkpointing (reference training.py:382-409) --------------------
 
@@ -659,11 +674,12 @@ def _edit_distance(pred: List[str], ref: List[str]) -> int:
     """Levenshtein distance via numpy row DP."""
     if not ref:
         return len(pred)
+    ref_arr = np.array(ref)
     prev = np.arange(len(ref) + 1)
     for i, p in enumerate(pred, start=1):
         cur = np.empty(len(ref) + 1, dtype=np.int64)
         cur[0] = i
-        sub = prev[:-1] + (np.array(ref) != p)
+        sub = prev[:-1] + (ref_arr != p)
         for j in range(1, len(ref) + 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
         prev = cur
@@ -672,6 +688,10 @@ def _edit_distance(pred: List[str], ref: List[str]) -> int:
 
 def compute_wer(predictions: List[str], references: List[str]) -> float:
     """Word Error Rate (reference training.py:412-455)."""
+    assert len(predictions) == len(references), (
+        f"{len(predictions)} predictions vs {len(references)} references "
+        "(a silent zip-truncation would understate the error rate)"
+    )
     total_errors, total_words = 0, 0
     for pred, ref in zip(predictions, references):
         pw, rw = pred.lower().split(), ref.lower().split()
@@ -682,6 +702,10 @@ def compute_wer(predictions: List[str], references: List[str]) -> float:
 
 def compute_cer(predictions: List[str], references: List[str]) -> float:
     """Character Error Rate (reference training.py:458-501)."""
+    assert len(predictions) == len(references), (
+        f"{len(predictions)} predictions vs {len(references)} references "
+        "(a silent zip-truncation would understate the error rate)"
+    )
     total_errors, total_chars = 0, 0
     for pred, ref in zip(predictions, references):
         pc, rc = list(pred.lower()), list(ref.lower())
