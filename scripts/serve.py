@@ -42,6 +42,11 @@ logging.basicConfig(
 logger = logging.getLogger("serve")
 
 
+class BadRequest(Exception):
+    """Client-side fault (undecodable audio, unsupported flag combo):
+    maps to HTTP 400; everything else is a 500."""
+
+
 class MicroBatcher:
     """Coalesces concurrent greedy requests into one batched device call.
 
@@ -77,6 +82,8 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             try:
+                # transcribe_batch groups by frame bucket internally, so a
+                # mixed-length group cannot perturb its short members.
                 results = self.transcriber.transcribe_batch([a for a, _ in group])
                 for (_, f), r in zip(group, results):
                     f.set_result(r)
@@ -115,26 +122,30 @@ class ASRService:
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int):
         from velocity_asr_tpu.audio import load_audio
 
+        if timestamps and beam > 1:
+            raise BadRequest("beam search with timestamps is not supported; "
+                             "drop one of ?timestamps / ?beam")
         with tempfile.NamedTemporaryFile(suffix=".audio", delete=False) as f:
             f.write(data)
             path = f.name
         try:
             audio = load_audio(path)
+        except (ValueError, RuntimeError) as e:
+            # undecodable request body is the client's fault, not ours
+            raise BadRequest(str(e)) from e
         finally:
             os.unlink(path)
 
         t0 = time.perf_counter()
-        if timestamps or beam or self.transcriber.beam_width:
-            # rich-output path: single-utterance pipeline under the lock
+        eff_beam = beam if beam > 0 else self.transcriber.beam_width
+        if timestamps or eff_beam > 1:
+            # rich-output path: single-utterance pipeline under the lock;
+            # the request's beam width is passed as an argument, never
+            # written into the shared transcriber
             with self.lock:
-                prev_beam = self.transcriber.beam_width
-                self.transcriber.beam_width = beam or prev_beam
-                try:
-                    result = self.transcriber.transcribe_array(
-                        audio, timestamps=timestamps
-                    )
-                finally:
-                    self.transcriber.beam_width = prev_beam
+                result = self.transcriber.transcribe_array(
+                    audio, timestamps=timestamps, beam_width=eff_beam
+                )
         else:
             # greedy path: coalesced into one batched device call with any
             # other requests in flight
@@ -181,12 +192,18 @@ def make_handler(service: ASRService):
                 data = self.rfile.read(length)
                 q = parse_qs(parsed.query)
                 timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
-                beam = int(q.get("beam", ["0"])[0])
+                try:
+                    beam = int(q.get("beam", ["0"])[0])
+                except ValueError as e:
+                    raise BadRequest(f"invalid ?beam value: {e}") from e
                 result = service.transcribe_bytes(data, timestamps, beam)
                 self._send(200, result)
-            except Exception as e:  # request isolation
-                logger.exception("transcription failed")
+            except BadRequest as e:
+                logger.warning("bad request: %s", e)
                 self._send(400, {"error": str(e)})
+            except Exception:  # request isolation: server-side fault
+                logger.exception("transcription failed")
+                self._send(500, {"error": "internal transcription failure"})
 
         def log_message(self, fmt, *args):
             logger.info("%s - %s", self.address_string(), fmt % args)

@@ -155,11 +155,18 @@ class Transcriber:
         self._greedy_tokens = jax.jit(greedy_tokens)
         self._frame_preds = jax.jit(frame_preds)
 
+    def frame_bucket_of(self, audio: np.ndarray) -> int:
+        """The frame bucket this utterance pads to on its own. The serving
+        micro-batcher groups requests by this value: the global-context
+        pooling is not length-masked, so batching a short clip into a much
+        longer utterance's bucket would change its transcription."""
+        min_frames = 1 + -(-len(audio) // self.hop)
+        return -(-min_frames // self.frame_bucket) * self.frame_bucket
+
     def _pad_audio(self, audio: np.ndarray):
         """Reflect-pad audio to the sample bucket (exact valid frames)."""
         n_frames = 1 + len(audio) // self.hop
-        min_frames = 1 + -(-len(audio) // self.hop)
-        bucket = -(-min_frames // self.frame_bucket) * self.frame_bucket
+        bucket = self.frame_bucket_of(audio)
         target_samples = (bucket - 1) * self.hop
         audio = np.asarray(audio, np.float32)
         if len(audio) >= 2:
@@ -192,9 +199,15 @@ class Transcriber:
         out_len = (n_frames + 1) // 2
         return logits[:, :out_len], out_len
 
-    def transcribe_array(self, audio: np.ndarray, timestamps: bool = False):
+    def transcribe_array(self, audio: np.ndarray, timestamps: bool = False,
+                         beam_width: int = None):
+        """Transcribe one utterance. `beam_width` overrides the instance
+        default for this call (serving passes the request's value instead
+        of mutating shared state under a lock)."""
         from velocity_asr_tpu.decode import timestamps_from_predictions
 
+        if beam_width is None:
+            beam_width = self.beam_width
         result = {"duration": len(audio) / self.sr}
         if not self.device_mel:
             # host-mel fallback: decode from downloaded logits
@@ -207,9 +220,9 @@ class Transcriber:
                 result["words"] = words_with_timestamps(
                     tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
                 )
-            elif self.beam_width > 1:
+            elif beam_width > 1:
                 result["text"] = self.decoder.decode_beam_search(
-                    logits, beam_width=self.beam_width
+                    logits, beam_width=beam_width
                 )[0]
             else:
                 result["text"] = self.decoder.decode_greedy(logits)[0]
@@ -227,11 +240,11 @@ class Transcriber:
             result["words"] = words_with_timestamps(
                 tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
             )
-        elif self.beam_width > 1:
+        elif beam_width > 1:
             from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
 
             logits = self._infer_audio(self.params, audio_dev, n_frames)
-            toks, lens, _ = ctc_beam_search_jax(logits, beam_width=self.beam_width)
+            toks, lens, _ = ctc_beam_search_jax(logits, beam_width=beam_width)
             best = beams_to_token_lists(np.asarray(toks), np.asarray(lens))[0][0]
             result["text"] = self.decoder._tokens_to_text(best)
         else:
@@ -241,13 +254,25 @@ class Transcriber:
         return result
 
     def transcribe_batch(self, audios):
-        """Batched greedy device path (the serving micro-batcher): pads all
-        utterances to one common sample bucket and a power-of-two batch
-        size, so a handful of compiled shapes serve arbitrary request
-        mixes. One device call for the whole batch; only token ids cross
-        the host link. Returns a list of {"text", "duration"} dicts in
-        input order."""
+        """Batched greedy device path (the serving micro-batcher): pads
+        utterances to their sample bucket and a power-of-two batch size,
+        so a handful of compiled shapes serve arbitrary request mixes.
+        Utterances are grouped BY BUCKET (one device call per bucket in
+        the mix): the global-context pooling is not length-masked, so
+        padding a short clip to a long utterance's bucket would change
+        its transcription. Only token ids cross the host link. Returns a
+        list of {"text", "duration"} dicts in input order."""
         assert self.device_mel, "batched path requires device mel"
+        buckets: dict = {}
+        for i, a in enumerate(audios):
+            buckets.setdefault(self.frame_bucket_of(a), []).append(i)
+        if len(buckets) > 1:
+            out = [None] * len(audios)
+            for idxs in buckets.values():
+                for i, r in zip(idxs, self.transcribe_batch(
+                        [audios[i] for i in idxs])):
+                    out[i] = r
+            return out
         padded_list, n_frames_list = [], []
         for a in audios:
             p, nf = self._pad_audio(a)

@@ -167,3 +167,58 @@ def test_tflite_dynamic_int8_smaller_and_close(tmp_path, tiny):
     assert np.abs(live - out).max() < 0.5
     match = (live.argmax(-1) == out.argmax(-1)).mean()
     assert match > 0.9
+
+
+def test_calibrated_int8_package_roundtrip(tmp_path, tiny):
+    """A calibrated package (quant_stats saved) must load back into a
+    RUNNABLE static-int8 model: config flags on, stats restored, forward
+    works with the stats threaded through."""
+    import dataclasses
+
+    from velocity_asr_tpu.export import load_int8_model
+    from velocity_asr_tpu.quantize import calibrate_int8_model
+
+    model, params = tiny
+    rng = np.random.default_rng(5)
+    calib = [jnp.asarray(rng.standard_normal((1, 64, 80)), jnp.float32)
+             for _ in range(2)]
+    int8_cfg = dataclasses.replace(
+        model.config, int8_inference=True, int8_static=True
+    )
+    int8_model = va.create_model(int8_cfg)
+    stats = calibrate_int8_model(int8_model, params, calib)
+
+    path = str(tmp_path / "int8_cal")
+    save_int8_checkpoint(path, model.config, params, quant_stats=stats)
+
+    m2, p2, stats2 = load_int8_model(path)
+    assert m2.config.int8_static and m2.config.int8_inference
+    assert stats2 is not None
+    mel = jnp.asarray(rng.standard_normal((1, 64, 80)), jnp.float32)
+    out = np.asarray(va.forward(m2, p2, mel, quant_stats=stats2))
+    assert np.isfinite(out).all()
+    # and the uncalibrated loader path still returns a plain fp32 pair
+    path2 = str(tmp_path / "int8_plain")
+    save_int8_checkpoint(path2, model.config, params)
+    m3, p3, stats3 = load_int8_model(path2)
+    assert stats3 is None and not m3.config.int8_static
+    out3 = np.asarray(va.forward(m3, p3, mel))
+    assert np.isfinite(out3).all()
+
+
+def test_export_normalizes_int8_flags(tmp_path, tiny):
+    """Exporting a checkpoint whose config carries int8/QAT flags must
+    not bake those layer variants into the serialized graph (they read a
+    quant_stats collection the exported signature doesn't carry)."""
+    import dataclasses
+
+    model, params = tiny
+    int8_model = va.create_model(dataclasses.replace(
+        model.config, int8_inference=True, int8_static=True
+    ))
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(int8_model, params, path, input_shape=(1, 64, 80))
+    fn = load_exported(path)
+    mel = np.zeros((1, 64, 80), np.float32)
+    out = np.asarray(fn(jax.device_get(params), mel))
+    assert out.shape[0] == 1 and np.isfinite(out).all()

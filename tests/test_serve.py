@@ -68,3 +68,46 @@ def test_micro_batcher_coalesces_and_matches(pipeline):
     # 6 near-simultaneous submissions within a 200 ms window must coalesce
     # into far fewer device calls than 6
     assert sum(calls) == 6 and len(calls) <= 3, calls
+
+
+def test_transcribe_batch_mixed_buckets_matches_single(pipeline):
+    """A short clip batched with a much longer one must transcribe
+    exactly as it does alone: the global-context pooling is not
+    length-masked, so cross-bucket padding would change its output.
+    transcribe_batch groups by frame bucket internally."""
+    rng = np.random.default_rng(7)
+    short = (rng.standard_normal(8000) * 0.1).astype(np.float32)    # bucket 200
+    long = (rng.standard_normal(150000) * 0.1).astype(np.float32)   # bucket 1000
+    assert pipeline.frame_bucket_of(short) != pipeline.frame_bucket_of(long)
+    batched = pipeline.transcribe_batch([short, long, short])
+    solo_short = pipeline.transcribe_array(short)
+    solo_long = pipeline.transcribe_array(long)
+    assert batched[0]["text"] == solo_short["text"]
+    assert batched[2]["text"] == solo_short["text"]
+    assert batched[1]["text"] == solo_long["text"]
+
+
+def test_transcribe_array_beam_override(pipeline):
+    """Per-call beam_width overrides the instance default without
+    mutating shared state (the serving path passes it per request)."""
+    rng = np.random.default_rng(8)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    assert pipeline.beam_width == 0
+    r = pipeline.transcribe_array(audio, beam_width=4)
+    assert pipeline.beam_width == 0  # untouched
+    assert isinstance(r["text"], str)
+
+
+def test_serve_error_classification(pipeline):
+    """Undecodable bodies and bad flag combos are 400s; internal faults
+    are 500s (clients/monitoring key off the status class)."""
+    from scripts.serve import ASRService, BadRequest
+
+    svc = ASRService.__new__(ASRService)  # skip checkpoint load
+    svc.transcriber = pipeline
+    svc.lock = threading.Lock()
+
+    with pytest.raises(BadRequest):
+        svc.transcribe_bytes(b"\x00" * 64, timestamps=False, beam=0)
+    with pytest.raises(BadRequest):
+        svc.transcribe_bytes(b"anything", timestamps=True, beam=4)

@@ -28,19 +28,46 @@ from .models.config import VelocityASRConfig
 from .models.model import VelocityASR, forward
 
 
+def _export_graph_config(cfg: VelocityASRConfig) -> VelocityASRConfig:
+    """Normalize a checkpoint config for a serialized-graph export:
+    pure-XLA scan (a Pallas custom call would bake a TPU Mosaic kernel —
+    or CPU interpret mode — into the artifact) and no int8/QAT layer
+    variants (exports bake fp32 weights; the static-int8 layers read a
+    quant_stats collection the exported signature doesn't carry)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, scan_mode="parallel",
+        int8_inference=False, int8_static=False, qat=False,
+    )
+
+
 def export_stablehlo(
     model: VelocityASR,
     params: Dict[str, Any],
     output_path: str,
-    input_shape: Tuple[int, int, int] = (1, 500, 80),
+    input_shape: Tuple[int, int, int] = None,
 ) -> str:
     """Serialize the jitted forward to a StableHLO artifact.
 
     Mirrors the reference's export_quantized_onnx contract
     (quantize.py:374-410): fixed example shape (1, 500, mel_bins); the
-    serialized module validates shapes at call time.
+    serialized module validates shapes at call time. The artifact is
+    bound to the export-time platform (jax.export records the lowering
+    target); the scan tier is normalized to the pure-XLA parallel form so
+    no Pallas custom call is baked in.
     """
+    import dataclasses
+
     from jax import export as jax_export
+
+    from .models.model import create_model
+
+    cfg = model.config
+    if input_shape is None:
+        input_shape = (1, 500, cfg.mel_bins)
+    if _export_graph_config(cfg) != cfg:
+        model = create_model(_export_graph_config(cfg))
 
     def fn(params, mel):
         return forward(model, params, mel, train=False)
@@ -70,7 +97,7 @@ def export_tflite(
     model: VelocityASR,
     params: Dict[str, Any],
     output_path: str,
-    input_shape: Tuple[int, int, int] = (1, 500, 80),
+    input_shape: Tuple[int, int, int] = None,
     quantize: str = None,
 ) -> str:
     """Export the forward pass to a .tflite flatbuffer (weights baked in).
@@ -99,10 +126,11 @@ def export_tflite(
     from .models.model import create_model
 
     cfg = model.config
-    if cfg.scan_mode != "parallel" or cfg.dtype != "float32":
-        model = create_model(
-            dataclasses.replace(cfg, scan_mode="parallel", dtype="float32")
-        )
+    if input_shape is None:
+        input_shape = (1, 500, cfg.mel_bins)
+    export_cfg = dataclasses.replace(_export_graph_config(cfg), dtype="float32")
+    if export_cfg != cfg:
+        model = create_model(export_cfg)
 
     def fn(mel):
         return forward(model, params, mel, train=False)
@@ -283,7 +311,7 @@ def load_int8_checkpoint(path: str) -> Tuple[VelocityASRConfig, Dict[str, Any]]:
     return config, tree
 
 
-def load_int8_quant_stats(path: str, model, params) -> Dict[str, Any]:
+def load_int8_quant_stats(path: str, model) -> Dict[str, Any]:
     """Load the calibrated quant_stats saved in an INT8 package (None if
     the package was not calibrated)."""
     import flax
@@ -297,3 +325,23 @@ def load_int8_quant_stats(path: str, model, params) -> Dict[str, Any]:
     )
     with open(stats_path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+def load_int8_model(path: str):
+    """Load an INT8 package ready to run: (model, params, quant_stats).
+
+    For a calibrated package (saved with quant_stats) the config enables
+    the static-int8 activation path and the returned stats must be passed
+    to the forward:  forward(model, params, mel, quant_stats=stats).
+    For an uncalibrated package stats is None and plain forward works."""
+    from .models.model import create_model
+
+    config, params = load_int8_checkpoint(path)
+    model = create_model(config)
+    stats = load_int8_quant_stats(path, model)
+    if config.int8_static and stats is None:
+        raise ValueError(
+            f"int8 package {path!r} declares int8_static but has no "
+            "quant_stats.msgpack — corrupt or incomplete package"
+        )
+    return model, params, stats
