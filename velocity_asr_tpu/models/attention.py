@@ -80,7 +80,8 @@ class AdaptivePool(nn.Module):
             if self.level == 1:
                 pool_size = pool_size_level1(seq_len)
             else:
-                k1 = prev_pool_size if prev_pool_size else pool_size_level1(seq_len)
+                k1 = (prev_pool_size if prev_pool_size is not None
+                      else pool_size_level1(seq_len))
                 pool_size = min(pool_size_level2(k1), seq_len)
             pooled = adaptive_avg_pool1d(x, pool_size)
         mode = _quant_mode(self.qat, self.int8)
@@ -118,6 +119,10 @@ class MultiHeadAttention(nn.Module):
     ) -> jnp.ndarray:
         batch, q_len, _ = query.shape
         kv_len = key.shape[1]
+        assert self.attention_dim % self.num_heads == 0, (
+            f"attention_dim {self.attention_dim} not divisible by "
+            f"num_heads {self.num_heads}"
+        )
         head_dim = self.attention_dim // self.num_heads
 
         mode = _quant_mode(self.qat, self.int8)
@@ -223,6 +228,15 @@ class HierarchicalGlobalContext(nn.Module):
         (so the memory is warm). Returns (fused, gc_state) unchanged.
         """
         streaming = summary is not None
+        if streaming and gc_state is None:
+            # Half-guarding None (the SSM-states branch below tolerates it
+            # but the mem/init reads don't) would crash with an opaque
+            # TypeError; the streaming contract requires a state from
+            # streaming.init_stream_state.
+            raise ValueError(
+                "streaming HierarchicalGlobalContext requires gc_state "
+                "(build one with streaming.init_stream_state)"
+            )
         pool1 = AdaptivePool(
             level=1, d_model=self.d_model, dtype=self.dtype, qat=self.qat, qat_bits=self.qat_bits,
             int8=self.int8, int8_static=self.int8_static, name="pool1"

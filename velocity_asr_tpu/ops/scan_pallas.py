@@ -25,9 +25,11 @@ Throughput structure (measured on TPU v5e, tools/sweep_scan_block.py):
     Pallas kernel evaluates on the MXU at reduced (bf16-grade) precision
     unless precision=HIGHEST is passed; compounded over a 1504-step
     recurrence this destroys the result (measured rel-err ~50 with the
-    round-1 per-step dot kernels). The forward therefore uses no dots at
-    all; the backward's dots all pass precision=HIGHEST (verified exact
-    against the lax.scan oracle on hardware, tools/verify_tpu_numerics.py).
+    round-1 per-step dot kernels). The invariant here is therefore: NO
+    dot_general anywhere in these kernels — forward and backward are all
+    VPU broadcast-multiply + sums (verified exact against the lax.scan
+    oracle on hardware, tools/verify_tpu_numerics.py). If you add an MXU
+    dot, it MUST pass precision=HIGHEST and be re-verified on hardware.
 
 Training uses a dedicated backward kernel (mamba-style): the forward saves
 only the chunk-boundary states; the backward walks chunks in reverse,
@@ -563,6 +565,11 @@ def selective_scan_pallas(
     recurrence, ssm.py:158-168); differentiable via the dedicated
     reverse-scan backward kernel.
 
+    `chunk` tunes the INFERENCE launch only: under jax.grad the custom
+    VJP re-runs both passes at TRAIN_CHUNK (the saved-bounds layout is
+    fixed at trace time), so sweeping `chunk` inside a differentiated
+    graph measures TRAIN_CHUNK regardless of the argument.
+
     With h0/return_state (the streaming contract, reference mamba-tier
     semantics ssm.py:297-337) the kernel seeds its VMEM carry from h0 and
     flushes the final state. This path is differentiable too (the
@@ -582,4 +589,7 @@ def selective_scan_pallas(
     y, h_final = _selective_scan_pallas_state(x, dt, A, B, C, D, chunk, h0_k)
     if not return_state:
         return y
-    return y, jnp.swapaxes(h_final, 1, 2).astype(x.dtype)
+    # State stays fp32 like the sequential oracle's lax.scan carry (the
+    # recurrence always runs fp32 — CLAUDE.md); truncating to a bf16
+    # x.dtype would degrade the carry at every streaming chunk boundary.
+    return y, jnp.swapaxes(h_final, 1, 2)
