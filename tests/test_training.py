@@ -250,3 +250,96 @@ def test_device_mel_train_path_matches_host_mel():
     # int16 wire + boundary-window reflection differences are tiny
     assert abs(loss_host - loss_dev) < 2e-2 * max(abs(loss_host), 1.0), (
         loss_host, loss_dev)
+
+
+def test_qat_trainer_end_to_end(tmp_path):
+    """QAT training through the real Trainer: the quant_stats collection
+    must thread through the jitted step (regression: forward() without it
+    crashed with ScopeCollectionNotFound on the first step), optimize,
+    and round-trip through checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.quantize import prepare_model_for_qat
+    from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+    cfg = prepare_model_for_qat(va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=24, dropout=0.0, scan_mode="parallel", dtype="float32"))
+    model = va.create_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel_spectrogram": rng.standard_normal((2, 64, 80)).astype(np.float32),
+        "input_lengths": np.array([64, 64], np.int32),
+        "targets": np.tile(np.array([[3, 4, 5, 0]], np.int32), (2, 1)),
+        "target_lengths": np.array([3, 3], np.int32),
+    }
+    tc = TrainingConfig(
+        batch_size=2, max_steps=8, gradient_accumulation_steps=1,
+        learning_rate=3e-3, warmup_steps=1,
+        checkpoint_dir=str(tmp_path), metrics_path=str(tmp_path / "m.jsonl"),
+    )
+    tr = Trainer(model, tc, iter([]))
+    assert tr.quant_stats is not None
+    losses = [tr.train_step(batch)["loss"] for _ in range(4)]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(tr.eval_step(batch)["eval_loss"])
+
+    tr.save_checkpoint(str(tmp_path / "ck"))
+    tr2 = Trainer(model, tc, iter([]))
+    tr2.load_checkpoint(str(tmp_path / "ck"))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.quant_stats),
+                    jax.tree_util.tree_leaves(tr2.quant_stats)):
+        assert jnp.allclose(a, b)
+
+
+def test_calibration_accumulates_and_guards():
+    """Calibration must accumulate ranges across batches (order
+    independence) and refuse an empty iterator."""
+    import jax
+    import jax.numpy as jnp
+
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.quantize import (
+        calibrate_model,
+        init_quant_stats,
+        prepare_model_for_qat,
+    )
+
+    cfg = prepare_model_for_qat(va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=24, dropout=0.0, scan_mode="parallel", dtype="float32"))
+    model = va.create_model(cfg)
+    params = va.init_params(model, jax.random.PRNGKey(0), example_frames=64)
+    stats = init_quant_stats(model, params)
+
+    rng = np.random.default_rng(1)
+    big = jnp.asarray(rng.standard_normal((1, 64, 80)) * 5, jnp.float32)
+    small = jnp.asarray(rng.standard_normal((1, 64, 80)) * 0.1, jnp.float32)
+    c1 = calibrate_model(model, params, stats, [big, small], num_batches=2)
+    c2 = calibrate_model(model, params, stats, [small, big], num_batches=2)
+    # Order independence is approximate (downstream activations flow
+    # through upstream grids that evolve during the pass), but nothing
+    # like the old last-batch-wins 10000x scale swings.
+    for a, b in zip(jax.tree_util.tree_leaves(c1),
+                    jax.tree_util.tree_leaves(c2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.15, atol=0.05)
+    # The large batch's range must not be forgotten when it comes first:
+    # input-quantizer scales from [big, small] dominate [small]-only.
+    c_small = calibrate_model(model, params, stats, [small], num_batches=1)
+
+    def scales(tree):
+        return [np.asarray(leaf)
+                for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+                if getattr(path[-1], "key", None) == "scale"]
+
+    bigger = [float(np.max(a)) >= float(np.max(b)) * 0.99
+              for a, b in zip(scales(c1), scales(c_small))]
+    assert sum(bigger) > len(bigger) * 0.8, bigger
+
+    with pytest.raises(ValueError, match="no calibration batches"):
+        calibrate_model(model, params, stats, [], num_batches=2)

@@ -69,8 +69,6 @@ def ctc_beam_search_jax(
             v32 = vocab_ids.astype(jnp.uint32)[None, :]
             c_h1 = jnp.where(extends, h1[:, None] * _P1 + v32 + 1, h1[:, None])
             c_h2 = jnp.where(extends, h2[:, None] * _P2 + v32 + 1, h2[:, None])
-            c_len = lengths[:, None] + extends.astype(jnp.int32)
-            c_last = jnp.broadcast_to(vocab_ids[None, :], (k, vocab))
 
             flat_scores = cand_scores.reshape(-1)
             flat_h1 = c_h1.reshape(-1)

@@ -231,6 +231,9 @@ class CTCDecoder:
             token_lists = beams_to_token_lists(np.asarray(tokens), np.asarray(lengths))
             beam_results = []
             for b, batch_tokens in enumerate(token_lists):
+                # Slots the static-width search never filled with a real
+                # prefix carry the merged-away NEG_INF sentinel; the host
+                # backend (like the reference) returns only real beams.
                 results = [
                     DecodingResult(
                         text="",
@@ -238,6 +241,7 @@ class CTCDecoder:
                         score=float(scores[b, i]),
                     )
                     for i, toks in enumerate(batch_tokens)
+                    if float(scores[b, i]) > -1e29
                 ]
                 if lm_scorer is not None and lm_weight > 0:
                     for r in results:

@@ -45,7 +45,10 @@ def int8_dot_xla(
     """
     xf = x.astype(jnp.float32)
     if x_scale is None:
-        x_amax = jnp.max(jnp.abs(xf))
+        # Per-row (per-token) dynamic scale: co-batched utterances must
+        # not change each other's quantization grid (a loud utterance
+        # raising a shared per-tensor scale coarsens its batchmates).
+        x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         x_scale = jnp.maximum(x_amax / 127.0, 1e-10)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -57,7 +60,7 @@ def int8_dot_xla(
 
 
 def _int8_kernel(xs_ref, x_ref, w_ref, ws_ref, out_ref):
-    """Fused quantize + int8 dot + dequantize.
+    """Fused quantize + int8 dot + dequantize, static calibrated scale.
 
     xs_ref: (1, 1) SMEM activation scale; x_ref: (M_b, K) fp32;
     w_ref: (K, N) int8; ws_ref: (1, N) fp32; out_ref: (M_b, N) fp32.
@@ -72,6 +75,23 @@ def _int8_kernel(xs_ref, x_ref, w_ref, ws_ref, out_ref):
         preferred_element_type=jnp.int32,
     )
     out_ref[:] = acc.astype(jnp.float32) * (x_scale * ws_ref[:])
+
+
+def _int8_dynamic_kernel(x_ref, w_ref, ws_ref, out_ref):
+    """Fused per-row dynamic quantize + int8 dot + dequantize.
+
+    Each row (token) gets its own scale from its own max-abs, so results
+    are independent of whatever else is in the batch."""
+    xf = x_ref[:]
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (M_b, 1)
+    xs = jnp.maximum(amax * (1.0 / 127.0), 1e-10)
+    x_q = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * xs * ws_ref[:]
 
 
 def int8_dot_pallas(
@@ -96,12 +116,28 @@ def int8_dot_pallas(
     if pad_m:
         xf = jnp.pad(xf, ((0, pad_m), (0, 0)))
 
-    if x_scale is None:
-        x_amax = jnp.max(jnp.abs(xf))
-        x_scale = jnp.maximum(x_amax / 127.0, 1e-10)
-    x_scale = jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
-
     grid = (xf.shape[0] // block_m,)
+    if x_scale is None:
+        # Per-row dynamic scales, computed inside the kernel.
+        out = pl.pallas_call(
+            _int8_dynamic_kernel,
+            out_shape=jax.ShapeDtypeStruct((xf.shape[0], n), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(xf, w_q, w_scale)
+        return out[:m].reshape(orig_shape[:-1] + (n,))
+
+    x_scale = jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
         _int8_kernel,
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], n), jnp.float32),

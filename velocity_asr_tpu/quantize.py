@@ -82,14 +82,27 @@ class FakeQuantize(nn.Module):
         calibrated_var = self.variable(
             "quant_stats", "calibrated", lambda: jnp.zeros((), jnp.bool_)
         )
+        # Running calibration range (accumulated across calibration
+        # batches; +/-inf sentinels mean "nothing observed yet").
+        min_var = self.variable(
+            "quant_stats", "range_min",
+            lambda: jnp.full(stat_shape, jnp.inf, jnp.float32),
+        )
+        max_var = self.variable(
+            "quant_stats", "range_max",
+            lambda: jnp.full(stat_shape, -jnp.inf, jnp.float32),
+        )
 
-        def observe(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        def ranges(v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             v = v.astype(jnp.float32)
             if reduce_axes is None:
                 x_min, x_max = jnp.min(v), jnp.max(v)
             else:
                 x_min = jnp.min(v, axis=reduce_axes, keepdims=True)
                 x_max = jnp.max(v, axis=reduce_axes, keepdims=True)
+            return x_min.reshape(stat_shape), x_max.reshape(stat_shape)
+
+        def to_scale_zp(x_min, x_max) -> Tuple[jnp.ndarray, jnp.ndarray]:
             if self.symmetric:
                 scale = jnp.maximum(jnp.abs(x_min), jnp.abs(x_max)) / qmax
                 zp = jnp.zeros_like(scale)
@@ -97,7 +110,7 @@ class FakeQuantize(nn.Module):
                 scale = (x_max - x_min) / (qmax - qmin)
                 scale_safe = jnp.maximum(scale, 1e-10)
                 zp = qmin - x_min / scale_safe
-            return jnp.maximum(scale, 1e-10).reshape(stat_shape), zp.reshape(stat_shape)
+            return jnp.maximum(scale, 1e-10), zp
 
         can_write = (
             not self.is_initializing()
@@ -107,16 +120,24 @@ class FakeQuantize(nn.Module):
         if update_stats:
             # Training forward: recompute observers from the live tensor
             # (reference quantize.py:87-88, no EMA).
-            scale, zp = observe(x)
+            scale, zp = to_scale_zp(*ranges(x))
             if can_write:
                 scale_var.value = scale
                 zp_var.value = zp
         elif can_write:
             # Eval forward with a mutable quant_stats collection = a
-            # calibration pass: observe without dropout noise (the
-            # reference's calibrate_model never actually observed —
-            # see module docstring).
-            scale, zp = observe(x)
+            # calibration pass: ACCUMULATE the observed range across
+            # batches (last-batch-wins would make the calibrated grid
+            # depend on batch order and waste every batch but the final
+            # one); observe without dropout noise (the reference's
+            # calibrate_model never actually observed — see module
+            # docstring).
+            x_min, x_max = ranges(x)
+            new_min = jnp.minimum(min_var.value, x_min)
+            new_max = jnp.maximum(max_var.value, x_max)
+            min_var.value = new_min
+            max_var.value = new_max
+            scale, zp = to_scale_zp(new_min, new_max)
             scale_var.value = scale
             zp_var.value = zp
         else:
@@ -277,6 +298,20 @@ def prepare_model_for_qat(config, quant_config: Optional[QuantizationConfig] = N
     import dataclasses
 
     qc = quant_config or QuantizationConfig()
+    # The QAT layers hardcode the reference's default scheme (symmetric
+    # per-channel weights, asymmetric per-tensor activations, SSM kept
+    # fp32). Silently accepting a different scheme would diverge from
+    # what actually runs, so non-default values of the untunable fields
+    # are rejected instead of ignored.
+    defaults = QuantizationConfig()
+    for field in ("per_channel_weights", "symmetric_weights",
+                  "symmetric_activations", "ssm_state_fp32"):
+        if getattr(qc, field) != getattr(defaults, field):
+            raise NotImplementedError(
+                f"QuantizationConfig.{field}={getattr(qc, field)} is not "
+                "supported: the QAT layers implement the reference's "
+                "default scheme only (see QuantDense/QuantConv1d)"
+            )
     return dataclasses.replace(
         config, qat=True,
         qat_weight_bits=qc.weight_bits,
@@ -306,18 +341,22 @@ def calibrate_int8_model(
         train=False,
     )
     quant_stats = variables.get("quant_stats", {})
-    count = 0
-    for batch in batches:
-        if count >= num_batches:
-            break
-        mel = jnp.asarray(batch)
+
+    @jax.jit
+    def observe(params, quant_stats, mel):
         _, mutated = model.apply(
             {"params": params, "quant_stats": quant_stats},
             mel,
             train=False,
             mutable=["quant_stats"],
         )
-        quant_stats = mutated["quant_stats"]
+        return mutated["quant_stats"]
+
+    count = 0
+    for batch in batches:
+        if count >= num_batches:
+            break
+        quant_stats = observe(params, quant_stats, jnp.asarray(batch))
         count += 1
     if count == 0:
         raise ValueError("no calibration batches provided")
@@ -342,22 +381,48 @@ def calibrate_model(
     (reference calibrate_model, quantize.py:325-371; see module docstring
     for the honest-observation deviation).
     """
-    count = 0
-    for batch in batches:
-        if count >= num_batches:
-            break
-        mel = jnp.asarray(batch)
+    # Fresh calibration: reset accumulated ranges so a re-calibration is
+    # not contaminated by a previous pass's data.
+    quant_stats = reset_calibration_ranges(quant_stats)
+
+    @jax.jit
+    def observe(params, quant_stats, mel):
         # Eval-mode forward with a mutable quant_stats collection: the
-        # observers refresh from clean (dropout-free) activations.
+        # observers ACCUMULATE ranges from clean (dropout-free)
+        # activations. Jitted: one compiled forward per batch instead of
+        # op-by-op dispatch over the TPU tunnel.
         _, mutated = model.apply(
             {"params": params, "quant_stats": quant_stats},
             mel,
             train=False,
             mutable=["quant_stats"],
         )
-        quant_stats = mutated["quant_stats"]
+        return mutated["quant_stats"]
+
+    count = 0
+    for batch in batches:
+        if count >= num_batches:
+            break
+        quant_stats = observe(params, quant_stats, jnp.asarray(batch))
         count += 1
+    if count == 0:
+        # Marking never-observed default stats (scale 1, zp 0) as
+        # calibrated would clip every negative activation to zero.
+        raise ValueError("no calibration batches provided")
     return mark_calibrated(quant_stats)
+
+
+def reset_calibration_ranges(quant_stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Reset the accumulated calibration ranges to their sentinels."""
+
+    def visit(path, leaf):
+        if path and getattr(path[-1], "key", None) == "range_min":
+            return jnp.full_like(leaf, jnp.inf)
+        if path and getattr(path[-1], "key", None) == "range_max":
+            return jnp.full_like(leaf, -jnp.inf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, quant_stats)
 
 
 def mark_calibrated(quant_stats: Dict[str, Any], value: bool = True) -> Dict[str, Any]:

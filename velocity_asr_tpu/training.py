@@ -285,6 +285,21 @@ class Trainer:
         self.tx, self.schedule = make_optimizer(config)
         self.opt_state = self.tx.init(self.params)
 
+        # QAT models carry a mutable quant_stats collection (FakeQuantize
+        # observers); the train step threads it through and carries the
+        # refreshed stats out (reference Trainer trains the observers as
+        # buffers, quantize.py:87-88).
+        self.quant_stats = None
+        if getattr(model.config, "qat", False):
+            if config.streaming_chunks:
+                raise ValueError(
+                    "QAT + the streaming-aware objective is not supported "
+                    "(streaming_forward does not thread quant_stats)"
+                )
+            from .quantize import init_quant_stats
+
+            self.quant_stats = init_quant_stats(model, self.params)
+
         self.global_step = 0
         self.best_eval_loss = float("inf")
         self._rng = rng
@@ -303,6 +318,11 @@ class Trainer:
         self.opt_state = jax.tree_util.tree_map(
             jax.device_put, self.opt_state, self._opt_shardings()
         )
+        if self.quant_stats is not None:
+            rep = NamedSharding(self.mesh, P())
+            self.quant_stats = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), self.quant_stats
+            )
 
     def _tp(self) -> bool:
         from .parallel.mesh import MODEL_AXIS
@@ -359,7 +379,10 @@ class Trainer:
 
     # ----- compiled steps ---------------------------------------------------
 
-    def _loss_fn(self, params, batch, dropout_rng, train: bool, n_valid):
+    def _loss_fn(self, params, quant_stats, batch, dropout_rng, train: bool,
+                 n_valid):
+        """Returns (loss, new_quant_stats). For non-QAT models quant_stats
+        is None and passes through unchanged."""
         raw_mel = None
         if "audio" in batch:
             # device-mel path: the host pipeline ships int16 PCM (audio
@@ -396,10 +419,27 @@ class Trainer:
             return (jnp.sum(jnp.where(valid, per_example, 0.0))
                     / jnp.maximum(n_valid, 1))
 
-        logits = forward(
-            self.model, params, mel, train=train,
-            dropout_rng=dropout_rng if train else None,
-        )
+        new_stats = quant_stats
+        if quant_stats is not None:
+            # QAT forward: observers refresh inside the step; the mutated
+            # stats are carried out as the aux output. Eval reads the
+            # stored stats (no mutation).
+            variables = {"params": params, "quant_stats": quant_stats}
+            rngs = ({"dropout": dropout_rng}
+                    if train and dropout_rng is not None else {})
+            if train:
+                logits, mutated = self.model.apply(
+                    variables, mel, train=True, rngs=rngs,
+                    mutable=["quant_stats"],
+                )
+                new_stats = mutated["quant_stats"]
+            else:
+                logits = self.model.apply(variables, mel, train=False)
+        else:
+            logits = forward(
+                self.model, params, mel, train=train,
+                dropout_rng=dropout_rng if train else None,
+            )
         loss = masked_ctc(logits)
 
         if self.config.streaming_chunks and raw_mel is None and train:
@@ -431,19 +471,19 @@ class Trainer:
             )
             w = self.config.streaming_aux_weight
             loss = (1.0 - w) * loss + w * masked_ctc(slogits)
-        return loss
+        return loss, new_stats
 
     def _build_train_step(self):
         rep = NamedSharding(self.mesh, P())
 
-        def step_fn(params, opt_state, batch, rng, n_valid):
+        def step_fn(params, opt_state, quant_stats, batch, rng, n_valid):
             dropout_rng = jax.random.fold_in(rng, opt_state_step(opt_state))
-            loss, grads = jax.value_and_grad(self._loss_fn)(
-                params, batch, dropout_rng, True, n_valid
-            )
+            (loss, new_stats), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, quant_stats, batch, dropout_rng, True, n_valid)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, new_stats, loss
 
         def opt_state_step(opt_state):
             # Works for both plain chain state and MultiSteps state.
@@ -451,15 +491,21 @@ class Trainer:
                 return opt_state.gradient_step * 1000 + opt_state.mini_step
             return _find_count(opt_state)
 
+        stats_shardings = (
+            rep if self.quant_stats is None
+            else jax.tree_util.tree_map(lambda _: rep, self.quant_stats)
+        )
         return jax.jit(
             step_fn,
-            out_shardings=(self._param_shardings(), self._opt_shardings(), rep),
-            donate_argnums=(0, 1),
+            out_shardings=(self._param_shardings(), self._opt_shardings(),
+                           stats_shardings, rep),
+            donate_argnums=(0, 1, 2),
         )
 
     def _build_eval_step(self):
-        def eval_fn(params, batch, n_valid):
-            return self._loss_fn(params, batch, None, False, n_valid)
+        def eval_fn(params, quant_stats, batch, n_valid):
+            return self._loss_fn(params, quant_stats, batch, None, False,
+                                 n_valid)[0]
 
         return jax.jit(eval_fn)
 
@@ -479,8 +525,9 @@ class Trainer:
 
     def _train_step_sharded(self, sharded):
         batch, n_valid = sharded
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, batch, self._rng, n_valid
+        self.params, self.opt_state, self.quant_stats, loss = self._train_step(
+            self.params, self.opt_state, self.quant_stats, batch, self._rng,
+            n_valid
         )
         self.global_step += 1
         return loss
@@ -503,7 +550,8 @@ class Trainer:
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         batch, n_valid = self.shard_batch(batch)
-        return {"eval_loss": float(self._eval_step(self.params, batch, n_valid))}
+        return {"eval_loss": float(self._eval_step(
+            self.params, self.quant_stats, batch, n_valid))}
 
     def train(self) -> Dict[str, Any]:
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
@@ -607,6 +655,8 @@ class Trainer:
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
         }
+        if self.quant_stats is not None:
+            arrays["quant_stats"] = jax.device_get(self.quant_stats)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, "state"), arrays, force=True)
         ckptr.wait_until_finished()
@@ -630,10 +680,14 @@ class Trainer:
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
         }
+        if self.quant_stats is not None:
+            template["quant_stats"] = jax.device_get(self.quant_stats)
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(os.path.join(path, "state"), target=template)
         self.params = payload["params"]
         self.opt_state = payload["opt_state"]
+        if self.quant_stats is not None:
+            self.quant_stats = payload["quant_stats"]
         with open(os.path.join(path, "trainer_meta.json")) as f:
             meta = json.load(f)
         self.global_step = int(meta["global_step"])
