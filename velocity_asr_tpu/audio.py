@@ -82,17 +82,21 @@ def mel_filterbank(
 
     lower_slope = (freqs[None, :] - lower) / (center - lower + 1e-10)
     upper_slope = (upper - freqs[None, :]) / (upper - center + 1e-10)
-    fb = np.maximum(0.0, np.minimum(lower_slope, upper_slope))
-    return fb.astype(np.float32)
+    fb = np.maximum(0.0, np.minimum(lower_slope, upper_slope)).astype(np.float32)
+    # lru_cache hands the SAME array to every caller: freeze it so an
+    # in-place mutation can't silently corrupt the shared entry.
+    fb.setflags(write=False)
+    return fb
 
 
 def frame_count(num_samples: int, n_fft: int = N_FFT, hop_length: int = HOP_LENGTH) -> int:
     """Number of STFT frames produced by compute_mel_spectrogram.
 
-    With reflect padding of n_fft//2 on each side and center=False framing,
-    the frame count is 1 + num_samples // hop_length.
+    With reflect padding of n_fft//2 on each side and center=False
+    framing: 1 + (num_samples + 2*(n_fft//2) - n_fft) // hop_length,
+    which reduces to 1 + num_samples // hop_length for even n_fft.
     """
-    return 1 + num_samples // hop_length
+    return 1 + (num_samples + 2 * (n_fft // 2) - n_fft) // hop_length
 
 
 def _frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
@@ -105,8 +109,12 @@ def _frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarra
     num_samples = audio.shape[-1]
     num_frames = 1 + (num_samples - n_fft) // hop_length
     n_full, rem = divmod(n_fft, hop_length)
-    blocks_needed = num_frames + n_full - (0 if rem else 1)
-    pad = blocks_needed * hop_length + (rem and hop_length) - num_samples
+    # Blocks the slicing below reads, and the signal length rounded UP to
+    # a whole number of hop-blocks (a hop-divisible n_fft with a
+    # non-block-aligned signal needs padding up, never a negative pad).
+    blocks_needed = num_frames + n_full - (0 if rem else 1) + (1 if rem else 0)
+    target = max(blocks_needed, -(-num_samples // hop_length)) * hop_length
+    pad = target - num_samples
     if pad > 0:
         audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
     nblocks = audio.shape[-1] // hop_length
@@ -323,8 +331,6 @@ class MelSpectrogramTransform:
         self.hop_length = hop_length
         self.n_mels = n_mels
         self.normalize = normalize
-        self.window = hann_window(n_fft)
-        self.mel_filters = mel_filterbank(n_fft, n_mels, sample_rate)
 
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         return compute_mel_spectrogram(

@@ -141,7 +141,9 @@ class SSMBlock(nn.Module):
             # Streaming: splice the carried (k-1) normed frames in front so
             # the causal conv is exact across chunk boundaries.
             h_ext = jnp.concatenate([state["conv"].astype(h.dtype), h], axis=1)
-            new_conv_tail = h_ext[:, -(self.kernel_size - 1):]
+            # NB: -(k-1) == -0 selects everything at kernel_size == 1; the
+            # explicit start index keeps the carried tail empty there.
+            new_conv_tail = h_ext[:, h_ext.shape[1] - (self.kernel_size - 1):]
             h = causal_depthwise_conv1d(h_ext, conv_kernel[:, 0, :], conv_bias)[
                 :, self.kernel_size - 1 :
             ]
@@ -237,7 +239,11 @@ class LocalSSMProcessor(nn.Module):
                 )
                 new_states.append(st)
             else:
-                x = block(x, train)
+                # A passed state must still be spliced in even when the
+                # caller doesn't want the updated one back (silently
+                # running stateless would decode the chunk as if the
+                # stream started fresh).
+                x = block(x, train, state=None if states is None else states[i])
         out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         if return_state:
             return out, new_states
@@ -289,7 +295,11 @@ class GlobalSSM(nn.Module):
                 )
                 new_states.append(st)
             else:
-                x = block(x, train)
+                # A passed state must still be spliced in even when the
+                # caller doesn't want the updated one back (silently
+                # running stateless would decode the chunk as if the
+                # stream started fresh).
+                x = block(x, train, state=None if states is None else states[i])
         out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         if return_state:
             return out, new_states
