@@ -110,8 +110,15 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         eval_loader = None
         eval_manifest = data_cfg.get("eval_manifest")
         if eval_manifest and os.path.exists(eval_manifest):
+            # Same pipeline options as the train loader: a different
+            # max_duration would silently filter the eval set, and a
+            # host-mel eval against a device-mel train step would run a
+            # different normalization path.
             eval_loader, eval_ds = create_dataloader(
-                eval_manifest, batch_size=batch_size, shuffle=False
+                eval_manifest, batch_size=batch_size, shuffle=False,
+                max_duration=data_cfg.get("max_duration", 30.0),
+                min_duration=data_cfg.get("min_duration", 0.5),
+                device_mel=device_mel,
             )
             # Targets must be encoded with the TRAIN vocabulary, not one
             # rebuilt from the eval corpus's own character set.
@@ -178,6 +185,14 @@ def main():
         training_config_from_yaml,
     )
 
+    # A missing DEFAULT config path falls through to defaults + dummy data
+    # (reference parity), but a user-supplied path that doesn't exist is a
+    # typo that must not silently train 80k steps on random noise.
+    for flag, path, default in (("--config", args.config, "configs/train.yaml"),
+                                ("--model-config", args.model_config,
+                                 "configs/model.yaml")):
+        if path != default and not os.path.exists(path):
+            parser.error(f"{flag} {path!r} does not exist")
     train_cfg_dict = load_yaml(args.config) if os.path.exists(args.config) else {}
     model_cfg_dict = load_yaml(args.model_config) if os.path.exists(args.model_config) else {}
 
@@ -194,10 +209,23 @@ def main():
 
     logger.info("Devices: %s", jax.devices())
 
-    # Optional QAT (reference scripts/train.py:184-192).
-    if train_cfg_dict.get("quantization", {}).get("enabled", False):
+    # Optional QAT (reference scripts/train.py:184-192). The YAML section's
+    # scheme fields flow into QuantizationConfig so bit-widths take effect
+    # and unsupported scheme values hit prepare_model_for_qat's guard
+    # instead of being silently dropped.
+    quant_cfg_dict = dict(train_cfg_dict.get("quantization", {}))
+    if quant_cfg_dict.pop("enabled", False):
+        from velocity_asr_tpu.quantize import QuantizationConfig
+
         logger.info("Enabling quantization-aware training")
-        model_cfg = prepare_model_for_qat(model_cfg)
+        quant_cfg_dict.pop("start_step", None)  # dead in the reference too
+        known = {f.name for f in dataclasses.fields(QuantizationConfig)}
+        unknown = set(quant_cfg_dict) - known
+        if unknown:
+            raise ValueError(f"unknown quantization config keys: {sorted(unknown)}")
+        model_cfg = prepare_model_for_qat(
+            model_cfg, QuantizationConfig(**quant_cfg_dict)
+        )
 
     # use_amp=False forces fp32 compute regardless of model.yaml dtype.
     if not train_cfg.use_amp and model_cfg.dtype != "float32":
@@ -236,7 +264,33 @@ def main():
     final = os.path.join(train_cfg.checkpoint_dir, "final_model")
     trainer.save_checkpoint(final)
     pretrained_dir = os.path.join(train_cfg.checkpoint_dir, "final_pretrained")
-    save_pretrained(pretrained_dir, model_cfg, trainer.params)
+    pretrained_cfg = model_cfg
+    pretrained_params = trainer.params
+    if model_cfg.qat:
+        # Fake-quant is a training-time construct: a qat=True artifact
+        # would crash every consumer that doesn't thread quant_stats.
+        # Ship the fp32 inference config (QAT params ARE the fp32
+        # weights; the only structural difference is the temporal-binding
+        # conv living under QuantConv1d's conv/{kernel,bias} names) and
+        # keep the learned observer stats alongside for INT8 packaging
+        # (scripts/export_model.py).
+        import flax
+
+        pretrained_cfg = dataclasses.replace(model_cfg, qat=False)
+        p = flax.core.unfreeze(jax.device_get(trainer.params))
+        tb = dict(p["temporal_binding"])
+        conv = tb.pop("conv")
+        tb["conv_kernel"] = conv["kernel"]
+        tb["conv_bias"] = conv["bias"]
+        p["temporal_binding"] = tb
+        pretrained_params = p
+        os.makedirs(pretrained_dir, exist_ok=True)
+        with open(os.path.join(pretrained_dir, "quant_stats.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(
+                jax.device_get(trainer.quant_stats)))
+        logger.info("QAT run: final_pretrained saved with qat=False "
+                    "(fp32 inference); observer stats in quant_stats.msgpack")
+    save_pretrained(pretrained_dir, pretrained_cfg, pretrained_params)
     if data_vocab is not None:
         # transcribe/evaluate read vocabulary.json from the checkpoint dir;
         # without it they would fall back to the default vocabulary with a

@@ -27,8 +27,6 @@ def kaiming_conv_init():
         receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
         fan_out = shape[-1] * receptive
         std = math.sqrt(2.0 / fan_out)
-        import jax
-
         return jax.random.normal(key, shape, dtype) * std
 
     return init
@@ -63,8 +61,12 @@ class PositionalEncoding2D(nn.Module):
         # indexes it (model.py:93-104), capping sessions at max_len output
         # frames (~100 min of audio). Here the same values are computed
         # directly from absolute positions (time_offset may be a traced
-        # scalar in streaming mode), so arbitrarily long streaming sessions
-        # see a well-defined, identical-within-float encoding with no cap.
+        # scalar in streaming mode), so long streaming sessions see a
+        # well-defined encoding with no table cap. Positions are fp32, so
+        # the hard bound is 2^24 output frames (~93 hours of audio at 50
+        # frames/s) before adjacent positions alias; sinusoid phase error
+        # grows ~linearly with offset well before that but stays below
+        # ~0.1 rad for day-long sessions.
         div_term = np.exp(
             np.arange(0, half, 2, dtype=np.float32) * (-math.log(10000.0) / half)
         )
@@ -77,9 +79,7 @@ class PositionalEncoding2D(nn.Module):
         pe_time = pe_time.at[:, 0::2].set(jnp.sin(ang[:, :n_even]))
         pe_time = pe_time.at[:, 1::2].set(jnp.cos(ang[:, : half - n_even]))
         pe_freq = self.param(
-            "pe_freq",
-            lambda key, shape: __import__("jax").random.normal(key, shape) * 0.02,
-            (1, 1, half),
+            "pe_freq", nn.initializers.normal(stddev=0.02), (1, 1, half)
         )
         time_enc = pe_time[None, :, :]  # (1, L, D/2)
         freq_enc = jnp.broadcast_to(pe_freq, (1, seq_len, half))
