@@ -34,7 +34,8 @@ logger = logging.getLogger("evaluate")
 
 
 def load_test_data(test_set: str, librispeech_root: str, max_utts: int):
-    """Yield (dataset-like, vocab) for a manifest path or LibriSpeech split."""
+    """Return (dataset, utterance_count) for a manifest path or
+    LibriSpeech split name."""
     from velocity_asr_tpu.data import ASRDataset, LibriSpeechDataset
 
     if os.path.isfile(test_set):
@@ -91,6 +92,10 @@ def main():
         parser.error("--int8-static is not supported with --streaming "
                      "(static quant_stats are not threaded through the "
                      "streaming step); use --int8 (dynamic scales)")
+    if args.audio_dir and args.int8_static:
+        parser.error("--int8-static requires --test-set (the calibration "
+                     "pass runs over the test corpus; --audio-dir would "
+                     "crash on the missing quant_stats collection)")
     if args.streaming and args.beam_width > 1:
         parser.error("--beam-width is not supported with --streaming "
                      "(streaming decodes greedily per chunk)")
@@ -175,7 +180,7 @@ def main():
             path, text = ds.entries[i]  # LibriSpeechDataset layout
             return path, text.lower()
 
-        frames = int(args.chunk_seconds * 100)
+        frames = round(args.chunk_seconds * 100)
         frames += frames % 2
         st = BatchedStreamingTranscriber(
             model, params, decoder, chunk_frames=frames,

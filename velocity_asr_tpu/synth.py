@@ -87,8 +87,16 @@ class SynthVoice:
         return (sig * env).astype(np.float32)
 
     def render(self, text: str, rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        """Render text to a 16 kHz waveform with speaker/rate/noise jitter."""
+        """Render text to a 16 kHz waveform with speaker/rate/noise jitter.
+
+        The phoneme table covers lowercase a-z and space; other input is
+        lowercased and unmapped characters render as silence (like space)
+        rather than crashing on a bare KeyError."""
         rng = rng or np.random.default_rng(0)
+        text = "".join(
+            c if c in self.formants or c == " " else " "
+            for c in text.lower()
+        )
         fscale = rng.uniform(0.85, 1.2)  # "speaker" formant scale
         rate = rng.uniform(0.8, 1.25)  # speaking rate
         level = rng.uniform(0.18, 0.4)
@@ -168,6 +176,13 @@ class SyntheticSpeechDataset:
         self.normalize_audio = normalize_audio
         # see data.ASRDataset: items carry raw audio; mel runs on device
         self.device_mel = device_mel
+        if device_mel and not normalize_audio:
+            # Same contract as data.ASRDataset: the device-mel train step
+            # always normalizes on device, so the flag cannot be honored.
+            raise ValueError(
+                "normalize_audio=False is not supported with device_mel "
+                "(the train step normalizes on device); use host mel"
+            )
         self.voice = SynthVoice(seed=seed)
         self.lexicon = make_lexicon(lexicon_words, seed=seed)
         specials = ["<blank>", "<unk>", "<pad>"]
