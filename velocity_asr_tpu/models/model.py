@@ -26,9 +26,10 @@ from .ssm import LocalSSMProcessor
 PARAMS_FILE = "params.msgpack"
 CONFIG_FILE = "config.json"
 
-# Back-compat aliases for the config-lifted streaming-memory knobs
-# (VelocityASRConfig.stream_summary_tokens / stream_memory_chunks).
-STREAM_SUMMARY_TOKENS = 4
+# Back-compat aliases for the config-lifted streaming-memory knobs;
+# MUST track VelocityASRConfig's defaults (stream_summary_tokens /
+# stream_memory_chunks) or external state-sizing code mis-sizes buffers.
+STREAM_SUMMARY_TOKENS = 64
 STREAM_MEMORY_CHUNKS = 16
 
 
@@ -61,13 +62,23 @@ class VelocityASR(nn.Module):
 
         frozen_mem (streaming only): EMIT pass for the lookahead re-decode —
         the global context attends over stream_state["gc_mem"] exactly as
-        given (which may already contain future chunks' summaries) and no
-        state advances; the returned state echoes the inputs. See
-        streaming.py lookahead_chunks.
+        given (which may already contain future chunks' summaries), and the
+        gc_* leaves of the returned state echo the inputs. NB the LOCAL
+        state (mel_carry, per-block conv/SSM) still advances through the
+        chunk: callers re-decoding an old chunk must discard the returned
+        state (streaming.py _emit does). Requires a warm stream_state from
+        at least one advancing step. See streaming.py lookahead_chunks.
         """
         cfg = self.config
         dtype = cfg.compute_dtype
         streaming = return_state or stream_state is not None
+        if frozen_mem and stream_state is None:
+            # A cold emit pass would silently attend an all-zeros memory
+            # (attention.py requires a warm memory from an advancing step).
+            raise ValueError(
+                "frozen_mem requires a stream_state produced by at least "
+                "one advancing streaming step"
+            )
 
         binding = TemporalBindingLayer(
             mel_bins=cfg.mel_bins, d_model=cfg.d_model, dtype=dtype, qat=cfg.qat,

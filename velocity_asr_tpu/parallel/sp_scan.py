@@ -100,8 +100,8 @@ def selective_scan_sequence_parallel(
         # Exchange per-shard summaries: (batch, d, n) each.
         a_last = a_cum[:, -1]
         h_last = h_local[:, -1]
-        a_all = jax.lax.all_gather(a_last, axis)  # (n_dev, b, d, n)
-        h_all = jax.lax.all_gather(h_last, axis)
+        # One collective for the (a, h) pair — all_gather takes a pytree.
+        a_all, h_all = jax.lax.all_gather((a_last, h_last), axis)  # (n_dev, b, d, n)
 
         # Exclusive combine over devices 0..idx-1 -> incoming state h_in.
         def step(carry, inputs):
