@@ -217,10 +217,16 @@ class CTCDecoder:
 
         External LM (reference decode.py:188-190): the host backend scores
         each candidate extension inside the search (exact reference
-        semantics); the jax backend applies the LM as n-best rescoring of
-        the returned beams — total = acoustic + lm_weight * lm.score(tokens)
-        — which matches the host result whenever the correct hypothesis is
-        within the acoustic beam (tests/test_decode.py)."""
+        semantics, accumulating LM terms at every extension step); the jax
+        backend applies the LM as n-best RESCORING of the returned beams —
+        total = acoustic + lm_weight * lm.score(tokens), scored once per
+        final hypothesis. The backends agree exactly at lm_weight=0
+        (tests/test_decode.py); at lm_weight>0 rescoring is an
+        approximation whose totals (and possibly rankings) can differ
+        from the in-search accumulation."""
+        if backend not in ("jax", "host"):
+            raise ValueError(f"unknown beam backend {backend!r}; "
+                             "use 'jax' or 'host'")
         if backend == "jax":
             from .beam import beams_to_token_lists, ctc_beam_search_jax
 
@@ -229,6 +235,7 @@ class CTCDecoder:
                 blank_token=self.blank_token,
             )
             token_lists = beams_to_token_lists(np.asarray(tokens), np.asarray(lengths))
+            scores = np.asarray(scores)  # one transfer, not one per beam slot
             beam_results = []
             for b, batch_tokens in enumerate(token_lists):
                 # Slots the static-width search never filled with a real

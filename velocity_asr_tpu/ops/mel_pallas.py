@@ -26,7 +26,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..audio import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE, hann_window, mel_filterbank
+from ..audio import (
+    HOP_LENGTH,
+    N_FFT,
+    N_MELS,
+    SAMPLE_RATE,
+    _frame_signal,
+    frame_count,
+    hann_window,
+    mel_filterbank,
+)
 
 FRAME_BLOCK = 128
 
@@ -87,8 +96,31 @@ def mel_spectrogram_pallas(
     Same contract as audio.compute_mel_spectrogram (reference
     audio.py:65-143): reflect pad n_fft//2, center=False framing, power
     spectrum, HTK mel, log, optional per-bin unbiased normalization over
-    time.
+    time. Jitted (like the XLA path): the ~1 MB constant DFT/mel
+    matrices live on device instead of re-uploading per call, and the
+    surrounding pad/frame/normalize ops fuse.
     """
+    return _mel_spectrogram_pallas_jit(
+        audio, sample_rate, n_fft, hop_length, n_mels, normalize, interpret
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "n_fft", "hop_length", "n_mels", "normalize",
+        "interpret",
+    ),
+)
+def _mel_spectrogram_pallas_jit(
+    audio: jnp.ndarray,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    normalize: bool,
+    interpret: bool | None,
+) -> jnp.ndarray:
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
@@ -97,7 +129,7 @@ def mel_spectrogram_pallas(
 
     pad = n_fft // 2
     padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    num_frames = 1 + (padded.shape[-1] - n_fft) // hop_length
+    num_frames = frame_count(audio.shape[-1], n_fft, hop_length)
 
     # Frame in XLA (overlapping windows aren't expressible as pallas blocks),
     # zero-padded to the lane-aligned kernel shapes.
@@ -105,8 +137,6 @@ def mel_spectrogram_pallas(
     real_p, imag_p, fbt_p = _dft_mel_matrices(n_fft, n_mels, sample_rate)
     n_fft_p = real_p.shape[0]
     n_mels_p = fbt_p.shape[1]
-
-    from ..audio import _frame_signal
 
     frames = _frame_signal(padded, n_fft, hop_length)  # (B, T, n_fft)
     frames = jnp.pad(
