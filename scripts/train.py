@@ -213,7 +213,7 @@ def main():
     # scheme fields flow into QuantizationConfig so bit-widths take effect
     # and unsupported scheme values hit prepare_model_for_qat's guard
     # instead of being silently dropped.
-    quant_cfg_dict = dict(train_cfg_dict.get("quantization", {}))
+    quant_cfg_dict = dict(train_cfg_dict.get("quantization") or {})
     if quant_cfg_dict.pop("enabled", False):
         from velocity_asr_tpu.quantize import QuantizationConfig
 
@@ -232,7 +232,7 @@ def main():
         logger.info("use_amp disabled: forcing float32 compute")
         model_cfg = dataclasses.replace(model_cfg, dtype="float32")
 
-    data_cfg = dict(train_cfg_dict.get("data", {}))
+    data_cfg = dict(train_cfg_dict.get("data") or {})
     if args.synthetic is not None:
         data_cfg["synthetic"] = args.synthetic
     train_loader, eval_loader, data_vocab = build_data(

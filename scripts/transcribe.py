@@ -52,7 +52,9 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
     words, current, start_t = [], [], None
     for tok, (s, e) in zip(tokens, stamps):
         ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
-        if ch == " ":
+        # "▁" is the subword word-start marker (same rule as the
+        # reference's separator check and decode._tokens_to_text).
+        if ch == " " or ch == "▁":
             if current:
                 words.append(
                     {
@@ -62,7 +64,13 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
                     }
                 )
                 current, start_t = [], None
-            continue
+            if ch == " ":
+                continue
+            ch = ch.replace("▁", "")
+            if not ch:
+                continue
+        elif "▁" in ch:
+            ch = ch.replace("▁", "")
         if not current:
             start_t = frame_to_seconds(s, hop_length, sample_rate)
         current.append(ch)
@@ -309,18 +317,25 @@ class Transcriber:
         return result
 
 
-def transcribe_streaming(model, params, decoder, path, chunk_seconds=2.0,
-                         lookahead=0):
+def make_streaming_transcriber(model, params, decoder, chunk_seconds=2.0,
+                               lookahead=0):
+    """Build one StreamingTranscriber for a batch of files: its jitted
+    chunk step compiles once; reset() starts each new session."""
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    frames = round(chunk_seconds * 100)
+    frames += frames % 2  # even chunk contract
+    return StreamingTranscriber(model, params, decoder, chunk_frames=frames,
+                                lookahead_chunks=lookahead)
+
+
+def transcribe_streaming(st, path, chunk_seconds=2.0):
     """Chunked streaming transcription: exact SSM/conv carry, per-chunk
     global context (velocity_asr_tpu.streaming). lookahead > 0 emits each
     chunk N chunks late with offline-like context (see StreamingTranscriber)."""
     from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
-    from velocity_asr_tpu.streaming import StreamingTranscriber
 
-    frames = int(chunk_seconds * 100)
-    frames += frames % 2  # even chunk contract
-    st = StreamingTranscriber(model, params, decoder, chunk_frames=frames,
-                              lookahead_chunks=lookahead)
+    st.reset()  # new session, same compiled step
     t0 = time.perf_counter()
     audio = load_audio(path)
     block = int(chunk_seconds * SAMPLE_RATE)
@@ -379,6 +394,18 @@ def main():
 
     if not args.audio and not args.input_dir:
         parser.error("provide an audio file or --input-dir")
+    # Reject flag combinations that would otherwise be silently dropped
+    # (same convention as evaluate.py / serve.py).
+    if args.streaming and args.beam_width > 1:
+        parser.error("--beam-width is not supported with --streaming "
+                     "(streaming decodes greedily per chunk)")
+    if args.streaming and args.timestamps:
+        parser.error("--timestamps is not supported with --streaming")
+    if args.lookahead and not args.streaming:
+        parser.error("--lookahead requires --streaming")
+    if args.timestamps and args.beam_width > 1:
+        parser.error("--timestamps uses the greedy frame path; drop "
+                     "--beam-width or --timestamps")
 
     from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
     from velocity_asr_tpu.models.model import from_pretrained
@@ -405,6 +432,12 @@ def main():
         vocabulary = create_default_vocabulary(model.config.vocab_size)
     decoder = CTCDecoder(vocabulary)
     pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width)
+    streamer = None
+    if args.streaming:
+        streamer = make_streaming_transcriber(
+            model, params, decoder, args.chunk_seconds,
+            lookahead=args.lookahead,
+        )
 
     files = [args.audio] if args.audio else collect_files(args.input_dir)
     results = []
@@ -417,8 +450,7 @@ def main():
             try:
                 if args.streaming:
                     result = transcribe_streaming(
-                        model, params, decoder, path, args.chunk_seconds,
-                        lookahead=args.lookahead,
+                        streamer, path, args.chunk_seconds,
                     )
                 else:
                     result = pipeline.transcribe_file(path, timestamps=args.timestamps)

@@ -18,11 +18,11 @@ def load_yaml(path: str) -> Dict[str, Any]:
 def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
     """Map a model.yaml dict onto VelocityASRConfig with the same explicit
     .get() defaults as the reference (scripts/train.py:158-174)."""
-    model = cfg.get("model", cfg)
-    ssm = cfg.get("ssm", {})
-    glob = cfg.get("global_context", {})
-    out = cfg.get("output", {})
-    perf = cfg.get("performance", {})
+    model = cfg.get("model") or cfg
+    ssm = cfg.get("ssm") or {}
+    glob = cfg.get("global_context") or {}
+    out = cfg.get("output") or {}
+    perf = cfg.get("performance") or {}
     scan_mode = perf.get("scan_mode", model.get("scan_mode", "parallel"))
     if scan_mode == "mamba":  # reference mode name -> TPU kernel tier
         scan_mode = "pallas"
@@ -50,12 +50,12 @@ def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
     """Map a train.yaml dict onto TrainingConfig
     (reference scripts/train.py:195-209)."""
-    aug = cfg.get("augmentation", {})
-    opt = cfg.get("optimizer", {})
-    trn = cfg.get("training", {})
-    log = cfg.get("logging", {})
-    ckpt = cfg.get("checkpoint", {})
-    dist = cfg.get("distributed", {})
+    aug = cfg.get("augmentation") or {}
+    opt = cfg.get("optimizer") or {}
+    trn = cfg.get("training") or {}
+    log = cfg.get("logging") or {}
+    ckpt = cfg.get("checkpoint") or {}
+    dist = cfg.get("distributed") or {}
     return TrainingConfig(
         learning_rate=float(opt.get("learning_rate", 1e-4)),
         weight_decay=float(opt.get("weight_decay", 0.01)),
