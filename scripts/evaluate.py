@@ -153,13 +153,12 @@ def main():
     if args.int8_static:
         from velocity_asr_tpu.quantize import calibrate_int8_model
 
+        from velocity_asr_tpu.data import calibration_batches
+
         n_calib = min(n, args.calib_batches * args.batch_size)
         logger.info("Calibrating static INT8 scales on %d utterances", n_calib)
-        calib = (
-            collator([ds[i] for i in range(s, min(s + args.batch_size, n_calib))])[
-                "mel_spectrogram"
-            ]
-            for s in range(0, n_calib, args.batch_size)
+        calib = calibration_batches(
+            ds, collator, args.batch_size, args.calib_batches
         )
         quant_stats = calibrate_int8_model(model, params, calib)
 

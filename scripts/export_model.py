@@ -38,6 +38,7 @@ def main():
                              "JSONL manifest, or 'synthetic' for the built-in "
                              "synthetic corpus (implies --quantize)")
     parser.add_argument("--calibrate-batches", type=int, default=16)
+    parser.add_argument("--calibrate-batch-size", type=int, default=4)
     parser.add_argument("--verify", action="store_true", help="reload + compare outputs")
     parser.add_argument("--tflite", nargs="?", const="fp32", default=None,
                         choices=["fp32", "dynamic", "float16"],
@@ -91,16 +92,17 @@ def main():
                 from velocity_asr_tpu.data import ASRDataset
 
                 ds = ASRDataset(args.calibrate, max_duration=None, min_duration=0.0)
+            from velocity_asr_tpu.data import calibration_batches
+
             collator = ASRCollator(frame_bucket=200, target_bucket=1)
-            def batches():
-                for start in range(0, min(len(ds), args.calibrate_batches * 4), 4):
-                    items = [ds[i] for i in range(start, min(start + 4, len(ds)))]
-                    yield collator(items)["mel_spectrogram"]
+            batches = calibration_batches(
+                ds, collator, args.calibrate_batch_size, args.calibrate_batches
+            )
             s_model = create_model(
                 dataclasses.replace(cfg, int8_inference=True, int8_static=True)
             )
             quant_stats = calibrate_int8_model(
-                s_model, params, batches(), num_batches=args.calibrate_batches
+                s_model, params, batches, num_batches=args.calibrate_batches
             )
             logger.info("Calibrated static INT8 activation scales over %d batches",
                         args.calibrate_batches)

@@ -27,12 +27,38 @@ def test_spec_augment_time_masks_within_length():
     lengths = jnp.array([50, 200], jnp.int32)
     for seed in range(5):
         out = np.asarray(spec_augment(mel, jax.random.PRNGKey(seed), cfg, lengths))
-        # time masks for item 0 start within [0, 50); a mask can extend a
-        # few frames past the valid length but never begins beyond it
+        # time masks for item 0 stay entirely within [0, 50)
         fully_masked = np.all(out[0] == 0.0, axis=-1)
-        starts = np.nonzero(fully_masked)[0]
-        if len(starts):
-            assert starts.min() < 50
+        assert not fully_masked[50:].any()
+
+
+def test_spec_augment_short_utterance_never_fully_silenced():
+    # A clip shorter than time_mask_frames: per-mask width is capped at
+    # limit // 2, so a single mask can never zero the whole valid region.
+    cfg = SpecAugmentConfig(enabled=True, num_time_masks=1, time_mask_frames=50,
+                            num_freq_masks=0)
+    mel = jnp.ones((1, 60, 8))
+    lengths = jnp.array([20], jnp.int32)
+    for seed in range(30):
+        out = np.asarray(spec_augment(mel, jax.random.PRNGKey(seed), cfg, lengths))
+        valid = out[0, :20]
+        assert np.any(valid != 0.0), f"seed {seed} silenced the whole clip"
+
+
+def test_spec_augment_last_bin_reachable():
+    # SpecAugment samples start in [0, limit - width] inclusive: the final
+    # frequency bin must be maskable (regression for an off-by-one that
+    # made bin n_mels-1 unreachable forever).
+    cfg = SpecAugmentConfig(enabled=True, num_time_masks=0,
+                            num_freq_masks=1, freq_mask_bins=8)
+    mel = jnp.ones((4, 30, 8))
+    hit_last = False
+    for seed in range(20):
+        out = np.asarray(spec_augment(mel, jax.random.PRNGKey(seed), cfg))
+        if np.any(np.all(out[:, :, -1] == 0.0, axis=1)):
+            hit_last = True
+            break
+    assert hit_last, "frequency mask never reached the last mel bin"
 
 
 def test_spec_augment_deterministic_per_key():

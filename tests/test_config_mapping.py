@@ -48,3 +48,30 @@ def test_train_yaml_mapping():
 def test_train_yaml_augment_disabled_by_default():
     cfg = training_config_from_yaml({})
     assert cfg.augment is None
+
+
+def test_train_yaml_reference_augmentation_stanza():
+    """The reference nests augmentation under data: with its own key names
+    (reference configs/train.yaml:27-34); a migrated config must keep
+    SpecAugment on rather than silently training un-augmented."""
+    cfg = training_config_from_yaml({
+        "data": {
+            "augmentation": {
+                "spec_augment": True,
+                "time_mask_param": 100,
+                "time_mask_num": 3,
+                "freq_mask_param": 27,
+                "freq_mask_num": 1,
+            }
+        }
+    })
+    assert cfg.augment is not None
+    assert cfg.augment.time_mask_frames == 100
+    assert cfg.augment.num_time_masks == 3
+    assert cfg.augment.freq_mask_bins == 27
+    assert cfg.augment.num_freq_masks == 1
+
+    off = training_config_from_yaml(
+        {"data": {"augmentation": {"spec_augment": False}}}
+    )
+    assert off.augment is None

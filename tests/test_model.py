@@ -238,3 +238,40 @@ def test_positional_encoding_matches_table_and_lifts_cap():
     a = np.asarray(f(jnp.int32(100)))
     b = np.asarray(pe.apply(params, jnp.zeros((1, 8, d_model)), time_offset=100))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_torch_convert_infers_config_and_rejects_truncation(torch_reference):
+    """Bare state_dicts carry no config: the converter must infer the
+    architecture from tensor shapes (a 3-layer model must not be silently
+    truncated to the 8-layer default) and refuse malformed checkpoints."""
+    import pytest
+    import torch
+
+    from velocity_asr_tpu.compat import convert_torch_state_dict
+    from velocity_asr_tpu.compat.torch_convert import _infer_config_from_state_dict
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+
+    ref_cfg = torch_reference.VelocityASRConfig(
+        d_model=32, ssm_layers=3, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=50, dropout=0.0, scan_mode="sequential",
+    )
+    torch.manual_seed(1)
+    sd = torch_reference.VELOCITYASR(ref_cfg).state_dict()
+
+    cfg = _infer_config_from_state_dict(sd, VelocityASRConfig)
+    assert cfg.ssm_layers == 3
+    assert cfg.d_model == 32 and cfg.ssm_state_dim == 8
+    assert cfg.global_ssm_layers == 1 and cfg.global_ssm_state_dim == 4
+    assert cfg.vocab_size == 50 and cfg.attention_dim == 8
+
+    # Converting with fewer layers than the checkpoint has must raise, not
+    # silently drop the extra layer weights.
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_torch_state_dict(sd, ssm_layers=2, global_ssm_layers=1)
+
+    # A filtered/truncated state_dict missing an expected bias must fail at
+    # conversion, not as an opaque flax structure error later.
+    broken = {k: v for k, v in sd.items() if k != "ctc_head.proj.2.bias"}
+    with pytest.raises(KeyError, match="ctc_head.proj.2.bias"):
+        convert_torch_state_dict(broken, ssm_layers=3, global_ssm_layers=1)

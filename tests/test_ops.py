@@ -81,3 +81,18 @@ def test_strided_conv_matches_torch():
     )
     assert ours.shape == ((2, (L + 1) // 2, cout))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_adaptive_pool_matrix_is_immutable():
+    """lru_cache shares one ndarray across callers: in-place writes must
+    raise instead of silently corrupting every future pool of that shape."""
+    import numpy as np
+    import pytest
+
+    from velocity_asr_tpu.ops.pooling import adaptive_pool_matrix
+
+    mat = adaptive_pool_matrix(100, 10)
+    with pytest.raises(ValueError):
+        mat[0, 0] = 42.0
+    np.testing.assert_allclose(adaptive_pool_matrix(100, 10).sum(axis=1),
+                               np.ones(10), rtol=1e-6)

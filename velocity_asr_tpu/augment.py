@@ -41,11 +41,16 @@ def spec_augment(
     batch, t_len, n_mels = mel.shape
     out = mel
 
-    def sample_masks(key, count, max_width, limit):
-        """(batch, count) starts and widths within [0, limit)."""
+    def sample_masks(key, count, max_width, limit, width_cap=None):
+        """(batch, count) starts and widths; masks stay within [0, limit)."""
         k1, k2 = jax.random.split(key)
         widths = jax.random.randint(k1, (batch, count), 0, max_width + 1)
-        max_start = jnp.maximum(limit[:, None] - widths, 1)
+        if width_cap is not None:
+            widths = jnp.minimum(widths, width_cap[:, None])
+        widths = jnp.minimum(widths, limit[:, None])
+        # SpecAugment: start ~ U[0, limit - width] inclusive, so the final
+        # valid frame/bin is reachable and masks never spill past limit.
+        max_start = jnp.maximum(limit[:, None] - widths + 1, 1)
         starts = jax.random.randint(k2, (batch, count), 0, 2**30) % max_start
         return starts, widths
 
@@ -57,8 +62,15 @@ def spec_augment(
             if input_lengths is not None
             else jnp.full((batch,), t_len, jnp.int32)
         )
+        # Cap each time mask at half the utterance so a single mask can
+        # never silence a clip shorter than time_mask_frames while CTC
+        # still demands the whole transcript.
         starts, widths = sample_masks(
-            keys[0], config.num_time_masks, config.time_mask_frames, limit
+            keys[0],
+            config.num_time_masks,
+            config.time_mask_frames,
+            limit,
+            width_cap=jnp.maximum(limit // 2, 1),
         )
         pos = jnp.arange(t_len)[None, :, None]  # (1, T, 1)
         masked = (pos >= starts[:, None, :]) & (pos < (starts + widths)[:, None, :])

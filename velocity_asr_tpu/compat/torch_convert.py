@@ -18,13 +18,36 @@ import numpy as np
 
 def _linear(sd: Dict[str, np.ndarray], prefix: str, bias: bool = True):
     out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
-    if bias and f"{prefix}.bias" in sd:
+    if bias:
+        # Raise here, at the malformed checkpoint, rather than deferring to
+        # an opaque flax param-structure mismatch deep inside model.apply.
+        if f"{prefix}.bias" not in sd:
+            raise KeyError(
+                f"checkpoint is missing expected bias '{prefix}.bias' "
+                "(truncated or filtered state_dict?)"
+            )
         out["bias"] = sd[f"{prefix}.bias"]
     return out
 
 
 def _layernorm(sd: Dict[str, np.ndarray], prefix: str):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+class _ConsumptionTracked(dict):
+    """Dict recording which keys were read, so the converter can prove the
+    whole checkpoint was consumed."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._read: set = set()
+
+    def __getitem__(self, key):
+        self._read.add(key)
+        return super().__getitem__(key)
+
+    def unconsumed(self):
+        return set(self) - self._read
 
 
 def _ssm_block(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
@@ -54,10 +77,12 @@ def convert_torch_state_dict(
     global_ssm_layers: int = 2,
 ) -> Dict[str, Any]:
     """Convert a reference state_dict (tensors or ndarrays) to flax params."""
-    sd = {
-        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
-        for k, v in state_dict.items()
-    }
+    sd = _ConsumptionTracked(
+        {
+            k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in state_dict.items()
+        }
+    )
 
     params: Dict[str, Any] = {
         "temporal_binding": {
@@ -103,6 +128,20 @@ def convert_torch_state_dict(
             "proj": _linear(sd, "ctc_head.proj.2"),
         },
     }
+
+    # Every checkpoint tensor must have landed somewhere (the fixed
+    # sinusoidal pos-encoding buffer is recomputed, not loaded). Leftovers
+    # mean the checkpoint has more layers/modules than the config says —
+    # silently dropping them would produce wrong logits with no error.
+    leftover = sorted(
+        k for k in sd.unconsumed() if not k.endswith(".pos_encoding.pe_time")
+    )
+    if leftover:
+        raise ValueError(
+            f"{len(leftover)} checkpoint tensors were not consumed by the "
+            f"conversion (config mismatch?): {leftover[:8]}"
+            + ("..." if len(leftover) > 8 else "")
+        )
     return params
 
 
@@ -121,9 +160,49 @@ def load_torch_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
         cfg = VelocityASRConfig.from_dict(ckpt.get("config", {}))
         sd = ckpt["model_state_dict"]
     else:
-        cfg = VelocityASRConfig()
         sd = ckpt
+        cfg = _infer_config_from_state_dict(sd, VelocityASRConfig)
     params = convert_torch_state_dict(
         sd, ssm_layers=cfg.ssm_layers, global_ssm_layers=cfg.global_ssm_layers
     )
     return cfg, params
+
+
+def _infer_config_from_state_dict(sd, config_cls):
+    """Infer architecture hyperparameters from a bare state_dict's shapes.
+
+    A bare state_dict carries no config, and trusting defaults silently
+    truncates deeper models (e.g. ssm_layers=12 converts only layers 0-7).
+    Everything shape-determined is read off the tensors; attention_heads is
+    the one knob shapes cannot reveal (head count only changes a reshape),
+    so it stays at the dataclass default.
+    """
+
+    def shape(key):
+        v = sd[key]
+        return tuple(v.shape)
+
+    def count_layers(prefix):
+        n = 0
+        while f"{prefix}.{n}.norm1.weight" in sd:
+            n += 1
+        return n
+
+    conv = shape("temporal_binding.conv.weight")  # (d_model, mel_bins, k)
+    d_model, mel_bins = conv[0], conv[1]
+    a_log = shape("local_ssm.layers.0.ssm.A_log")  # (N,)
+    in_proj = shape("local_ssm.layers.0.ssm.in_proj.weight")  # (2*d_inner, d_model)
+    block_conv = shape("local_ssm.layers.0.conv.weight")  # (d_model, 1, k)
+    kw = dict(
+        mel_bins=mel_bins,
+        d_model=d_model,
+        ssm_layers=count_layers("local_ssm.layers"),
+        ssm_state_dim=a_log[0],
+        ssm_expand_ratio=max(1, round(in_proj[0] / (2 * d_model))),
+        ssm_kernel_size=block_conv[2],
+        global_ssm_layers=count_layers("global_context.global_ssm.layers"),
+        global_ssm_state_dim=shape("global_context.global_ssm.layers.0.ssm.A_log")[0],
+        attention_dim=shape("global_context.cross_attention.q_proj.weight")[0],
+        vocab_size=shape("ctc_head.proj.2.weight")[0],
+    )
+    return config_cls(**{k: int(v) for k, v in kw.items()})

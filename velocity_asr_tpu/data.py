@@ -98,7 +98,9 @@ class ASRDataset:
     def _build_vocab(self) -> Dict[str, int]:
         chars = set()
         for sample in self.samples:
-            chars.update(sample["text"])
+            # "text" is optional: calibration / transcription-only manifests
+            # carry audio paths without transcripts.
+            chars.update(sample.get("text", ""))
         vocab = {"<blank>": 0, "<unk>": 1, "<pad>": 2}
         for i, char in enumerate(sorted(chars)):
             vocab[char] = i + 3
@@ -116,11 +118,12 @@ class ASRDataset:
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         sample = self.samples[idx]
         audio = load_audio(sample["audio_path"], sample_rate=self.sample_rate)
-        tokens = self.text_to_tokens(sample["text"])
+        text = sample.get("text", "")
+        tokens = self.text_to_tokens(text)
         item = {
             "targets": np.asarray(tokens, np.int32),
             "target_lengths": np.int32(len(tokens)),
-            "text": sample["text"],
+            "text": text,
         }
         if self.device_mel:
             item["audio"] = np.asarray(audio, np.float32)
@@ -356,6 +359,24 @@ def cycle(loader: DataLoader) -> Iterator[Dict[str, Any]]:
                 "filtering, or fewer samples than one batch with "
                 "drop_last): nothing to train on"
             )
+
+
+def calibration_batches(
+    ds: Any,
+    collator: "ASRCollator",
+    batch_size: int,
+    num_batches: int,
+) -> Iterator[np.ndarray]:
+    """Yield mel batches for INT8 activation-scale calibration.
+
+    Shared by `export_model.py --calibrate` and `evaluate.py --int8-static`
+    so both CLIs draw calibration data identically (batch size and count
+    are honored, transcripts are not required).
+    """
+    n = min(len(ds), num_batches * batch_size)
+    for start in range(0, n, batch_size):
+        items = [ds[i] for i in range(start, min(start + batch_size, n))]
+        yield collator(items)["mel_spectrogram"]
 
 
 def create_dataloader(

@@ -37,6 +37,9 @@ def adaptive_pool_matrix(seq_len: int, pool_size: int) -> np.ndarray:
         start = (i * seq_len) // pool_size
         end = -(-((i + 1) * seq_len) // pool_size)  # ceil
         mat[i, start:end] = 1.0 / (end - start)
+    # lru_cache hands the same ndarray to every caller; make in-place
+    # mutation raise instead of silently poisoning future pools.
+    mat.setflags(write=False)
     return mat
 
 

@@ -50,7 +50,13 @@ def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
     """Map a train.yaml dict onto TrainingConfig
     (reference scripts/train.py:195-209)."""
-    aug = cfg.get("augmentation") or {}
+    # Accept both this repo's top-level `augmentation:` stanza and the
+    # reference's nested `data.augmentation:` with its key names
+    # (reference configs/train.yaml:27-34: spec_augment/time_mask_param/
+    # time_mask_num/freq_mask_param/freq_mask_num), so a migrated
+    # reference train.yaml keeps SpecAugment on instead of silently
+    # training un-augmented.
+    aug = cfg.get("augmentation") or (cfg.get("data") or {}).get("augmentation") or {}
     opt = cfg.get("optimizer") or {}
     trn = cfg.get("training") or {}
     log = cfg.get("logging") or {}
@@ -81,9 +87,9 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         profile_dir=log.get("profile_dir", None),
         metrics_path=log.get("metrics_path", None),
         augment=(
-            None
-            if not aug.get("enabled", False)
-            else _spec_augment_from_yaml(aug)
+            _spec_augment_from_yaml(aug)
+            if aug.get("enabled", aug.get("spec_augment", False))
+            else None
         ),
     )
 
@@ -93,8 +99,10 @@ def _spec_augment_from_yaml(aug):
 
     return SpecAugmentConfig(
         enabled=True,
-        num_time_masks=int(aug.get("num_time_masks", 2)),
-        time_mask_frames=int(aug.get("time_mask_frames", 50)),
-        num_freq_masks=int(aug.get("num_freq_masks", 2)),
-        freq_mask_bins=int(aug.get("freq_mask_bins", 15)),
+        num_time_masks=int(aug.get("num_time_masks", aug.get("time_mask_num", 2))),
+        time_mask_frames=int(
+            aug.get("time_mask_frames", aug.get("time_mask_param", 50))
+        ),
+        num_freq_masks=int(aug.get("num_freq_masks", aug.get("freq_mask_num", 2))),
+        freq_mask_bins=int(aug.get("freq_mask_bins", aug.get("freq_mask_param", 15))),
     )
