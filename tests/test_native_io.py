@@ -164,3 +164,62 @@ def test_supported_exts_advertised():
     from scripts.transcribe import AUDIO_EXTS
 
     assert tuple(AUDIO_EXTS) == exts
+
+
+def _write_wav(path, fmt_tag, bits, payload, channels=1, rate=16000):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, byte_rate, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+
+
+def test_python_fallback_decodes_float32_wav(tmp_path):
+    """The pure-Python fallback must handle IEEE-float WAVs (format tag 3)
+    exactly like the native decoder does, not reject or misread them."""
+    rng = np.random.default_rng(3)
+    samples = (rng.standard_normal(800) * 0.25).astype("<f4")
+    path = str(tmp_path / "f32.wav")
+    _write_wav(path, fmt_tag=3, bits=32, payload=samples.tobytes())
+    data, rate = va_io._decode_wav_python(path)
+    assert rate == 16000 and data.shape == (1, 800)
+    np.testing.assert_allclose(data[0], samples, rtol=0, atol=0)
+
+
+def test_python_fallback_decodes_extensible_wav(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping int16 PCM."""
+    import struct
+
+    pcm = (np.arange(-50, 50, dtype="<i2") * 100).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    # cbSize + valid bits + channel mask + SubFormat GUID (PCM = 1)
+    fmt += struct.pack("<HHI", 22, 16, 0x4)
+    fmt += struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    payload = pcm.tobytes()
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    path = str(tmp_path / "ext.wav")
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    data, rate = va_io._decode_wav_python(path)
+    assert rate == 16000
+    np.testing.assert_allclose(data[0], pcm.astype(np.float32) / 32768.0)
+
+
+def test_python_fallback_rejects_misnamed_flac(tmp_path, monkeypatch):
+    """Without the native build, a FLAC misnamed .wav must fail with the
+    conversion hint, not an opaque RIFF parser error."""
+    import pytest
+
+    path = str(tmp_path / "fake.wav")
+    with open(path, "wb") as f:
+        f.write(b"fLaC" + bytes(64))
+    monkeypatch.setattr(va_io, "native_available", lambda: False)
+    with pytest.raises(RuntimeError, match="native decoder"):
+        va_io.decode_audio_file(path)

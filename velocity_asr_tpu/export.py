@@ -57,8 +57,6 @@ def export_stablehlo(
     target); the scan tier is normalized to the pure-XLA parallel form so
     no Pallas custom call is baked in.
     """
-    import dataclasses
-
     from jax import export as jax_export
 
     from .models.model import create_model
@@ -66,8 +64,9 @@ def export_stablehlo(
     cfg = model.config
     if input_shape is None:
         input_shape = (1, 500, cfg.mel_bins)
-    if _export_graph_config(cfg) != cfg:
-        model = create_model(_export_graph_config(cfg))
+    graph_cfg = _export_graph_config(cfg)
+    if graph_cfg != cfg:
+        model = create_model(graph_cfg)
 
     def fn(params, mel):
         return forward(model, params, mel, train=False)
@@ -191,8 +190,7 @@ def quantize_weights_int8(
 
     Returns (quantized pytree, info dict with size accounting).
     """
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
     q_leaves = []
     fp32_bytes = 0
@@ -205,10 +203,14 @@ def quantize_weights_int8(
         is_matrix = leaf.ndim >= 2 and min(leaf.shape) > 1
         in_ssm = "ssm" in keypath.lower()
         if is_matrix and not (skip_ssm and in_ssm):
+            # Must stay on the same grid as the runtime requantization
+            # (ops/int8_matmul.py quantize_weight: scale = amax/127,
+            # clip to [-127, 127]) so a saved package round-trips
+            # losslessly onto the on-device int8 path.
             axes = tuple(range(leaf.ndim - 1))
             amax = np.abs(leaf).max(axis=axes, keepdims=True)
             scale = np.maximum(amax / 127.0, 1e-10).astype(np.float32)
-            q = np.clip(np.round(leaf / scale), -128, 127).astype(np.int8)
+            q = np.clip(np.round(leaf / scale), -127, 127).astype(np.int8)
             q_leaves.append({"int8": q, "scale": scale})
             q_bytes += q.nbytes + scale.nbytes
             n_quantized += 1
@@ -288,8 +290,11 @@ def load_int8_checkpoint(path: str) -> Tuple[VelocityASRConfig, Dict[str, Any]]:
     with open(os.path.join(path, "config.json")) as f:
         meta = json.load(f)
     config = VelocityASRConfig.from_dict(meta["config"])
-    data = np.load(os.path.join(path, "weights_int8.npz"))
+    with np.load(os.path.join(path, "weights_int8.npz")) as data:
+        return config, _int8_npz_to_tree(data)
 
+
+def _int8_npz_to_tree(data) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for key in data.files:
         if key.endswith(".scale"):
@@ -308,7 +313,7 @@ def load_int8_checkpoint(path: str) -> Tuple[VelocityASRConfig, Dict[str, Any]]:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[leaf_key] = value
-    return config, tree
+    return tree
 
 
 def load_int8_quant_stats(path: str, model) -> Dict[str, Any]:

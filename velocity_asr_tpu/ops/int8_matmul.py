@@ -6,7 +6,10 @@ quantize.py:434-440). The TPU-native equivalent here:
 
   - weights: per-output-channel symmetric int8 (constant-folded by XLA at
     compile time, so the compiled executable holds int8 weights);
-  - activations: per-tensor symmetric dynamic quantization;
+  - activations: per-row (per-token) symmetric dynamic quantization —
+    each row of the flattened (tokens, features) input gets its own scale
+    (the calibrated static path in quantize.py uses a per-tensor scale
+    instead);
   - the product runs on the MXU's int8 path with int32 accumulation,
     dequantized by (x_scale * w_scale).
 
@@ -25,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_weight(w: jnp.ndarray):
-    """Per-output-channel symmetric int8: returns (w_int8 (K, N), scale (1, N))."""
+    """Per-output-channel symmetric int8: returns (w_int8 (K, N), scale (1, N)).
+
+    Grid contract: scale = amax/127, clip [-127, 127]. export.py's
+    quantize_weights_int8 writes packages on this same grid — keep them in
+    sync or saved int8 packages stop round-tripping losslessly.
+    """
     amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-10).astype(jnp.float32)
     w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)

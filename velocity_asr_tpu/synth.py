@@ -197,8 +197,11 @@ class SyntheticSpeechDataset:
         rng = _char_seed(self.seed, "text", self.split, idx)
         return sample_sentence(self.lexicon, rng, self.min_words, self.max_words)
 
-    def audio_for(self, idx: int) -> np.ndarray:
-        text = self.text_for(idx)
+    def audio_for(self, idx: int, text: str | None = None) -> np.ndarray:
+        # text may be passed in when the caller already sampled it (the
+        # sentence draw is deterministic per idx but not free).
+        if text is None:
+            text = self.text_for(idx)
         rng = _char_seed(self.seed, "audio", self.split, idx)
         return self.voice.render(text, rng)
 
@@ -208,7 +211,7 @@ class SyntheticSpeechDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         text = self.text_for(idx)
-        audio = self.audio_for(idx)
+        audio = self.audio_for(idx, text=text)
         tokens = self.text_to_tokens(text)
         item = {
             "targets": np.asarray(tokens, np.int32),
@@ -251,7 +254,8 @@ def write_corpus(
     manifest = os.path.join(out_dir, f"{split}_manifest.jsonl")
     with open(manifest, "w") as mf:
         for i in range(n_utts):
-            audio = ds.audio_for(i)
+            text = ds.text_for(i)
+            audio = ds.audio_for(i, text=text)
             path = os.path.join(out_dir, f"{split}_{i:05d}.wav")
             pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2")
             with wave.open(path, "wb") as w:
@@ -263,7 +267,7 @@ def write_corpus(
                 json.dumps(
                     {
                         "audio_path": path,
-                        "text": ds.text_for(i),
+                        "text": text,
                         "duration": len(audio) / SAMPLE_RATE,
                     }
                 )
