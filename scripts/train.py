@@ -134,6 +134,7 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
             val_splits=data_cfg.get("val_splits", ["dev-clean"]),
             batch_size=batch_size,
             max_duration=data_cfg.get("max_duration", 30.0),
+            device_mel=device_mel,
         )
         return train_loader, eval_loader, vocab
 

@@ -110,3 +110,52 @@ def test_trainer_with_augment_and_metrics(tmp_path):
     lines = [json.loads(l) for l in open(metrics)]
     assert len(lines) == 2
     assert {"step", "loss", "lr", "sec_per_step"} <= set(lines[0])
+
+
+def test_noise_inject_snr_and_padding():
+    from velocity_asr_tpu.augment import noise_inject
+
+    cfg = SpecAugmentConfig(enabled=True, noise_injection=True,
+                            noise_min_snr_db=20.0, noise_max_snr_db=20.0)
+    t = np.arange(16000, dtype=np.float32)
+    sig = 0.3 * np.sin(2 * np.pi * 440.0 * t / 16000.0)
+    audio = jnp.asarray(np.stack([sig, sig]))
+    lengths = jnp.array([16000, 8000], jnp.int32)
+    out = np.asarray(noise_inject(audio, jax.random.PRNGKey(0), cfg, lengths))
+
+    # Measured SNR over the valid region should be ~20 dB.
+    noise0 = out[0] - sig
+    snr0 = 10 * np.log10(np.mean(sig**2) / np.mean(noise0**2))
+    assert 18.0 < snr0 < 22.0, snr0
+    # Item 1: noise only within the first 8000 samples; padding untouched.
+    assert np.array_equal(out[1, 8000:], sig[8000:])
+    assert not np.array_equal(out[1, :8000], sig[:8000])
+
+
+def test_trainer_rejects_noise_injection_without_device_mel():
+    import pytest
+
+    import velocity_asr_tpu as va
+    from velocity_asr_tpu.training import Trainer, TrainingConfig
+
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=12, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel_spectrogram": rng.standard_normal((8, 50, 80)).astype(np.float32),
+        "targets": rng.integers(3, 12, size=(8, 8)).astype(np.int32),
+        "input_lengths": np.full((8,), 50, np.int32),
+        "target_lengths": np.full((8,), 8, np.int32),
+    }
+    tconf = TrainingConfig(
+        max_steps=1, warmup_steps=1, log_interval=1,
+        eval_interval=10**9, save_interval=10**9,
+        augment=SpecAugmentConfig(enabled=True, noise_injection=True),
+    )
+    trainer = Trainer(model, tconf, iter([batch]))
+    with pytest.raises(ValueError, match="device_mel"):
+        trainer.train()

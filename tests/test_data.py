@@ -170,3 +170,35 @@ def test_dataloader_early_break_does_not_hang(manifest):
         break  # abandon the iterator with batches still queued
     # a second full iteration still works (no leaked blocked producer)
     assert len(list(loader)) == 3
+
+
+def test_librispeech_device_mel_items(tmp_path):
+    """LibriSpeech items can ship raw audio for the device-mel train path
+    (the train_splits config is the multi-chip DP story; mel must be able
+    to move on device there too)."""
+    from velocity_asr_tpu.io import native_available
+
+    if not native_available():
+        pytest.skip("native FLAC decoder not built")
+    from tests.flac_encoder import encode_flac
+
+    chap = tmp_path / "LibriSpeech" / "dev-clean" / "19" / "198"
+    chap.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    with open(chap / "19-198.trans.txt", "w") as f:
+        pcm = (rng.standard_normal(8000) * 3000).astype("<i2")
+        with open(chap / "19-198-0000.flac", "wb") as ff:
+            ff.write(encode_flac(pcm))
+        f.write("19-198-0000 HELLO\n")
+
+    host = LibriSpeechDataset(root=str(tmp_path), split="dev-clean")
+    dev = LibriSpeechDataset(root=str(tmp_path), split="dev-clean", device_mel=True)
+    h, d = host[0], dev[0]
+    assert "mel_spectrogram" in h and "audio" in d
+    assert d["audio"].dtype == np.float32
+    # Same frame count contract as ASRDataset's device_mel branch.
+    assert int(d["input_lengths"]) == 1 + len(d["audio"]) // 160
+    np.testing.assert_array_equal(h["targets"], d["targets"])
+
+    collated = ASRCollator(frame_bucket=50)([dev[0]])
+    assert collated["audio"].dtype == np.int16

@@ -343,3 +343,38 @@ def test_calibration_accumulates_and_guards():
 
     with pytest.raises(ValueError, match="no calibration batches"):
         calibrate_model(model, params, stats, [], num_batches=2)
+
+
+def test_device_mel_train_with_noise_injection_runs():
+    """noise_injection (the reference's declared-but-dead config key, made
+    real): the jitted device-mel step applies waveform noise and trains."""
+    from velocity_asr_tpu.augment import SpecAugmentConfig
+    from velocity_asr_tpu.data import ASRCollator
+    from velocity_asr_tpu.synth import SyntheticSpeechDataset
+
+    cfg = va.VelocityASRConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=31, dropout=0.0,
+    )
+    model = va.create_model(cfg)
+    dev_ds = SyntheticSpeechDataset(4, split="dev", seed=7, device_mel=True)
+    collator = ASRCollator(frame_bucket=100)
+    batch = collator([dev_ds[i] for i in range(4)])
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(
+        warmup_steps=1, max_steps=2, log_interval=1000,
+        eval_interval=10**9, save_interval=10**9,
+        augment=SpecAugmentConfig(
+            enabled=True, num_time_masks=1, num_freq_masks=1,
+            noise_injection=True, noise_min_snr_db=15.0,
+            noise_max_snr_db=30.0,
+        ),
+    )
+    trainer = Trainer(model, tconf, batches())
+    loss = float(trainer._train_step_device(batch))
+    assert np.isfinite(loss)

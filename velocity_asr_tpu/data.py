@@ -432,11 +432,15 @@ class LibriSpeechDataset:
         tokenizer: Optional[Any] = None,
         max_duration: Optional[float] = 30.0,
         download: bool = False,
+        device_mel: bool = False,
     ):
         self.root = root
         self.split = split
         self.tokenizer = tokenizer
         self.max_duration = max_duration
+        # Same contract as ASRDataset.device_mel: items carry raw audio;
+        # the train step computes the fused-Pallas mel on device.
+        self.device_mel = device_mel
         if download:
             logger.warning(
                 "download=True is handled by scripts/download_librispeech.py; "
@@ -488,15 +492,20 @@ class LibriSpeechDataset:
         if self.max_duration:
             max_samples = int(self.max_duration * SAMPLE_RATE)
             waveform = waveform[:max_samples]
-        mel = compute_mel_spectrogram_np(waveform, normalize=True)
         tokens = self.text_to_tokens(transcript)
-        return {
-            "mel_spectrogram": mel,
+        item = {
             "targets": np.asarray(tokens, np.int32),
-            "input_lengths": np.int32(mel.shape[0]),
             "target_lengths": np.int32(len(tokens)),
             "text": transcript.lower(),
         }
+        if self.device_mel:
+            item["audio"] = np.asarray(waveform, np.float32)
+            item["input_lengths"] = np.int32(1 + len(waveform) // HOP_LENGTH)
+        else:
+            mel = compute_mel_spectrogram_np(waveform, normalize=True)
+            item["mel_spectrogram"] = mel
+            item["input_lengths"] = np.int32(mel.shape[0])
+        return item
 
 
 class _ConcatDataset:
@@ -520,11 +529,13 @@ def create_librispeech_dataloaders(
     num_workers: int = 4,
     max_duration: float = 30.0,
     download: bool = False,
+    device_mel: bool = False,
 ) -> Tuple[DataLoader, DataLoader, Dict[str, int]]:
     """Train + val LibriSpeech loaders with a shared vocabulary
     (reference create_librispeech_dataloaders, data.py:363-448)."""
     train_datasets = [
-        LibriSpeechDataset(root=root, split=s, max_duration=max_duration, download=download)
+        LibriSpeechDataset(root=root, split=s, max_duration=max_duration,
+                           download=download, device_mel=device_mel)
         for s in train_splits
     ]
     vocab = train_datasets[0].vocab
@@ -534,7 +545,8 @@ def create_librispeech_dataloaders(
 
     val_datasets = []
     for s in val_splits:
-        ds = LibriSpeechDataset(root=root, split=s, max_duration=max_duration, download=download)
+        ds = LibriSpeechDataset(root=root, split=s, max_duration=max_duration,
+                                download=download, device_mel=device_mel)
         ds.vocab = vocab
         val_datasets.append(ds)
     val_dataset = _ConcatDataset(val_datasets) if len(val_datasets) > 1 else val_datasets[0]

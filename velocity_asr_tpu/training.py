@@ -391,12 +391,31 @@ class Trainer:
             # masked per-utterance normalization run inside this compiled
             # step, exactly like the transcribe/serve pipeline
             # (scripts/transcribe.py masked_logits).
-            from .audio import compute_mel_spectrogram, masked_normalize_mel
+            from .audio import HOP_LENGTH, compute_mel_spectrogram, masked_normalize_mel
 
             audio = batch["audio"].astype(jnp.float32) * (1.0 / 32768.0)
+            aug = self.config.augment
+            if train and aug is not None and aug.enabled and aug.noise_injection:
+                # Waveform-level noise at a sampled SNR, before the mel
+                # front-end — the reference's noise_injection key, for real.
+                from .augment import noise_inject
+
+                noise_rng, dropout_rng = jax.random.split(dropout_rng)
+                sample_lengths = (batch["input_lengths"] - 1) * HOP_LENGTH
+                audio = noise_inject(audio, noise_rng, aug, sample_lengths)
             raw_mel = compute_mel_spectrogram(audio, normalize=False)
             mel = masked_normalize_mel(raw_mel, batch["input_lengths"])
         else:
+            aug = self.config.augment
+            if train and aug is not None and aug.enabled and aug.noise_injection:
+                # Misconfiguration, not a fallback (same contract as
+                # streaming_chunks below): waveform noise needs raw PCM
+                # on device.
+                raise ValueError(
+                    "augmentation.noise_injection requires data.device_mel: "
+                    "true (waveform noise is applied before the on-device "
+                    "mel front-end)"
+                )
             mel = batch["mel_spectrogram"]
 
         aug_rng = None

@@ -97,6 +97,15 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
 def _spec_augment_from_yaml(aug):
     from ..augment import SpecAugmentConfig
 
+    if aug.get("speed_perturb"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "augmentation.speed_perturb is not implemented (rate resampling "
+            "changes utterance length, which fights XLA static shapes; "
+            "SpecAugment time masking covers most of its benefit) — ignoring"
+        )
+
     return SpecAugmentConfig(
         enabled=True,
         num_time_masks=int(aug.get("num_time_masks", aug.get("time_mask_num", 2))),
@@ -105,4 +114,7 @@ def _spec_augment_from_yaml(aug):
         ),
         num_freq_masks=int(aug.get("num_freq_masks", aug.get("freq_mask_num", 2))),
         freq_mask_bins=int(aug.get("freq_mask_bins", aug.get("freq_mask_param", 15))),
+        noise_injection=bool(aug.get("noise_injection", False)),
+        noise_min_snr_db=float(aug.get("noise_min_snr_db", 10.0)),
+        noise_max_snr_db=float(aug.get("noise_max_snr_db", 40.0)),
     )
