@@ -157,8 +157,10 @@ def main():
 
         n_calib = min(n, args.calib_batches * args.batch_size)
         logger.info("Calibrating static INT8 scales on %d utterances", n_calib)
+        # max_items=n: calibration must not touch utterances --max-utts
+        # excluded from the evaluation.
         calib = calibration_batches(
-            ds, collator, args.batch_size, args.calib_batches
+            ds, collator, args.batch_size, args.calib_batches, max_items=n
         )
         quant_stats = calibrate_int8_model(model, params, calib)
 

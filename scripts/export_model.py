@@ -86,7 +86,8 @@ def main():
                 from velocity_asr_tpu.synth import SyntheticSpeechDataset
 
                 ds = SyntheticSpeechDataset(
-                    args.calibrate_batches * 4, split="calib", seed=1234
+                    args.calibrate_batches * args.calibrate_batch_size,
+                    split="calib", seed=1234,
                 )
             else:
                 from velocity_asr_tpu.data import ASRDataset

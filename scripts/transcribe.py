@@ -52,9 +52,11 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
     words, current, start_t = [], [], None
     for tok, (s, e) in zip(tokens, stamps):
         ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
-        # "▁" is the subword word-start marker (same rule as the
-        # reference's separator check and decode._tokens_to_text).
-        if ch == " " or ch == "▁":
+        # "▁" is the subword word-start marker: any token BEGINNING with it
+        # closes the current word (decode._tokens_to_text maps "▁" to a
+        # space, so "▁hel" "lo" "▁world" reads "hello world" — the
+        # timestamps must split on the same rule).
+        if ch == " " or ch.startswith("▁"):
             if current:
                 words.append(
                     {
@@ -70,6 +72,7 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
             if not ch:
                 continue
         elif "▁" in ch:
+            # marker mid-token: strip it without forcing a word boundary
             ch = ch.replace("▁", "")
         if not current:
             start_t = frame_to_seconds(s, hop_length, sample_rate)
@@ -329,16 +332,19 @@ def make_streaming_transcriber(model, params, decoder, chunk_seconds=2.0,
                                 lookahead_chunks=lookahead)
 
 
-def transcribe_streaming(st, path, chunk_seconds=2.0):
+def transcribe_streaming(st, path):
     """Chunked streaming transcription: exact SSM/conv carry, per-chunk
     global context (velocity_asr_tpu.streaming). lookahead > 0 emits each
-    chunk N chunks late with offline-like context (see StreamingTranscriber)."""
-    from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
+    chunk N chunks late with offline-like context (see StreamingTranscriber).
+
+    The feed block size is derived from the transcriber's own compiled
+    chunk length so the two can never diverge."""
+    from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE, load_audio
 
     st.reset()  # new session, same compiled step
     t0 = time.perf_counter()
     audio = load_audio(path)
-    block = int(chunk_seconds * SAMPLE_RATE)
+    block = st.chunk_frames * HOP_LENGTH
     text = ""
     for i in range(0, len(audio), block):
         text += st.feed(audio[i : i + block])
@@ -449,9 +455,7 @@ def main():
         for path in files:
             try:
                 if args.streaming:
-                    result = transcribe_streaming(
-                        streamer, path, args.chunk_seconds,
-                    )
+                    result = transcribe_streaming(streamer, path)
                 else:
                     result = pipeline.transcribe_file(path, timestamps=args.timestamps)
                 results.append(result)

@@ -75,3 +75,20 @@ def test_train_yaml_reference_augmentation_stanza():
         {"data": {"augmentation": {"spec_augment": False}}}
     )
     assert off.augment is None
+
+
+def test_noise_injection_without_spec_augment():
+    """noise_injection is its own switch: spec_augment/enabled false with
+    noise_injection true trains with noise only (no masking), rather than
+    silently dropping the key."""
+    cfg = training_config_from_yaml({
+        "data": {"augmentation": {"spec_augment": False,
+                                  "noise_injection": True}}
+    })
+    assert cfg.augment is not None and cfg.augment.noise_injection
+    assert cfg.augment.num_time_masks == 0 and cfg.augment.num_freq_masks == 0
+
+    on = training_config_from_yaml({
+        "augmentation": {"enabled": True, "noise_injection": True}
+    })
+    assert on.augment.noise_injection and on.augment.num_time_masks == 2

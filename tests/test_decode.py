@@ -223,3 +223,30 @@ def test_lm_hook_changes_ranking():
     )
     changed = any(p[0].tokens != w[0].tokens for p, w in zip(plain, with_lm))
     assert changed
+
+
+def test_words_with_timestamps_subword_boundaries():
+    """A multi-char '▁'-prefixed token starts a NEW word (same rule as
+    CTCDecoder._tokens_to_text, which maps '▁' to a space) — regression
+    for adjacent words being merged in --timestamps output."""
+    from scripts.transcribe import words_with_timestamps
+
+    vocab = ["<blank>", "▁hel", "lo", "▁world", " ", "a", "▁"]
+    tokens = [1, 2, 3]  # ▁hel + lo, then ▁world
+    stamps = [(0, 1), (2, 3), (5, 7)]
+    words = words_with_timestamps(tokens, stamps, vocab, 160, 16000)
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert words[0]["start"] == 0.0
+    assert words[1]["start"] == 5 * 2 * 160 / 16000
+
+    # chars + explicit spaces still work
+    tokens = [5, 4, 5, 5]
+    stamps = [(0, 0), (1, 1), (2, 2), (3, 3)]
+    words = words_with_timestamps(tokens, stamps, vocab, 160, 16000)
+    assert [w["word"] for w in words] == ["a", "aa"]
+
+    # bare '▁' token is a pure separator
+    tokens = [5, 6, 5]
+    stamps = [(0, 0), (1, 1), (2, 2)]
+    words = words_with_timestamps(tokens, stamps, vocab, 160, 16000)
+    assert [w["word"] for w in words] == ["a", "a"]

@@ -77,13 +77,16 @@ def spec_augment(
         )
         # Cap each time mask at half the utterance so a single mask can
         # never silence a clip shorter than time_mask_frames while CTC
-        # still demands the whole transcript.
+        # still demands the whole transcript (limit // 2 == 0 for 1-frame
+        # clips: those are never time-masked). With >= 2 masks, joint
+        # coverage remains possible — as in standard SpecAugment — and the
+        # CTC loss's zero_infinity rule absorbs the infeasible example.
         starts, widths = sample_masks(
             keys[0],
             config.num_time_masks,
             config.time_mask_frames,
             limit,
-            width_cap=jnp.maximum(limit // 2, 1),
+            width_cap=limit // 2,
         )
         pos = jnp.arange(t_len)[None, :, None]  # (1, T, 1)
         masked = (pos >= starts[:, None, :]) & (pos < (starts + widths)[:, None, :])

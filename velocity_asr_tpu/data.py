@@ -366,14 +366,19 @@ def calibration_batches(
     collator: "ASRCollator",
     batch_size: int,
     num_batches: int,
+    max_items: Optional[int] = None,
 ) -> Iterator[np.ndarray]:
     """Yield mel batches for INT8 activation-scale calibration.
 
     Shared by `export_model.py --calibrate` and `evaluate.py --int8-static`
     so both CLIs draw calibration data identically (batch size and count
-    are honored, transcripts are not required).
+    are honored, transcripts are not required). max_items additionally caps
+    the utterances drawn (evaluate's --max-utts contract: calibration must
+    not touch utterances the user excluded).
     """
     n = min(len(ds), num_batches * batch_size)
+    if max_items is not None:
+        n = min(n, max_items)
     for start in range(0, n, batch_size):
         items = [ds[i] for i in range(start, min(start + batch_size, n))]
         yield collator(items)["mel_spectrogram"]

@@ -86,11 +86,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         num_model_shards=int(dist.get("num_model_shards", 1)),
         profile_dir=log.get("profile_dir", None),
         metrics_path=log.get("metrics_path", None),
-        augment=(
-            _spec_augment_from_yaml(aug)
-            if aug.get("enabled", aug.get("spec_augment", False))
-            else None
-        ),
+        augment=_spec_augment_from_yaml(aug),
     )
 
 
@@ -106,15 +102,29 @@ def _spec_augment_from_yaml(aug):
             "SpecAugment time masking covers most of its benefit) — ignoring"
         )
 
+    # enabled/spec_augment gates the masking; noise_injection is its own
+    # switch (`spec_augment: false, noise_injection: true` trains with
+    # noise only instead of silently dropping the key). None when nothing
+    # is on.
+    masking = bool(aug.get("enabled", aug.get("spec_augment", False)))
+    noise = bool(aug.get("noise_injection", False))
+    if not masking and not noise:
+        return None
     return SpecAugmentConfig(
         enabled=True,
-        num_time_masks=int(aug.get("num_time_masks", aug.get("time_mask_num", 2))),
+        num_time_masks=(
+            int(aug.get("num_time_masks", aug.get("time_mask_num", 2)))
+            if masking else 0
+        ),
         time_mask_frames=int(
             aug.get("time_mask_frames", aug.get("time_mask_param", 50))
         ),
-        num_freq_masks=int(aug.get("num_freq_masks", aug.get("freq_mask_num", 2))),
+        num_freq_masks=(
+            int(aug.get("num_freq_masks", aug.get("freq_mask_num", 2)))
+            if masking else 0
+        ),
         freq_mask_bins=int(aug.get("freq_mask_bins", aug.get("freq_mask_param", 15))),
-        noise_injection=bool(aug.get("noise_injection", False)),
+        noise_injection=noise,
         noise_min_snr_db=float(aug.get("noise_min_snr_db", 10.0)),
         noise_max_snr_db=float(aug.get("noise_max_snr_db", 40.0)),
     )
