@@ -15,36 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.pooling import adaptive_avg_pool1d, pool_size_level1, pool_size_level2
-from .layers import xavier_uniform
+from .layers import quant_dense as _dense, quant_mode as _quant_mode, xavier_uniform
 from .ssm import GlobalSSM
-
-
-def _dense(mode: str, features: int, dtype, name: str, use_bias: bool = True,
-           static: bool = False, qat_bits=(8, 8)):
-    """Projection factory: fp32 Dense, QAT fake-quant Dense, or INT8 Dense
-    (mode in {"none", "qat", "int8"}; static selects calibrated activation
-    scales on the int8 path — the ORT quantize_static analog)."""
-    if mode == "qat":
-        from ..quantize import QuantDense
-
-        return QuantDense(
-            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
-            weight_bits=qat_bits[0], activation_bits=qat_bits[1], name=name
-        )
-    if mode == "int8":
-        from ..quantize import DynamicInt8Dense
-
-        return DynamicInt8Dense(
-            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
-            static=static, name=name
-        )
-    return nn.Dense(
-        features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
-    )
-
-
-def _quant_mode(qat: bool, int8: bool) -> str:
-    return "qat" if qat else ("int8" if int8 else "none")
 
 
 class AdaptivePool(nn.Module):

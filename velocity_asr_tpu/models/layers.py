@@ -18,6 +18,38 @@ def xavier_uniform():
     return nn.initializers.xavier_uniform()
 
 
+def quant_mode(qat: bool, int8: bool) -> str:
+    """The three-way projection mode: "qat" | "int8" | "none"."""
+    return "qat" if qat else ("int8" if int8 else "none")
+
+
+def quant_dense(mode: str, features: int, dtype, name: str, use_bias: bool = True,
+                static: bool = False, qat_bits=(8, 8)):
+    """Projection factory: fp32 Dense, QAT fake-quant Dense, or INT8 Dense
+    (mode in {"none", "qat", "int8"}; static selects calibrated activation
+    scales on the int8 path — the ORT quantize_static analog). The single
+    dispatch point for every quantizable projection (attention, fusion,
+    pooling, CTC head) so quantization plumbing can't drift per call site.
+    """
+    if mode == "qat":
+        from ..quantize import QuantDense
+
+        return QuantDense(
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
+            weight_bits=qat_bits[0], activation_bits=qat_bits[1], name=name
+        )
+    if mode == "int8":
+        from ..quantize import DynamicInt8Dense
+
+        return DynamicInt8Dense(
+            features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype,
+            static=static, name=name
+        )
+    return nn.Dense(
+        features, use_bias=use_bias, kernel_init=xavier_uniform(), dtype=dtype, name=name
+    )
+
+
 def kaiming_conv_init():
     """kaiming_normal_(mode='fan_out', nonlinearity='relu') for conv kernels
     (reference model.py:312-313). For a kernel of shape (k, in, out),
@@ -122,6 +154,18 @@ class TemporalBindingLayer(nn.Module):
         if return_carry:
             assert not self.qat, "streaming QAT front-end not supported"
             assert mel.shape[1] % self.stride == 0, "stream chunks must be even"
+            # The carry-one-frame scheme reproduces the offline strided conv
+            # only while no output needs future frames beyond the chunk,
+            # i.e. kernel_size // 2 <= stride - 1 (k=3/stride=2, the
+            # reference geometry, model.py:156-162). Larger kernels would
+            # need output-delay buffering; fail loudly instead of silently
+            # dropping one output frame per chunk.
+            if self.kernel_size // 2 > self.stride - 1:
+                raise NotImplementedError(
+                    f"streaming temporal binding requires kernel_size // 2 "
+                    f"<= stride - 1 (got kernel_size={self.kernel_size}, "
+                    f"stride={self.stride}); offline mode supports any size"
+                )
             kernel = self.param(
                 "conv_kernel",
                 kaiming_conv_init(),
@@ -132,7 +176,9 @@ class TemporalBindingLayer(nn.Module):
             if carry is None:
                 carry = jnp.zeros((mel.shape[0], pad, self.mel_bins), jnp.float32)
             mel_ext = jnp.concatenate([carry.astype(mel.dtype), mel], axis=1)
-            new_carry = mel_ext[:, -pad:]
+            # explicit start index: -pad == -0 would select everything at
+            # kernel_size == 1 (empty carry)
+            new_carry = mel_ext[:, mel_ext.shape[1] - pad:]
             # valid conv over [carry | chunk]: outputs cover the chunk exactly
             x = strided_conv1d(
                 mel_ext.astype(self.dtype), kernel, bias,
@@ -197,19 +243,7 @@ class CTCOutputHead(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        if self.qat:
-            from ..quantize import QuantDense
-
-            dense = QuantDense(self.vocab_size, kernel_init=xavier_uniform(),
-                               dtype=self.dtype, weight_bits=self.qat_bits[0],
-                               activation_bits=self.qat_bits[1], name="proj")
-            return dense(x, train=train)
-        if self.int8:
-            from ..quantize import DynamicInt8Dense
-
-            dense = DynamicInt8Dense(self.vocab_size, kernel_init=xavier_uniform(),
-                                     dtype=self.dtype, static=self.int8_static, name="proj")
-            return dense(x)
-        return nn.Dense(
-            self.vocab_size, kernel_init=xavier_uniform(), dtype=self.dtype, name="proj"
-        )(x)
+        mode = quant_mode(self.qat, self.int8)
+        dense = quant_dense(mode, self.vocab_size, self.dtype, "proj",
+                            static=self.int8_static, qat_bits=self.qat_bits)
+        return dense(x, train=train) if mode != "none" else dense(x)

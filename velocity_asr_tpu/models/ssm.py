@@ -181,7 +181,13 @@ class SSMBlock(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         out = h + residual
         if return_state:
-            return out, {"conv": new_conv_tail, "ssm": ssm_final}
+            # Carry in fp32 regardless of compute dtype: init_stream_state
+            # and the "ssm" leaf are fp32, and a dtype-varying carry would
+            # break lax.scan loops (or force every driver to re-cast).
+            return out, {
+                "conv": new_conv_tail.astype(jnp.float32),
+                "ssm": ssm_final,
+            }
         return out
 
     def init_stream_state(self, batch: int) -> dict:

@@ -104,21 +104,19 @@ def selective_scan_sequence_parallel(
         a_all, h_all = jax.lax.all_gather((a_last, h_last), axis)  # (n_dev, b, d, n)
 
         # Exclusive combine over devices 0..idx-1 -> incoming state h_in.
-        def step(carry, inputs):
+        # Only the state component is needed: the decay product is already
+        # folded into h_in by the repeated a_i multiplication.
+        def step(h_in, inputs):
             a_i, h_i, i = inputs
             take = i < idx
-            # combine (a, h): state_in = a_i * state_in + h_i for i < idx
-            h_new = jnp.where(take, a_i * carry[1] + h_i, carry[1])
-            a_new = jnp.where(take, a_i * carry[0], carry[0])
-            return (a_new, h_new), None
+            # state_in = a_i * state_in + h_i for i < idx
+            return jnp.where(take, a_i * h_in + h_i, h_in), None
 
         b, d, n = h_last.shape
-        init = (jnp.ones((b, d, n), h_last.dtype), jnp.zeros((b, d, n), h_last.dtype))
+        init = jnp.zeros((b, d, n), h_last.dtype)
         # the combined carry varies per device (depends on axis_index)
         init = jax.lax.pcast(init, (axis,), to="varying")
-        (a_in, h_in), _ = jax.lax.scan(
-            step, init, (a_all, h_all, jnp.arange(n_dev))
-        )
+        h_in, _ = jax.lax.scan(step, init, (a_all, h_all, jnp.arange(n_dev)))
 
         h = h_local + a_cum * h_in[:, None]
         y = jnp.einsum("bldn,bln->bld", h, C_s) + x_s * D_

@@ -79,8 +79,9 @@ def tp_tree_shardings(tree: Any, params: Dict[str, Any], mesh: Mesh) -> Any:
     Optimizer moments mirror the param tree somewhere inside optax's
     state structure (same dict names, different wrapper types), so leaves
     are matched by PATH SUFFIX against the TP-sharded params — e.g. any
-    leaf whose path ends in ('ctc_head', 'out', 'kernel') and has the
-    kernel's shape gets the kernel's sharding. Shape-based matching is
+    leaf whose path ends in ('ctc_head', 'proj', 'kernel') (the CTC head
+    Dense is name='proj' in models/model.py) and has the kernel's shape
+    gets the kernel's sharding. Shape-based matching is
     NOT sound here: a replicated param can share (shape, dtype) with the
     sharded head bias (e.g. any (vocab,)-shaped fp32 bias when another
     layer width equals vocab_size) and would silently inherit the MODEL
