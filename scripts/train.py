@@ -159,6 +159,13 @@ def main():
     parser.add_argument("--config", default="configs/train.yaml")
     parser.add_argument("--model-config", default="configs/model.yaml")
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    parser.add_argument("--init-from", default=None,
+                        help="pretrained directory (config.json + params.msgpack): "
+                             "initialize model weights from it but start a fresh "
+                             "run (step 0, fresh optimizer) — unlike --resume, "
+                             "which restores full trainer state from an Orbax "
+                             "checkpoint. Use for fine-tuning from a shipped "
+                             "final_pretrained artifact.")
     parser.add_argument("--max-steps", type=int, default=None, help="override max_steps")
     parser.add_argument("--lr-total-steps", type=int, default=None,
                         help="cosine-decay horizon in optimizer updates "
@@ -251,8 +258,39 @@ def main():
     model = create_model(model_cfg)
     logger.info("Model config: %s", model_cfg)
 
+    init_params_loaded = None
+    if args.init_from:
+        if args.resume:
+            parser.error("--init-from and --resume are mutually exclusive")
+        from velocity_asr_tpu.models.model import from_pretrained
+
+        init_model, init_params_loaded = from_pretrained(args.init_from)
+        if init_model.config.vocab_size != model_cfg.vocab_size:
+            raise SystemExit(
+                f"--init-from vocab_size {init_model.config.vocab_size} != "
+                f"configured/dataset vocab_size {model_cfg.vocab_size}; "
+                "fine-tune with the same vocabulary the weights were trained on"
+            )
+        if model_cfg.qat and not init_model.config.qat:
+            # fp32 pretrained -> QAT fine-tune (the reference's QAT recipe):
+            # the only structural difference is the temporal-binding conv
+            # living under QuantConv1d's conv/{kernel,bias} names (the
+            # inverse of the final_pretrained export above).
+            import flax
+
+            p = flax.core.unfreeze(init_params_loaded)
+            tb = dict(p["temporal_binding"])
+            if "conv_kernel" in tb:
+                tb["conv"] = {"kernel": tb.pop("conv_kernel"),
+                              "bias": tb.pop("conv_bias")}
+                p["temporal_binding"] = tb
+            init_params_loaded = p
+        logger.info("Initialized weights from %s (fresh optimizer/step)",
+                    args.init_from)
+
     eval_batches = (lambda: iter(eval_loader)) if eval_loader is not None else None
-    trainer = Trainer(model, train_cfg, cycle(train_loader), eval_batches)
+    trainer = Trainer(model, train_cfg, cycle(train_loader), eval_batches,
+                      params=init_params_loaded)
     from velocity_asr_tpu.models.model import count_parameters
 
     logger.info("Parameters: %s", f"{count_parameters(trainer.params):,}")
