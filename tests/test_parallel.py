@@ -18,6 +18,40 @@ def test_create_mesh_shapes():
     assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
 
 
+def test_multislice_device_ordering():
+    """Multi-slice (DCN) layout: slice-major data axis, intra-slice model
+    groups, ragged/absent topologies left untouched."""
+    from velocity_asr_tpu.parallel.mesh import order_devices_hierarchical
+
+    class Dev:
+        def __init__(self, id, slice_index=None):
+            self.id = id
+            self.slice_index = slice_index
+
+        def __repr__(self):
+            return f"d{self.id}@s{self.slice_index}"
+
+    # Interleaved enumeration (as a runtime might report) comes back
+    # slice-major, id-sorted within each slice.
+    devs = [Dev(0, 0), Dev(4, 1), Dev(1, 0), Dev(5, 1),
+            Dev(2, 0), Dev(6, 1), Dev(3, 0), Dev(7, 1)]
+    ordered = order_devices_hierarchical(devs)
+    assert [d.id for d in ordered] == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert [d.slice_index for d in ordered] == [0] * 4 + [1] * 4
+    # A (4, 2) grid over this order keeps every model pair intra-slice.
+    grid = np.array(ordered).reshape(4, 2)
+    assert all(grid[r, 0].slice_index == grid[r, 1].slice_index for r in range(4))
+
+    # No slice topology exposed (CPU/GPU): order preserved verbatim.
+    plain = [Dev(3), Dev(1), Dev(2)]
+    assert order_devices_hierarchical(plain) is not plain
+    assert [d.id for d in order_devices_hierarchical(plain)] == [3, 1, 2]
+
+    # Ragged slices: no safe hierarchical layout, order preserved.
+    ragged = [Dev(0, 0), Dev(1, 0), Dev(2, 1)]
+    assert [d.id for d in order_devices_hierarchical(ragged)] == [0, 1, 2]
+
+
 def test_shard_batch_places_on_data_axis():
     mesh = create_mesh()
     batch = {"x": np.zeros((16, 4), np.float32)}
