@@ -30,5 +30,6 @@ OUT="$OUT" python - <<'EOF'
 import glob, json, os
 for f in sorted(glob.glob(os.path.join(os.environ["OUT"], "eval_*.json"))):
     d = json.load(open(f))
-    print(f"{f.split('/')[-1]:28s} WER {d['wer']*100:6.2f}%  CER {d['cer']*100:5.2f}%  RTF {d['rtf']:.5f}")
+    rtf = d.get("rtf", d.get("rtf_cpu"))
+    print(f"{f.split('/')[-1]:28s} WER {d['wer']*100:6.2f}%  CER {d['cer']*100:5.2f}%  RTF {rtf:.5f}")
 EOF
