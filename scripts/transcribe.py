@@ -33,8 +33,9 @@ logging.basicConfig(
 logger = logging.getLogger("transcribe")
 
 # Only advertise what the decoder stack can actually handle (the reference
-# lists mp3/ogg/m4a via torchaudio, scripts/transcribe.py; here unsupported
-# formats fail fast in io.decode_audio_file with a conversion hint).
+# lists mp3/ogg/m4a via torchaudio, scripts/transcribe.py; here wav/flac/
+# mp3/ogg decode natively, m4a via the system-codec shim where the libav*
+# stack exists, and anything else fails fast with a conversion hint).
 from velocity_asr_tpu.io import supported_audio_exts
 
 AUDIO_EXTS = supported_audio_exts()

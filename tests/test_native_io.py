@@ -122,14 +122,20 @@ def test_load_audio_resamples(tmp_path):
 
 
 def test_unsupported_format_fails_fast(tmp_path):
-    """m4a is not decodable here (reference uses torchaudio); the error
-    must be immediate and actionable, not a decoder crash. (mp3 and ogg
-    ARE decodable since native/mp3_decoder.cc / vorbis_decoder.cc.)"""
-    p = tmp_path / "music.m4a"
-    # minimal MP4 'ftyp' box header
-    p.write_bytes(b"\x00\x00\x00\x18ftypM4A " + b"\x00" * 64)
+    """Formats no decoder handles must fail immediately with an
+    actionable message, not a decoder crash. (mp3/ogg are decodable via
+    native/mp3_decoder.cc / vorbis_decoder.cc; m4a via the system-codec
+    shim where the libav* stack exists.)"""
+    p = tmp_path / "music.aiff"
+    p.write_bytes(b"FORM\x00\x00\x00\x30AIFF" + b"\x00" * 64)
     with pytest.raises(RuntimeError, match="unsupported format.*ffmpeg"):
         va_io.decode_audio_file(str(p))
+    if not va_io.m4a_available():
+        q = tmp_path / "music.m4a"
+        # minimal MP4 'ftyp' box header
+        q.write_bytes(b"\x00\x00\x00\x18ftypM4A " + b"\x00" * 64)
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            va_io.decode_audio_file(str(q))
 
 
 def test_unknown_extension_sniffs_content(tmp_path):
@@ -159,7 +165,7 @@ def test_supported_exts_advertised():
         assert ".flac" in exts
         assert ".mp3" in exts
         assert ".ogg" in exts
-    assert ".m4a" not in exts
+    assert (".m4a" in exts) == va_io.m4a_available()
     # the transcribe CLI advertises the same set
     from scripts.transcribe import AUDIO_EXTS
 

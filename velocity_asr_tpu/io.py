@@ -2,9 +2,11 @@
 
 The reference relies on torchaudio's C++ decoders (reference
 velocity_asr/audio.py:39-56). Here decoding is provided by a small native
-C++ library (``native/audio_decoder``) exposing WAV and FLAC decode through
-ctypes, with a pure-Python WAV fallback so the package works before the
-native library is built.
+C++ library (``native/audio_decoder``) exposing WAV, FLAC, MPEG Layer III
+and Ogg Vorbis decode through ctypes (all from-scratch decoders), an
+optional system-codec shim for m4a/AAC (``native/m4a_decoder`` over
+libavformat/libavcodec — torchaudio's own backend), and a pure-Python WAV
+fallback so the package works before the native library is built.
 """
 
 from __future__ import annotations
@@ -19,14 +21,19 @@ _NATIVE_LIB: Optional[ctypes.CDLL] = None
 _NATIVE_CHECKED = False
 _NATIVE_LOCK = __import__("threading").Lock()
 
+_M4A_LIB: Optional[ctypes.CDLL] = None
+_M4A_CHECKED = False
 
-def _find_native_lib() -> Optional[str]:
+
+def _find_native_lib(
+    name: str = "libvelocity_audio.so", env_var: str = "VELOCITY_ASR_NATIVE_LIB"
+) -> Optional[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = [
-        os.path.join(here, "_native", "libvelocity_audio.so"),
-        os.path.join(here, "..", "native", "build", "libvelocity_audio.so"),
+        os.path.join(here, "_native", name),
+        os.path.join(here, "..", "native", "build", name),
     ]
-    env = os.environ.get("VELOCITY_ASR_NATIVE_LIB")
+    env = os.environ.get(env_var)
     if env:
         candidates.insert(0, env)
     for c in candidates:
@@ -78,6 +85,104 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
 def native_available() -> bool:
     """Whether the native C++ audio decoder is loaded."""
     return _load_native() is not None
+
+
+def _load_m4a() -> Optional[ctypes.CDLL]:
+    """Load the system-codec m4a shim (libvelocity_m4a.so), once.
+
+    The shim wraps the system libavformat/libavcodec stack — the same
+    backend the reference's torchaudio m4a path uses (reference
+    velocity_asr/audio.py:39-56) — and is built only where those dev
+    libraries exist (native/Makefile gates on the headers).
+    """
+    global _M4A_LIB, _M4A_CHECKED
+    if _M4A_CHECKED:
+        return _M4A_LIB
+    with _NATIVE_LOCK:
+        if _M4A_CHECKED:
+            return _M4A_LIB
+        path = _find_native_lib("libvelocity_m4a.so", "VELOCITY_ASR_M4A_LIB")
+        lib = None
+        if path is not None:
+            try:
+                lib = ctypes.CDLL(path)
+                lib.va_m4a_decode_file.restype = ctypes.c_int
+                lib.va_m4a_decode_file.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                lib.va_m4a_free.restype = None
+                lib.va_m4a_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+                lib.va_m4a_encode_file.restype = ctypes.c_int
+                lib.va_m4a_encode_file.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                ]
+            except OSError:
+                # Shim present but its libav* dependencies are not
+                # loadable on this host: treat as unavailable.
+                lib = None
+        _M4A_LIB = lib
+        _M4A_CHECKED = True
+        return _M4A_LIB
+
+
+def m4a_available() -> bool:
+    """Whether the system-codec m4a/AAC decoder shim is loaded."""
+    return _load_m4a() is not None
+
+
+def _decode_m4a(path: str) -> Tuple[np.ndarray, int]:
+    lib = _load_m4a()
+    assert lib is not None
+    out_ptr = ctypes.POINTER(ctypes.c_float)()
+    out_frames = ctypes.c_int64(0)
+    out_channels = ctypes.c_int32(0)
+    out_rate = ctypes.c_int32(0)
+    rc = lib.va_m4a_decode_file(
+        path.encode("utf-8"),
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_frames),
+        ctypes.byref(out_channels),
+        ctypes.byref(out_rate),
+    )
+    if rc != 0:
+        raise ValueError(f"m4a decoder failed on {path!r} (code {rc})")
+    n = out_frames.value * out_channels.value
+    try:
+        buf = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    finally:
+        lib.va_m4a_free(out_ptr)
+    data = buf.reshape(out_frames.value, out_channels.value).T
+    return np.ascontiguousarray(data, dtype=np.float32), out_rate.value
+
+
+def encode_m4a(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode mono float32 PCM to AAC-LC in an mp4 container.
+
+    Test-fixture generator (and a convenience so producing m4a does not
+    require the ffmpeg CLI). Raises if the system-codec shim is absent.
+    """
+    lib = _load_m4a()
+    if lib is None:
+        raise RuntimeError(
+            "m4a support requires the system libavformat/libavcodec stack "
+            "(build with `make -C native` where the ffmpeg dev headers exist)"
+        )
+    pcm = np.ascontiguousarray(samples, dtype=np.float32).reshape(-1)
+    rc = lib.va_m4a_encode_file(
+        path.encode("utf-8"),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pcm),
+        int(sample_rate),
+    )
+    if rc != 0:
+        raise ValueError(f"m4a encoder failed on {path!r} (code {rc})")
 
 
 def _decode_native(path: str) -> Tuple[np.ndarray, int]:
@@ -193,17 +298,21 @@ def supported_audio_exts() -> Tuple[str, ...]:
 
     The reference decodes mp3/ogg/m4a through torchaudio (audio.py:39-56);
     this build ships its own decoders (WAV + FLAC + MPEG-1/2/2.5 Layer III
-    mp3 + Ogg Vorbis, native/mp3_decoder.cc / native/vorbis_decoder.cc)
-    and advertises exactly what it supports instead of failing at decode
-    time.
+    mp3 + Ogg Vorbis, native/mp3_decoder.cc / native/vorbis_decoder.cc),
+    decodes m4a through a system-codec shim (native/m4a_decoder.cc — the
+    same libav* backend torchaudio uses) where that stack exists, and
+    advertises exactly what it supports instead of failing at decode time.
     """
+    exts: Tuple[str, ...] = (".wav",)
     if native_available():
-        return (".wav", ".flac", ".mp3", ".ogg", ".oga")
-    return (".wav",)
+        exts = (".wav", ".flac", ".mp3", ".ogg", ".oga")
+    if m4a_available():
+        exts = exts + (".m4a", ".mp4")
+    return exts
 
 
 def _sniff_format(path: str) -> str:
-    """Container format from magic bytes: 'wav'|'flac'|'mp3'|'ogg'|''."""
+    """Container format from magic bytes: 'wav'|'flac'|'mp3'|'ogg'|'m4a'|''."""
     try:
         with open(path, "rb") as f:
             head = f.read(12)
@@ -212,6 +321,9 @@ def _sniff_format(path: str) -> str:
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         # RIFF alone is not enough (AVI/WebP are RIFF too).
         return "wav"
+    if head[4:8] == b"ftyp":
+        # ISO BMFF (mp4/m4a/mov): box size then the 'ftyp' box type.
+        return "m4a"
     head = head[:4]
     if head == b"fLaC":
         return "flac"
@@ -243,28 +355,38 @@ def _looks_like_mp3(head: bytes) -> bool:
 def decode_audio_file(path: str) -> Tuple[np.ndarray, int]:
     """Decode an audio file to ((channels, samples) float32, sample_rate).
 
-    Dispatch is by extension, falling back to content sniffing (magic
-    bytes) for unknown extensions — the serve daemon receives raw request
-    bodies without a meaningful filename. Fails fast with a clear message
-    on formats no decoder handles (m4a — supported by the reference via
-    torchaudio, not here).
+    Dispatch is by content sniffing (magic bytes) with extension as the
+    tiebreak for headerless/ambiguous files — the serve daemon receives
+    raw request bodies without a meaningful filename. Fails fast with a
+    clear message on formats no decoder handles (m4a, when the system
+    libav* stack is absent — the reference gets it via torchaudio).
     """
     lower = path.lower()
     exts = supported_audio_exts()
+    sniffed = _sniff_format(path)
     if not lower.endswith(exts):
-        sniffed = _sniff_format(path)
         known = {
             "wav": True,
             "flac": native_available(),
             "mp3": native_available(),
             "ogg": native_available(),
+            "m4a": m4a_available(),
         }
         if not known.get(sniffed, False):
             raise RuntimeError(
                 f"Cannot decode {path!r}: unsupported format. Supported: "
-                f"{', '.join(exts)}. (m4a requires an external decoder; "
-                "convert with e.g. `ffmpeg -i in.m4a -ar 16000 out.wav`.)"
+                f"{', '.join(exts)}. (m4a requires the system "
+                "libavformat/libavcodec stack; convert with e.g. "
+                "`ffmpeg -i in.m4a -ar 16000 out.wav`.)"
             )
+    if sniffed == "m4a" or (not sniffed and lower.endswith((".m4a", ".mp4"))):
+        if not m4a_available():
+            raise RuntimeError(
+                f"Cannot decode {path!r}: m4a requires the system "
+                "libavformat/libavcodec stack (absent here). Convert with "
+                "e.g. `ffmpeg -i in.m4a -ar 16000 out.wav`."
+            )
+        return _decode_m4a(path)
     if native_available():
         return _decode_native(path)
     # The Python fallback parses WAV only: verify the content really is a
