@@ -248,8 +248,8 @@ def extra_configs(params, batched_pipeline):
     # Train-step MFU from the compiled step's own XLA FLOP count.
     sharded, nv = trainer.shard_batch(batch)
     flops = compiled_flops(
-        trainer._train_step, trainer.params, trainer.opt_state, sharded,
-        trainer._rng, nv,
+        trainer._train_step, trainer.params, trainer.opt_state,
+        trainer.quant_stats, sharded, trainer._rng, nv,
     )
     if flops:
         peak, kind = device_peak_flops()
