@@ -102,6 +102,12 @@ def main():
             ref = bench("ogg  (libvorbisfile golden)", ogg_path, secs, golden)
             print(f"{'':28s} native/golden ratio: {ours / ref:.2f}")
 
+    # m4a/AAC (system-codec shim over libavformat/libavcodec)
+    if va_io.m4a_available():
+        m4a_path = f"{d}/f.m4a"
+        va_io.encode_m4a(m4a_path, x, rate)
+        bench("m4a  (libav* shim)", m4a_path, secs, va_io.decode_audio_file)
+
 
 if __name__ == "__main__":
     main()
