@@ -57,6 +57,16 @@ def main():
                         help="mel-frame padding bucket; raise for long-form "
                              "sets so XLA compiles fewer shapes")
     parser.add_argument("--beam-width", type=int, default=0)
+    parser.add_argument("--hotwords", default=None,
+                        help="hot-word boosting for the beam search: a file "
+                             "(one word per line) or inline comma-separated "
+                             "list; requires --beam-width > 1")
+    parser.add_argument("--hotword-weight", type=float, default=2.0)
+    parser.add_argument("--hotwords-oracle", action="store_true",
+                        help="contextual-biasing benchmark mode: boost each "
+                             "batch with the rare words of its own reference "
+                             "transcripts (simulates an application "
+                             "supplying its domain vocabulary)")
     parser.add_argument("--max-utts", type=int, default=0, help="0 = all")
     parser.add_argument("--output", help="write per-utterance results (JSON)")
     parser.add_argument("--int8", action="store_true",
@@ -99,6 +109,14 @@ def main():
     if args.streaming and args.beam_width > 1:
         parser.error("--beam-width is not supported with --streaming "
                      "(streaming decodes greedily per chunk)")
+    if (args.hotwords or args.hotwords_oracle) and args.beam_width <= 1:
+        parser.error("hotword boosting biases the beam search; add "
+                     "--beam-width (e.g. --beam-width 8)")
+    if args.hotwords and args.hotwords_oracle:
+        parser.error("--hotwords and --hotwords-oracle are mutually exclusive")
+    if args.hotwords_oracle and not args.test_set:
+        parser.error("--hotwords-oracle needs --test-set (it draws the bias "
+                     "list from reference transcripts)")
 
     import jax
     import jax.numpy as jnp
@@ -127,10 +145,19 @@ def main():
         vocabulary = create_default_vocabulary(model.config.vocab_size)
     decoder = CTCDecoder(vocabulary)
 
+    booster = None
+    if args.hotwords:
+        from velocity_asr_tpu.hotwords import load_hotwords_arg
+
+        booster = load_hotwords_arg(args.hotwords, decoder.token_to_idx)
+        logger.info("Hotword boosting: %d word(s), weight %.2f",
+                    len(booster.words), args.hotword_weight)
+
     if args.audio_dir:
         from scripts.transcribe import Transcriber, collect_files
 
-        pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width)
+        pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width,
+                               lm_scorer=booster, lm_weight=args.hotword_weight)
         results = []
         for path in collect_files(args.audio_dir):
             try:
@@ -245,6 +272,14 @@ def main():
         )
         return toks[:, 0], lens[:, 0]  # best beam only
 
+    @functools.partial(jax.jit, static_argnames=("beam_width",))
+    def beam_nbest(p, mel, input_lengths, beam_width):
+        # Full n-best crosses the host link only in hotword modes, where
+        # the shallow-fusion rescoring happens on host.
+        return ctc_beam_search_jax(
+            masked_logits(p, mel, input_lengths), beam_width=beam_width
+        )
+
     predictions, references = [], []
     total_audio_s, total_wall = 0.0, 0.0
     for start in range(0, n, args.batch_size):
@@ -254,15 +289,51 @@ def main():
         t0 = time.perf_counter()
         mel = jnp.asarray(batch["mel_spectrogram"])
         in_lens = jnp.asarray(batch["input_lengths"])
-        if args.beam_width > 1:
+        if args.beam_width > 1 and (booster is not None or args.hotwords_oracle):
+            bst = booster
+            if args.hotwords_oracle:
+                # Contextual-biasing benchmark: the bias list is the union
+                # of this batch's reference words — for each utterance its
+                # own ~5 words are the "domain vocabulary" and the other
+                # utterances' words act as distractors.
+                from velocity_asr_tpu.hotwords import HotwordBooster
+
+                words = sorted(
+                    {w for t in batch["texts"] for w in t.lower().split()}
+                )
+                bst = HotwordBooster(words, decoder.token_to_idx)
+            toks3, lens3, scores = beam_nbest(
+                params, mel, in_lens, args.beam_width
+            )
+            toks3, lens3, scores = (
+                np.asarray(toks3), np.asarray(lens3), np.asarray(scores)
+            )
+            for b in range(toks3.shape[0]):
+                best_text, best_s = "", -np.inf
+                for k in range(toks3.shape[1]):
+                    if scores[b, k] <= -1e29:  # unfilled beam slot
+                        continue
+                    tl = toks3[b, k, : lens3[b, k]].tolist()
+                    s = float(scores[b, k]) + (
+                        args.hotword_weight * bst.total_score(tl)
+                    )
+                    if s > best_s:
+                        best_s, best_text = s, decoder._tokens_to_text(tl)
+                predictions.append(best_text)
+        elif args.beam_width > 1:
             toks, lens = beam_tokens(params, mel, in_lens, args.beam_width)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            predictions.extend(
+                decoder._tokens_to_text(toks[b, : lens[b]].tolist())
+                for b in range(toks.shape[0])
+            )
         else:
             toks, lens = greedy_tokens(params, mel, in_lens)
-        toks, lens = np.asarray(toks), np.asarray(lens)
-        predictions.extend(
-            decoder._tokens_to_text(toks[b, : lens[b]].tolist())
-            for b in range(toks.shape[0])
-        )
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            predictions.extend(
+                decoder._tokens_to_text(toks[b, : lens[b]].tolist())
+                for b in range(toks.shape[0])
+            )
         total_wall += time.perf_counter() - t0
         references.extend(batch["texts"])
         total_audio_s += float(np.sum(batch["input_lengths"])) * 0.01  # 10ms hop

@@ -10,7 +10,9 @@ Endpoints:
   GET  /health               -> {"status": "ok", "model": {...}}
   POST /transcribe           -> {"text", "duration", "rtf"}
       body: audio file bytes (WAV or FLAC; decoded by the native decoder)
-      query: ?timestamps=1 adds word timings, ?beam=N uses beam search
+      query: ?timestamps=1 adds word timings, ?beam=N uses beam search,
+             ?hotwords=a,b&hotword_weight=W biases the beam toward the
+             request's custom vocabulary (requires beam > 1)
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
@@ -119,12 +121,30 @@ class ASRService:
         )
         logger.info("Model loaded: %s", self.model.config)
 
-    def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int):
+    def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
+                         hotwords: str = "", hotword_weight: float = 2.0):
         from velocity_asr_tpu.audio import load_audio
 
         if timestamps and beam > 1:
             raise BadRequest("beam search with timestamps is not supported; "
                              "drop one of ?timestamps / ?beam")
+        eff_beam = beam if beam > 0 else self.transcriber.beam_width
+        booster = None
+        if hotwords:
+            # Per-request custom vocabulary (the reference's planned
+            # "hot-word boosting" extension, implemented as shallow
+            # fusion — velocity_asr_tpu/hotwords.py).
+            if eff_beam <= 1:
+                raise BadRequest("?hotwords biases the beam search; add "
+                                 "?beam=N (N > 1)")
+            from velocity_asr_tpu.hotwords import HotwordBooster
+
+            try:
+                booster = HotwordBooster(
+                    hotwords.split(","), self.decoder.token_to_idx
+                )
+            except ValueError as e:
+                raise BadRequest(str(e)) from e
         with tempfile.NamedTemporaryFile(suffix=".audio", delete=False) as f:
             f.write(data)
             path = f.name
@@ -137,14 +157,15 @@ class ASRService:
             os.unlink(path)
 
         t0 = time.perf_counter()
-        eff_beam = beam if beam > 0 else self.transcriber.beam_width
         if timestamps or eff_beam > 1:
             # rich-output path: single-utterance pipeline under the lock;
-            # the request's beam width is passed as an argument, never
-            # written into the shared transcriber
+            # the request's beam width / booster are passed as arguments,
+            # never written into the shared transcriber
             with self.lock:
                 result = self.transcriber.transcribe_array(
-                    audio, timestamps=timestamps, beam_width=eff_beam
+                    audio, timestamps=timestamps, beam_width=eff_beam,
+                    lm_scorer=booster,
+                    lm_weight=hotword_weight if booster else None,
                 )
         else:
             # greedy path: coalesced into one batched device call with any
@@ -194,9 +215,14 @@ def make_handler(service: ASRService):
                 timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
                 try:
                     beam = int(q.get("beam", ["0"])[0])
+                    hotword_weight = float(q.get("hotword_weight", ["2.0"])[0])
                 except ValueError as e:
-                    raise BadRequest(f"invalid ?beam value: {e}") from e
-                result = service.transcribe_bytes(data, timestamps, beam)
+                    raise BadRequest(f"invalid query value: {e}") from e
+                hotwords = q.get("hotwords", [""])[0]
+                result = service.transcribe_bytes(
+                    data, timestamps, beam,
+                    hotwords=hotwords, hotword_weight=hotword_weight,
+                )
                 self._send(200, result)
             except BadRequest as e:
                 logger.warning("bad request: %s", e)

@@ -73,13 +73,17 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         # can cover long-form audio (default 2-8 words = 1-6 s clips).
         min_w = int(data_cfg.get("synthetic_min_words", 2))
         max_w = int(data_cfg.get("synthetic_max_words", 8))
+        # synthetic_split selects the (disjoint) sentence stream — the
+        # pretraining recipe draws its "unlabeled" pool from a different
+        # split than the supervised data (scripts/pretrain.py).
+        split = str(data_cfg.get("synthetic_split", "train"))
         train_ds = SyntheticSpeechDataset(
-            n_synth, split="train", seed=seed, min_words=min_w,
+            n_synth, split=split, seed=seed, min_words=min_w,
             max_words=max_w, device_mel=device_mel,
         )
         eval_ds = SyntheticSpeechDataset(
-            max(64, n_synth // 100), split="dev", seed=seed,
-            min_words=min_w, max_words=max_w, device_mel=device_mel,
+            max(64, n_synth // 100), split=f"{split}_dev" if split != "train" else "dev",
+            seed=seed, min_words=min_w, max_words=max_w, device_mel=device_mel,
         )
         # frame_bucket 200 keeps the number of compiled train-step shapes
         # at ~3 for the 1-6 s synthetic utterances (first TPU compiles
@@ -263,30 +267,46 @@ def main():
         if args.resume:
             parser.error("--init-from and --resume are mutually exclusive")
         from velocity_asr_tpu.models.model import from_pretrained
+        from velocity_asr_tpu.pretrain import (
+            init_asr_from_backbone,
+            is_pretrain_artifact,
+        )
 
-        init_model, init_params_loaded = from_pretrained(args.init_from)
-        if init_model.config.vocab_size != model_cfg.vocab_size:
-            raise SystemExit(
-                f"--init-from vocab_size {init_model.config.vocab_size} != "
-                f"configured/dataset vocab_size {model_cfg.vocab_size}; "
-                "fine-tune with the same vocabulary the weights were trained on"
+        if is_pretrain_artifact(args.init_from):
+            # Stage-2 fine-tune from a masked-prediction backbone
+            # (scripts/pretrain.py): pretrained encoder subtrees + fresh
+            # CTC head. Handles the QAT param re-nesting itself.
+            init_params_loaded = init_asr_from_backbone(
+                model_cfg, args.init_from, jax.random.PRNGKey(0)
             )
-        if model_cfg.qat and not init_model.config.qat:
-            # fp32 pretrained -> QAT fine-tune (the reference's QAT recipe):
-            # the only structural difference is the temporal-binding conv
-            # living under QuantConv1d's conv/{kernel,bias} names (the
-            # inverse of the final_pretrained export above).
-            import flax
+            logger.info(
+                "Initialized backbone from pretraining artifact %s "
+                "(fresh CTC head, fresh optimizer/step)", args.init_from,
+            )
+        else:
+            init_model, init_params_loaded = from_pretrained(args.init_from)
+            if init_model.config.vocab_size != model_cfg.vocab_size:
+                raise SystemExit(
+                    f"--init-from vocab_size {init_model.config.vocab_size} != "
+                    f"configured/dataset vocab_size {model_cfg.vocab_size}; "
+                    "fine-tune with the same vocabulary the weights were trained on"
+                )
+            if model_cfg.qat and not init_model.config.qat:
+                # fp32 pretrained -> QAT fine-tune (the reference's QAT recipe):
+                # the only structural difference is the temporal-binding conv
+                # living under QuantConv1d's conv/{kernel,bias} names (the
+                # inverse of the final_pretrained export above).
+                import flax
 
-            p = flax.core.unfreeze(init_params_loaded)
-            tb = dict(p["temporal_binding"])
-            if "conv_kernel" in tb:
-                tb["conv"] = {"kernel": tb.pop("conv_kernel"),
-                              "bias": tb.pop("conv_bias")}
-                p["temporal_binding"] = tb
-            init_params_loaded = p
-        logger.info("Initialized weights from %s (fresh optimizer/step)",
-                    args.init_from)
+                p = flax.core.unfreeze(init_params_loaded)
+                tb = dict(p["temporal_binding"])
+                if "conv_kernel" in tb:
+                    tb["conv"] = {"kernel": tb.pop("conv_kernel"),
+                                  "bias": tb.pop("conv_bias")}
+                    p["temporal_binding"] = tb
+                init_params_loaded = p
+            logger.info("Initialized weights from %s (fresh optimizer/step)",
+                        args.init_from)
 
     eval_batches = (lambda: iter(eval_loader)) if eval_loader is not None else None
     trainer = Trainer(model, train_cfg, cycle(train_loader), eval_batches,

@@ -98,7 +98,7 @@ class Transcriber:
     """
 
     def __init__(self, model, params, decoder, beam_width=0, frame_bucket=200,
-                 device_mel=True):
+                 device_mel=True, lm_scorer=None, lm_weight=0.0):
         import jax
         import jax.numpy as jnp
 
@@ -114,6 +114,10 @@ class Transcriber:
         self.params = params
         self.decoder = decoder
         self.beam_width = beam_width
+        # Shallow-fusion scorer for beam decodes (hotword boosting /
+        # external LM); scaled by lm_weight (velocity_asr_tpu.hotwords).
+        self.lm_scorer = lm_scorer
+        self.lm_weight = lm_weight
         self.frame_bucket = frame_bucket
         self.device_mel = device_mel
         self._jax = jax
@@ -212,14 +216,20 @@ class Transcriber:
         return logits[:, :out_len], out_len
 
     def transcribe_array(self, audio: np.ndarray, timestamps: bool = False,
-                         beam_width: int = None):
-        """Transcribe one utterance. `beam_width` overrides the instance
-        default for this call (serving passes the request's value instead
-        of mutating shared state under a lock)."""
+                         beam_width: int = None, lm_scorer=None,
+                         lm_weight: float = None):
+        """Transcribe one utterance. `beam_width` / `lm_scorer` /
+        `lm_weight` override the instance defaults for this call (serving
+        passes each request's values instead of mutating shared state
+        under a lock)."""
         from velocity_asr_tpu.decode import timestamps_from_predictions
 
         if beam_width is None:
             beam_width = self.beam_width
+        if lm_scorer is None:
+            lm_scorer = self.lm_scorer
+        if lm_weight is None:
+            lm_weight = self.lm_weight
         result = {"duration": len(audio) / self.sr}
         if not self.device_mel:
             # host-mel fallback: decode from downloaded logits
@@ -234,7 +244,8 @@ class Transcriber:
                 )
             elif beam_width > 1:
                 result["text"] = self.decoder.decode_beam_search(
-                    logits, beam_width=beam_width
+                    logits, beam_width=beam_width,
+                    lm_scorer=lm_scorer, lm_weight=lm_weight,
                 )[0]
             else:
                 result["text"] = self.decoder.decode_greedy(logits)[0]
@@ -253,12 +264,13 @@ class Transcriber:
                 tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
             )
         elif beam_width > 1:
-            from velocity_asr_tpu.beam import beams_to_token_lists, ctc_beam_search_jax
-
             logits = self._infer_audio(self.params, audio_dev, n_frames)
-            toks, lens, _ = ctc_beam_search_jax(logits, beam_width=beam_width)
-            best = beams_to_token_lists(np.asarray(toks), np.asarray(lens))[0][0]
-            result["text"] = self.decoder._tokens_to_text(best)
+            # On-device batched beam; n-best rescored by any lm_scorer
+            # (hotword boosting) inside decode_beam_search.
+            result["text"] = self.decoder.decode_beam_search(
+                logits, beam_width=beam_width, backend="jax",
+                lm_scorer=lm_scorer, lm_weight=lm_weight,
+            )[0]
         else:
             toks, lens = self._greedy_tokens(self.params, audio_dev, n_frames)
             toks, lens = np.asarray(toks), np.asarray(lens)
@@ -379,6 +391,17 @@ def main():
     parser.add_argument("--timestamps", action="store_true", help="word-level timestamps")
     parser.add_argument("--beam-width", type=int, default=0, help=">1 enables beam search")
     parser.add_argument(
+        "--hotwords", default=None,
+        help="hot-word boosting (the reference's planned 'custom vocabulary "
+             "injection', implemented): a file (one word/phrase per line) or "
+             "an inline comma-separated list; requires --beam-width > 1",
+    )
+    parser.add_argument(
+        "--hotword-weight", type=float, default=2.0,
+        help="shallow-fusion weight for --hotwords (bonus per matched "
+             "character, in log-prob units)",
+    )
+    parser.add_argument(
         "--streaming", action="store_true",
         help="chunked streaming decode with carried SSM state (long-form audio)",
     )
@@ -413,6 +436,9 @@ def main():
     if args.timestamps and args.beam_width > 1:
         parser.error("--timestamps uses the greedy frame path; drop "
                      "--beam-width or --timestamps")
+    if args.hotwords and args.beam_width <= 1:
+        parser.error("--hotwords biases the beam search; add --beam-width "
+                     "(e.g. --beam-width 8)")
 
     from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
     from velocity_asr_tpu.models.model import from_pretrained
@@ -438,7 +464,15 @@ def main():
     else:
         vocabulary = create_default_vocabulary(model.config.vocab_size)
     decoder = CTCDecoder(vocabulary)
-    pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width)
+    booster = None
+    if args.hotwords:
+        from velocity_asr_tpu.hotwords import load_hotwords_arg
+
+        booster = load_hotwords_arg(args.hotwords, decoder.token_to_idx)
+        logger.info("Hotword boosting: %d word(s), weight %.2f",
+                    len(booster.words), args.hotword_weight)
+    pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width,
+                           lm_scorer=booster, lm_weight=args.hotword_weight)
     streamer = None
     if args.streaming:
         streamer = make_streaming_transcriber(

@@ -140,3 +140,30 @@ def test_streaming_on_librispeech_layout(checkpoint_and_manifest, tmp_path):
          "--streaming", "--chunk-seconds", "0.5"]
     )
     assert res["wer"] >= 0.0 and res["rtf"] > 0
+
+
+def test_hotword_flag_combos_rejected(checkpoint_and_manifest):
+    ckpt, manifest = checkpoint_and_manifest
+    with pytest.raises(SystemExit):  # hotwords need a beam
+        _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
+                       "--hotwords", "hello"])
+    with pytest.raises(SystemExit):  # oracle and explicit list conflict
+        _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
+                       "--beam-width", "4", "--hotwords", "hello",
+                       "--hotwords-oracle"])
+
+
+def test_benchmark_hotwords_modes_run(checkpoint_and_manifest):
+    """--hotwords and --hotwords-oracle drive the n-best rescoring path
+    end-to-end (untrained model: just pin the machinery works)."""
+    ckpt, manifest = checkpoint_and_manifest
+    res = _run_evaluate(
+        ["--checkpoint", ckpt, "--test-set", manifest, "--batch-size", "8",
+         "--beam-width", "4", "--hotwords", "hello,world"]
+    )
+    assert "wer" in res and res["rtf"] > 0
+    res2 = _run_evaluate(
+        ["--checkpoint", ckpt, "--test-set", manifest, "--batch-size", "8",
+         "--beam-width", "4", "--hotwords-oracle"]
+    )
+    assert "wer" in res2

@@ -111,3 +111,21 @@ def test_serve_error_classification(pipeline):
         svc.transcribe_bytes(b"\x00" * 64, timestamps=False, beam=0)
     with pytest.raises(BadRequest):
         svc.transcribe_bytes(b"anything", timestamps=True, beam=4)
+
+
+def test_serve_hotword_request_validation(pipeline):
+    """?hotwords needs a beam, and an all-OOV hotword list is the
+    client's fault (400), not a server crash."""
+    import threading
+
+    from scripts.serve import ASRService, BadRequest
+
+    svc = ASRService.__new__(ASRService)  # skip checkpoint load
+    svc.transcriber = pipeline
+    svc.decoder = pipeline.decoder
+    svc.lock = threading.Lock()
+
+    with pytest.raises(BadRequest, match="beam"):
+        svc.transcribe_bytes(b"x", timestamps=False, beam=0, hotwords="cat")
+    with pytest.raises(BadRequest, match="hotwords"):
+        svc.transcribe_bytes(b"x", timestamps=False, beam=4, hotwords="ñ,é")

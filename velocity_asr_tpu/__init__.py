@@ -128,4 +128,15 @@ def __getattr__(name):
         from . import streaming
 
         return getattr(streaming, name)
+    if name in (
+        "MaskedPredictor", "MaskedPredictionConfig", "PretrainTrainer",
+        "init_asr_from_backbone",
+    ):
+        from . import pretrain
+
+        return getattr(pretrain, name)
+    if name == "HotwordBooster":
+        from .hotwords import HotwordBooster
+
+        return HotwordBooster
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -251,8 +251,13 @@ class CTCDecoder:
                     if float(scores[b, i]) > -1e29
                 ]
                 if lm_scorer is not None and lm_weight > 0:
+                    # Scorers that distinguish per-extension increments
+                    # from whole-sequence scores (e.g. hotwords.
+                    # HotwordBooster) expose total_score for exactly this
+                    # n-best use; plain LMs score the full sequence.
+                    seq_score = getattr(lm_scorer, "total_score", lm_scorer.score)
                     for r in results:
-                        r.score += lm_weight * lm_scorer.score(r.tokens)
+                        r.score += lm_weight * seq_score(r.tokens)
                     results.sort(key=lambda r: r.score, reverse=True)
                 if return_all_beams:
                     for r in results:

@@ -379,10 +379,15 @@ class Trainer:
 
     # ----- compiled steps ---------------------------------------------------
 
-    def _loss_fn(self, params, quant_stats, batch, dropout_rng, train: bool,
-                 n_valid):
-        """Returns (loss, new_quant_stats). For non-QAT models quant_stats
-        is None and passes through unchanged."""
+    def _batch_mel(self, batch, dropout_rng, train: bool):
+        """Normalized mel for a batch, on either pipeline.
+
+        device-mel batches ship int16 PCM and run the fused mel front-end
+        (+ optional waveform noise injection) inside the compiled step;
+        host-mel batches arrive normalized. Returns (mel, raw_mel,
+        dropout_rng) where raw_mel is the un-normalized device mel (None on
+        the host path) and dropout_rng has been advanced past any noise key.
+        """
         raw_mel = None
         if "audio" in batch:
             # device-mel path: the host pipeline ships int16 PCM (audio
@@ -417,6 +422,13 @@ class Trainer:
                     "mel front-end)"
                 )
             mel = batch["mel_spectrogram"]
+        return mel, raw_mel, dropout_rng
+
+    def _loss_fn(self, params, quant_stats, batch, dropout_rng, train: bool,
+                 n_valid):
+        """Returns (loss, new_quant_stats). For non-QAT models quant_stats
+        is None and passes through unchanged."""
+        mel, raw_mel, dropout_rng = self._batch_mel(batch, dropout_rng, train)
 
         aug_rng = None
         if train and self.config.augment is not None and self.config.augment.enabled:
