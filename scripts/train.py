@@ -176,6 +176,11 @@ def main():
                              "(default: max_steps, reference parity; see "
                              "TrainingConfig.lr_total_steps)")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="override checkpoint.dir (and keep metrics.jsonl "
+                             "beside it) — lets one config drive A/B runs, "
+                             "e.g. the pretrained-vs-scratch comparison in "
+                             "configs/finetune.yaml")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of a few steps here")
     parser.add_argument("--synthetic", type=int, default=None,
@@ -216,6 +221,13 @@ def main():
         train_cfg = dataclasses.replace(train_cfg, lr_total_steps=args.lr_total_steps)
     if args.batch_size is not None:
         train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
+    if args.checkpoint_dir is not None:
+        replacements = {"checkpoint_dir": args.checkpoint_dir}
+        if train_cfg.metrics_path:
+            replacements["metrics_path"] = os.path.join(
+                args.checkpoint_dir, os.path.basename(train_cfg.metrics_path)
+            )
+        train_cfg = dataclasses.replace(train_cfg, **replacements)
     if args.profile_dir is not None:
         train_cfg = dataclasses.replace(train_cfg, profile_dir=args.profile_dir)
 

@@ -106,6 +106,24 @@ def test_init_from_loads_pretrained_weights(tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_dir_override(tmp_path):
+    """--checkpoint-dir redirects artifacts (and metrics.jsonl) away from
+    the config's dir, so one config can drive A/B runs."""
+    model_cfg, train_cfg, ckpt_cfg = _write_cfgs(tmp_path, "cd", steps=1, lr=1e-3)
+    train_cfg.write_text(
+        train_cfg.read_text()
+        + f"\nlogging:\n  log_interval: 1\n  eval_interval: 1000000\n"
+          f"  metrics_path: {ckpt_cfg}/metrics.jsonl\n"
+    )
+    override = tmp_path / "elsewhere"
+    _run_train(["--config", str(train_cfg), "--model-config", str(model_cfg),
+                "--checkpoint-dir", str(override)])
+    assert os.path.exists(os.path.join(override, "final_pretrained"))
+    assert os.path.exists(os.path.join(override, "metrics.jsonl"))
+    assert not os.path.exists(os.path.join(ckpt_cfg, "final_pretrained"))
+
+
+@pytest.mark.slow
 def test_init_from_vocab_mismatch_errors(tmp_path):
     import flax
     import jax
