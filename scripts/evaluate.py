@@ -62,6 +62,11 @@ def main():
                              "(one word per line) or inline comma-separated "
                              "list; requires --beam-width > 1")
     parser.add_argument("--hotword-weight", type=float, default=2.0)
+    parser.add_argument("--lm", default=None,
+                        help="character n-gram LM for beam shallow fusion "
+                             "(scripts/train_lm.py artifact); requires "
+                             "--beam-width > 1")
+    parser.add_argument("--lm-weight", type=float, default=0.5)
     parser.add_argument("--hotwords-oracle", action="store_true",
                         help="contextual-biasing benchmark mode: boost each "
                              "batch with the rare words of its own reference "
@@ -117,6 +122,12 @@ def main():
     if args.hotwords_oracle and not args.test_set:
         parser.error("--hotwords-oracle needs --test-set (it draws the bias "
                      "list from reference transcripts)")
+    if args.lm and args.beam_width <= 1:
+        parser.error("--lm fuses into the beam search; add --beam-width "
+                     "(e.g. --beam-width 8)")
+    if args.lm and args.streaming:
+        parser.error("--lm is not supported with --streaming (streaming "
+                     "decodes greedily per chunk)")
 
     import jax
     import jax.numpy as jnp
@@ -153,11 +164,38 @@ def main():
         logger.info("Hotword boosting: %d word(s), weight %.2f",
                     len(booster.words), args.hotword_weight)
 
+    lm = None
+    if args.lm:
+        from velocity_asr_tpu.lm import CharNGramLM
+
+        lm = CharNGramLM.load(args.lm)
+        logger.info("LM shallow fusion: order-%d char n-gram, weight %.2f",
+                    lm.order, args.lm_weight)
+
+    def fusion_scorer(extra_booster=None):
+        """One scorer for the decoders' single lm_scorer slot: a weighted
+        combination of the LM and the (possibly per-batch oracle) hotword
+        booster. Returns (scorer, weight-for-the-decoder)."""
+        parts = []
+        bst = extra_booster if extra_booster is not None else booster
+        if bst is not None:
+            parts.append((bst, args.hotword_weight))
+        if lm is not None:
+            parts.append((lm, args.lm_weight))
+        if not parts:
+            return None, 0.0
+        if len(parts) == 1:
+            return parts[0]
+        from velocity_asr_tpu.lm import CombinedScorer
+
+        return CombinedScorer(parts), 1.0
+
     if args.audio_dir:
         from scripts.transcribe import Transcriber, collect_files
 
+        dir_scorer, dir_weight = fusion_scorer()
         pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width,
-                               lm_scorer=booster, lm_weight=args.hotword_weight)
+                               lm_scorer=dir_scorer, lm_weight=dir_weight)
         results = []
         for path in collect_files(args.audio_dir):
             try:
@@ -289,8 +327,10 @@ def main():
         t0 = time.perf_counter()
         mel = jnp.asarray(batch["mel_spectrogram"])
         in_lens = jnp.asarray(batch["input_lengths"])
-        if args.beam_width > 1 and (booster is not None or args.hotwords_oracle):
-            bst = booster
+        if args.beam_width > 1 and (
+            booster is not None or lm is not None or args.hotwords_oracle
+        ):
+            oracle_bst = None
             if args.hotwords_oracle:
                 # Contextual-biasing benchmark: the bias list is the union
                 # of this batch's reference words — for each utterance its
@@ -301,7 +341,8 @@ def main():
                 words = sorted(
                     {w for t in batch["texts"] for w in t.lower().split()}
                 )
-                bst = HotwordBooster(words, decoder.token_to_idx)
+                oracle_bst = HotwordBooster(words, decoder.token_to_idx)
+            scorer, scorer_w = fusion_scorer(extra_booster=oracle_bst)
             toks3, lens3, scores = beam_nbest(
                 params, mel, in_lens, args.beam_width
             )
@@ -315,7 +356,7 @@ def main():
                         continue
                     tl = toks3[b, k, : lens3[b, k]].tolist()
                     s = float(scores[b, k]) + (
-                        args.hotword_weight * bst.total_score(tl)
+                        scorer_w * scorer.total_score(tl)
                     )
                     if s > best_s:
                         best_s, best_text = s, decoder._tokens_to_text(tl)

@@ -402,6 +402,12 @@ def main():
              "character, in log-prob units)",
     )
     parser.add_argument(
+        "--lm", default=None,
+        help="character n-gram LM for beam shallow fusion "
+             "(scripts/train_lm.py artifact); requires --beam-width > 1",
+    )
+    parser.add_argument("--lm-weight", type=float, default=0.5)
+    parser.add_argument(
         "--streaming", action="store_true",
         help="chunked streaming decode with carried SSM state (long-form audio)",
     )
@@ -439,6 +445,12 @@ def main():
     if args.hotwords and args.beam_width <= 1:
         parser.error("--hotwords biases the beam search; add --beam-width "
                      "(e.g. --beam-width 8)")
+    if args.lm and args.beam_width <= 1:
+        parser.error("--lm fuses into the beam search; add --beam-width "
+                     "(e.g. --beam-width 8)")
+    if args.lm and args.streaming:
+        parser.error("--lm is not supported with --streaming (streaming "
+                     "decodes greedily per chunk)")
 
     from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
     from velocity_asr_tpu.models.model import from_pretrained
@@ -464,15 +476,31 @@ def main():
     else:
         vocabulary = create_default_vocabulary(model.config.vocab_size)
     decoder = CTCDecoder(vocabulary)
-    booster = None
+    scorer_parts = []
     if args.hotwords:
         from velocity_asr_tpu.hotwords import load_hotwords_arg
 
         booster = load_hotwords_arg(args.hotwords, decoder.token_to_idx)
         logger.info("Hotword boosting: %d word(s), weight %.2f",
                     len(booster.words), args.hotword_weight)
+        scorer_parts.append((booster, args.hotword_weight))
+    if args.lm:
+        from velocity_asr_tpu.lm import CharNGramLM
+
+        ngram = CharNGramLM.load(args.lm)
+        logger.info("LM shallow fusion: order-%d char n-gram, weight %.2f",
+                    ngram.order, args.lm_weight)
+        scorer_parts.append((ngram, args.lm_weight))
+    if len(scorer_parts) > 1:
+        from velocity_asr_tpu.lm import CombinedScorer
+
+        scorer, scorer_weight = CombinedScorer(scorer_parts), 1.0
+    elif scorer_parts:
+        scorer, scorer_weight = scorer_parts[0]
+    else:
+        scorer, scorer_weight = None, 0.0
     pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width,
-                           lm_scorer=booster, lm_weight=args.hotword_weight)
+                           lm_scorer=scorer, lm_weight=scorer_weight)
     streamer = None
     if args.streaming:
         streamer = make_streaming_transcriber(

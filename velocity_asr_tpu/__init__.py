@@ -139,4 +139,15 @@ def __getattr__(name):
         from .hotwords import HotwordBooster
 
         return HotwordBooster
+    if name in (
+        "Diarizer", "DiarizeConfig", "SpeakerEncoder", "SpeakerEncoderConfig",
+        "SpeakerTrainer", "diarization_error_rate",
+    ):
+        from . import diarize
+
+        return getattr(diarize, name)
+    if name in ("CharNGramLM", "CombinedScorer"):
+        from . import lm
+
+        return getattr(lm, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
