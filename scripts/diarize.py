@@ -1,0 +1,296 @@
+#!/usr/bin/env python3
+"""Speaker diarization CLI: train the speaker encoder, diarize audio
+files (optionally with speaker-attributed transcripts), and run the
+synthetic-conversation DER benchmark.
+
+The reference lists "Speaker Diarization: Integration of speaker
+identification output" as a planned extension (reference README.md:483)
+with no code; velocity_asr_tpu.diarize implements it. Modes:
+
+  # train the speaker-embedding encoder on persistent synthetic speakers
+  python scripts/diarize.py train --checkpoint-dir checkpoints/speaker_run
+
+  # DER benchmark on held-out synthetic conversations (unseen voices)
+  python scripts/diarize.py eval --speaker-model checkpoints/speaker_run/final_speaker
+
+  # diarize files; --asr-model adds per-segment transcripts
+  python scripts/diarize.py files --speaker-model DIR [--asr-model CKPT] a.wav b.flac
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velocity_asr_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s"
+)
+logger = logging.getLogger("diarize")
+
+
+def cmd_train(args):
+    import dataclasses
+
+    import jax
+
+    from velocity_asr_tpu.data import ASRCollator, DataLoader, cycle
+    from velocity_asr_tpu.diarize import (
+        SpeakerClassifier,
+        SpeakerEncoderConfig,
+        SpeakerTrainer,
+        save_speaker_artifact,
+    )
+    from velocity_asr_tpu.models.model import count_parameters
+    from velocity_asr_tpu.synth import SyntheticSpeakerDataset
+    from velocity_asr_tpu.training import TrainingConfig
+
+    cfg = SpeakerEncoderConfig(
+        n_speakers=args.num_speakers,
+        d_model=args.d_model,
+        ssm_layers=args.layers,
+        embedding_dim=args.embedding_dim,
+        dtype="bfloat16" if args.bf16 else "float32",
+    )
+    train_ds = SyntheticSpeakerDataset(
+        n_speakers=args.num_speakers,
+        utts_per_speaker=args.utts_per_speaker,
+        split="train",
+        seed=args.seed,
+    )
+    eval_ds = SyntheticSpeakerDataset(
+        n_speakers=args.num_speakers,
+        utts_per_speaker=max(args.utts_per_speaker // 10, 2),
+        split="eval",  # same voices, unseen utterances
+        seed=args.seed,
+    )
+    collator = ASRCollator(frame_bucket=args.frame_bucket, target_bucket=1)
+    train_loader = DataLoader(
+        train_ds, batch_size=args.batch_size, shuffle=True,
+        collate_fn=collator, drop_last=True, seed=args.seed,
+    )
+    eval_loader = DataLoader(
+        eval_ds, batch_size=args.batch_size, shuffle=False,
+        collate_fn=collator,
+    )
+    train_cfg = TrainingConfig(
+        learning_rate=args.lr,
+        warmup_steps=min(500, args.steps // 10),
+        max_steps=args.steps,
+        batch_size=args.batch_size,
+        log_interval=50,
+        eval_interval=max(args.steps // 6, 100),
+        save_interval=max(args.steps // 2, 500),
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_path=os.path.join(args.checkpoint_dir, "metrics.jsonl"),
+    )
+
+    logger.info("Devices: %s", jax.devices())
+    logger.info("Speaker encoder config: %s", cfg)
+    model = SpeakerClassifier(config=cfg)
+    trainer = SpeakerTrainer(
+        model, train_cfg, cycle(train_loader), lambda: iter(eval_loader)
+    )
+    logger.info("Parameters: %s", f"{count_parameters(trainer.params):,}")
+    trainer.train()
+
+    artifact = os.path.join(args.checkpoint_dir, "final_speaker")
+    save_speaker_artifact(artifact, cfg, jax.device_get(trainer.params))
+    logger.info("Saved speaker artifact to %s", artifact)
+    logger.info(
+        "Benchmark with: scripts/diarize.py eval --speaker-model %s", artifact
+    )
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    from velocity_asr_tpu.diarize import (
+        DiarizeConfig,
+        Diarizer,
+        diarization_error_rate,
+    )
+    from velocity_asr_tpu.synth import SyntheticConversationDataset
+
+    ds = SyntheticConversationDataset(
+        n_convs=args.num_convs,
+        speakers_range=(args.min_speakers, args.max_speakers),
+        split=args.split,
+        seed=args.seed,
+    )
+    diar = Diarizer(
+        args.speaker_model,
+        config=DiarizeConfig(cluster_threshold=args.cluster_threshold),
+    )
+    results = []
+    for i in range(len(ds)):
+        item = ds[i]
+        n_spk = item["n_speakers"] if args.known_speakers else None
+        hyp = [s.to_dict() for s in diar.diarize(item["audio"], n_speakers=n_spk)]
+        der = diarization_error_rate(item["segments"], hyp, collar=args.collar)
+        der["n_speakers_ref"] = item["n_speakers"]
+        der["n_speakers_hyp"] = len({s["speaker"] for s in hyp})
+        results.append(der)
+        logger.info(
+            "conv %02d: DER %.2f%% (miss %.2fs fa %.2fs conf %.2fs / %.1fs)"
+            " ref_spk=%d hyp_spk=%d",
+            i, 100 * der["der"], der["miss"], der["false_alarm"],
+            der["confusion"], der["total"], der["n_speakers_ref"],
+            der["n_speakers_hyp"],
+        )
+
+    total = sum(r["total"] for r in results)
+    agg = {
+        "der": sum(r["miss"] + r["false_alarm"] + r["confusion"] for r in results)
+        / max(total, 1e-9),
+        "miss_rate": sum(r["miss"] for r in results) / max(total, 1e-9),
+        "fa_rate": sum(r["false_alarm"] for r in results) / max(total, 1e-9),
+        "confusion_rate": sum(r["confusion"] for r in results) / max(total, 1e-9),
+        "mean_der": float(np.mean([r["der"] for r in results])),
+        "speaker_count_accuracy": float(
+            np.mean([r["n_speakers_hyp"] == r["n_speakers_ref"] for r in results])
+        ),
+        "n_conversations": len(results),
+        "total_speech_s": total,
+        "collar": args.collar,
+        "known_speakers": bool(args.known_speakers),
+        "speaker_model": args.speaker_model,
+    }
+    logger.info(
+        "Aggregate DER %.2f%% (miss %.2f%% fa %.2f%% conf %.2f%%) over %d "
+        "conversations, %.0fs speech; speaker-count accuracy %.0f%%",
+        100 * agg["der"], 100 * agg["miss_rate"], 100 * agg["fa_rate"],
+        100 * agg["confusion_rate"], len(results), total,
+        100 * agg["speaker_count_accuracy"],
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(agg, f, indent=2)
+        logger.info("Wrote %s", args.out)
+
+
+def cmd_files(args):
+    import numpy as np
+
+    from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
+    from velocity_asr_tpu.diarize import DiarizeConfig, Diarizer
+
+    diar = Diarizer(
+        args.speaker_model,
+        config=DiarizeConfig(cluster_threshold=args.cluster_threshold),
+    )
+
+    transcriber = None
+    if args.asr_model:
+        from scripts.transcribe import Transcriber
+        from velocity_asr_tpu.decode import (
+            CTCDecoder,
+            create_default_vocabulary,
+        )
+        from velocity_asr_tpu.models.model import from_pretrained
+
+        model, params = from_pretrained(args.asr_model)
+        vocab_path = os.path.join(args.asr_model, "vocabulary.json")
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                vocabulary = json.load(f)
+        else:
+            vocabulary = create_default_vocabulary(model.config.vocab_size)
+        transcriber = Transcriber(model, params, CTCDecoder(vocabulary))
+
+    out = []
+    for path in args.audio:
+        try:
+            audio = np.asarray(load_audio(path), np.float32)
+            segs = diar.diarize(audio, n_speakers=args.num_speakers)
+            if transcriber is not None and segs:
+                clips = [
+                    audio[int(s.start * SAMPLE_RATE): int(s.end * SAMPLE_RATE)]
+                    for s in segs
+                ]
+                texts = transcriber.transcribe_batch(clips)
+                for s, r in zip(segs, texts):
+                    s.text = r["text"]
+            out.append({
+                "file": path,
+                "segments": [s.to_dict() for s in segs],
+            })
+        except Exception as e:  # per-file isolation, like transcribe.py
+            logger.error("%s failed: %s", path, e)
+            out.append({"file": path, "error": str(e)})
+
+    if args.json or args.output:
+        payload = json.dumps(out, indent=2)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(payload)
+        else:
+            print(payload)
+    else:
+        for rec in out:
+            print(rec["file"])
+            for s in rec.get("segments", []):
+                line = f"  [{s['start']:8.2f} - {s['end']:8.2f}] spk{s['speaker']}"
+                if "text" in s:
+                    line += f": {s['text']}"
+                print(line)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="VELOCITY-ASR speaker diarization")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train the speaker-embedding encoder")
+    t.add_argument("--checkpoint-dir", default="./checkpoints/speaker_run")
+    t.add_argument("--num-speakers", type=int, default=64)
+    t.add_argument("--utts-per-speaker", type=int, default=200)
+    t.add_argument("--steps", type=int, default=3000)
+    t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--d-model", type=int, default=128)
+    t.add_argument("--layers", type=int, default=4)
+    t.add_argument("--embedding-dim", type=int, default=128)
+    t.add_argument("--frame-bucket", type=int, default=100)
+    t.add_argument("--bf16", action="store_true")
+    t.add_argument("--seed", type=int, default=1234)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="synthetic-conversation DER benchmark")
+    e.add_argument("--speaker-model", required=True)
+    e.add_argument("--num-convs", type=int, default=20)
+    e.add_argument("--min-speakers", type=int, default=2)
+    e.add_argument("--max-speakers", type=int, default=4)
+    e.add_argument("--split", default="test")
+    e.add_argument("--seed", type=int, default=1234)
+    e.add_argument("--collar", type=float, default=0.25)
+    e.add_argument("--cluster-threshold", type=float, default=0.45)
+    e.add_argument("--known-speakers", action="store_true",
+                   help="give the clusterer the true speaker count")
+    e.add_argument("--out", help="write aggregate JSON here")
+    e.set_defaults(fn=cmd_eval)
+
+    f = sub.add_parser("files", help="diarize audio files")
+    f.add_argument("audio", nargs="+")
+    f.add_argument("--speaker-model", required=True)
+    f.add_argument("--asr-model",
+                   help="ASR checkpoint: adds per-segment transcripts "
+                        "(speaker-attributed transcription)")
+    f.add_argument("--num-speakers", type=int, default=None,
+                   help="pin the speaker count (default: infer)")
+    f.add_argument("--cluster-threshold", type=float, default=0.45)
+    f.add_argument("--json", action="store_true")
+    f.add_argument("--output")
+    f.set_defaults(fn=cmd_files)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

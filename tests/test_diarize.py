@@ -1,0 +1,380 @@
+"""Speaker diarization: synth speaker profiles/conversations, the
+embedding model + trainer, VAD/windowing, DER, and the full pipeline.
+
+The reference lists speaker diarization as a planned extension
+(reference README.md:483) with no code — there is no golden oracle;
+these tests pin the subsystem's own contracts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from velocity_asr_tpu.diarize import (
+    DiarizeConfig,
+    Diarizer,
+    SpeakerClassifier,
+    SpeakerEncoder,
+    SpeakerEncoderConfig,
+    am_softmax_loss,
+    cluster_embeddings,
+    diarization_error_rate,
+    energy_vad,
+    is_speaker_artifact,
+    load_speaker_artifact,
+    masked_stats_pool,
+    save_speaker_artifact,
+    speech_regions,
+    window_plan,
+)
+from velocity_asr_tpu.synth import (
+    SpeakerProfile,
+    SyntheticConversationDataset,
+    SyntheticSpeakerDataset,
+    SynthVoice,
+    render_conversation,
+)
+
+
+# ----- DER metric ---------------------------------------------------------------
+
+
+class TestDER:
+    def test_perfect(self):
+        ref = [(0.0, 2.0, "a"), (3.0, 5.0, "b")]
+        hyp = [(0.0, 2.0, 7), (3.0, 5.0, 9)]
+        r = diarization_error_rate(ref, hyp, collar=0.0)
+        assert r["der"] == 0.0 and r["total"] == 4.0
+
+    def test_label_permutation_invariance(self):
+        ref = [(0, 2, "a"), (2, 4, "b"), (4, 6, "a")]
+        hyp1 = [(0, 2, 0), (2, 4, 1), (4, 6, 0)]
+        hyp2 = [(0, 2, 1), (2, 4, 0), (4, 6, 1)]
+        assert diarization_error_rate(ref, hyp1, collar=0.0)["der"] == 0.0
+        assert diarization_error_rate(ref, hyp2, collar=0.0)["der"] == 0.0
+
+    def test_confusion(self):
+        # b's two seconds credited to the same cluster as a -> confusion
+        ref = [(0, 2, "a"), (3, 5, "b")]
+        hyp = [(0, 2, 0), (3, 5, 0)]
+        r = diarization_error_rate(ref, hyp, collar=0.0)
+        assert r["confusion"] == pytest.approx(2.0)
+        assert r["der"] == pytest.approx(0.5)
+
+    def test_miss_and_false_alarm(self):
+        ref = [(0, 4, "a")]
+        hyp = [(0, 2, 0), (6, 7, 0)]
+        r = diarization_error_rate(ref, hyp, collar=0.0)
+        assert r["miss"] == pytest.approx(2.0)
+        assert r["false_alarm"] == pytest.approx(1.0)
+        assert r["der"] == pytest.approx(3.0 / 4.0)
+
+    def test_collar_forgives_boundary_jitter(self):
+        ref = [(0.0, 2.0, "a"), (3.0, 5.0, "b")]
+        hyp = [(0.15, 2.1, 0), (2.9, 5.2, 1)]
+        assert diarization_error_rate(ref, hyp, collar=0.25)["der"] == 0.0
+        assert diarization_error_rate(ref, hyp, collar=0.0)["der"] > 0.0
+
+    def test_overlapping_reference(self):
+        # two speakers at once: hyp that finds only one misses the other
+        ref = [(0, 2, "a"), (1, 2, "b")]
+        hyp = [(0, 2, 0)]
+        r = diarization_error_rate(ref, hyp, collar=0.0)
+        assert r["total"] == pytest.approx(3.0)
+        assert r["miss"] == pytest.approx(1.0)
+
+    def test_empty_hypothesis(self):
+        r = diarization_error_rate([(0, 2, "a")], [], collar=0.0)
+        assert r["der"] == 1.0 and r["miss"] == 2.0
+
+
+# ----- synth speaker layer -------------------------------------------------------
+
+
+class TestSynthSpeakers:
+    def test_profiles_deterministic(self):
+        a = SpeakerProfile.for_id(3, seed=1234)
+        b = SpeakerProfile.for_id(3, seed=1234)
+        c = SpeakerProfile.for_id(4, seed=1234)
+        assert a == b and a != c
+
+    def test_profile_render_shares_voice(self):
+        voice = SynthVoice(seed=1)
+        p = SpeakerProfile.for_id(0)
+        rng1 = np.random.default_rng(10)
+        rng2 = np.random.default_rng(20)
+        a = voice.render("hello world", rng1, profile=p)
+        b = voice.render("other words", rng2, profile=p)
+        assert a.dtype == np.float32 and b.dtype == np.float32
+        # per-utterance jitter is small around profile constants
+        assert len(a) != len(b)
+
+    def test_render_default_path_unchanged(self):
+        """profile=None must stay byte-identical to the pre-profile corpus
+        (committed checkpoints were evaluated against it)."""
+        voice = SynthVoice(seed=1234)
+        a = voice.render("abc def", np.random.default_rng(42))
+        b = voice.render("abc def", np.random.default_rng(42), profile=None)
+        np.testing.assert_array_equal(a, b)
+
+    def test_conversation_segments_consistent(self):
+        ds = SyntheticConversationDataset(n_convs=2, seed=7)
+        item = ds[0]
+        audio, segs = item["audio"], item["segments"]
+        dur = len(audio) / 16000
+        assert len(segs) >= 6
+        last_end = 0.0
+        for s in segs:
+            assert 0.0 <= s["start"] < s["end"] <= dur + 1e-6
+            assert s["start"] >= last_end  # non-overlapping turns
+            last_end = s["end"]
+            assert 0 <= s["speaker"] < item["n_speakers"]
+        # deterministic
+        item2 = SyntheticConversationDataset(n_convs=2, seed=7)[0]
+        np.testing.assert_array_equal(audio, item2["audio"])
+
+    def test_speaker_dataset_contract(self):
+        ds = SyntheticSpeakerDataset(n_speakers=4, utts_per_speaker=3)
+        assert len(ds) == 12
+        it = ds[5]
+        assert it["targets"].shape == (1,)
+        assert it["targets"][0] == 5 % 4
+        assert it["mel_spectrogram"].shape[1] == 80
+        # eval split: same speakers, different utterances
+        ev = SyntheticSpeakerDataset(n_speakers=4, utts_per_speaker=3, split="eval")
+        assert ev[5]["text"] != it["text"]
+
+
+# ----- VAD / windowing -----------------------------------------------------------
+
+
+class TestVadWindows:
+    def test_vad_finds_speech(self):
+        ds = SyntheticConversationDataset(n_convs=1, seed=7)
+        item = ds[0]
+        from velocity_asr_tpu.audio import compute_mel_spectrogram_np
+
+        mel = compute_mel_spectrogram_np(item["audio"], normalize=False)
+        speech = energy_vad(mel)
+        ref = np.zeros(len(speech), bool)
+        for s in item["segments"]:
+            ref[int(s["start"] * 100): int(s["end"] * 100)] = True
+        inter = (speech & ref).sum()
+        assert inter / ref.sum() > 0.8  # recall
+        assert inter / max(speech.sum(), 1) > 0.9  # precision
+
+    def test_vad_silence(self):
+        from velocity_asr_tpu.audio import compute_mel_spectrogram_np
+
+        mel = compute_mel_spectrogram_np(
+            np.zeros(16000, np.float32), normalize=False
+        )
+        assert energy_vad(mel).sum() == 0
+
+    def test_speech_regions(self):
+        m = np.array([0, 1, 1, 0, 0, 1, 0], bool)
+        assert speech_regions(m) == [(1, 3), (5, 6)]
+
+    def test_window_plan_short_region(self):
+        assert window_plan([(10, 50)], window=150, hop=40) == [(10, 40)]
+
+    def test_window_plan_covers_tail(self):
+        plan = window_plan([(0, 400)], window=150, hop=100)
+        assert plan[0] == (0, 150)
+        assert plan[-1] == (250, 150)  # flushed to region end
+        covered_end = max(s + v for s, v in plan)
+        assert covered_end == 400
+
+
+# ----- model / loss --------------------------------------------------------------
+
+
+def tiny_cfg(**kw):
+    d = dict(d_model=32, ssm_layers=1, ssm_state_dim=8, embedding_dim=16,
+             n_speakers=4, dropout=0.0)
+    d.update(kw)
+    return SpeakerEncoderConfig(**d)
+
+
+class TestSpeakerModel:
+    def test_encoder_shapes_and_norm(self):
+        cfg = tiny_cfg()
+        enc = SpeakerEncoder(config=cfg)
+        mel = jnp.asarray(np.random.default_rng(0).normal(size=(3, 40, 80)),
+                          jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), mel, train=False)["params"]
+        emb = enc.apply({"params": params}, mel,
+                        input_lengths=jnp.array([40, 20, 9]))
+        assert emb.shape == (3, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-4
+        )
+
+    def test_masking_ignores_padding(self):
+        cfg = tiny_cfg()
+        enc = SpeakerEncoder(config=cfg)
+        rng = np.random.default_rng(0)
+        mel_short = jnp.asarray(rng.normal(size=(1, 20, 80)), jnp.float32)
+        pad = jnp.concatenate(
+            [mel_short, 999.0 * jnp.ones((1, 20, 80), jnp.float32)], axis=1
+        )
+        params = enc.init(jax.random.PRNGKey(0), mel_short, train=False)["params"]
+        a = enc.apply({"params": params}, mel_short,
+                      input_lengths=jnp.array([20]))
+        b = enc.apply({"params": params}, pad, input_lengths=jnp.array([20]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_masked_stats_pool(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 10, 4)).astype(np.float32)
+        valid = np.zeros((2, 10), bool)
+        valid[0, :6] = True
+        valid[1, :] = True
+        out = np.asarray(masked_stats_pool(jnp.asarray(x), jnp.asarray(valid)))
+        mean0 = x[0, :6].mean(axis=0)
+        std0 = np.sqrt(x[0, :6].var(axis=0) + 1e-8)
+        np.testing.assert_allclose(out[0, :4], mean0, atol=1e-5)
+        np.testing.assert_allclose(out[0, 4:], std0, atol=1e-5)
+
+    def test_am_softmax_margin_raises_loss(self):
+        # with the true class's cosine reduced by the margin, loss must be
+        # strictly higher than plain softmax CE on the same cosines
+        cos = jnp.asarray([[0.9, 0.1, 0.0, 0.0]])
+        labels = jnp.asarray([0])
+        with_margin = am_softmax_loss(cos, labels, margin=0.3, scale=10.0)
+        no_margin = am_softmax_loss(cos, labels, margin=0.0, scale=10.0)
+        assert float(with_margin) > float(no_margin)
+
+    def test_artifact_roundtrip(self, tmp_path):
+        cfg = tiny_cfg()
+        model = SpeakerClassifier(config=cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32),
+            train=False,
+        )["params"]
+        path = str(tmp_path / "spk")
+        save_speaker_artifact(path, cfg, params)
+        assert is_speaker_artifact(path)
+        cfg2, params2 = load_speaker_artifact(path)
+        assert cfg2 == cfg
+        leaves1 = jax.tree_util.tree_leaves(params)
+        leaves2 = jax.tree_util.tree_leaves(params2)
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ----- clustering / pipeline -----------------------------------------------------
+
+
+class TestClustering:
+    def test_known_k(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(10, 8)) * 0.05 + np.eye(8)[0]
+        b = rng.normal(size=(10, 8)) * 0.05 + np.eye(8)[3]
+        emb = np.concatenate([a, b])
+        labels = cluster_embeddings(emb, n_speakers=2)
+        assert len(set(labels[:10])) == 1
+        assert len(set(labels[10:])) == 1
+        assert labels[0] != labels[10]
+
+    def test_threshold_infers_k(self):
+        rng = np.random.default_rng(0)
+        clusters = [np.eye(8)[i] for i in (0, 2, 5)]
+        emb = np.concatenate(
+            [rng.normal(size=(8, 8)) * 0.03 + c for c in clusters]
+        )
+        labels = cluster_embeddings(emb, threshold=0.5)
+        assert len(set(labels.tolist())) == 3
+
+    def test_single_window(self):
+        labels = cluster_embeddings(np.ones((1, 4)))
+        assert labels.tolist() == [0]
+
+
+class TestPipeline:
+    def test_diarize_mechanics(self):
+        """Untrained encoder: structural guarantees only (segments within
+        the audio, inside VAD speech, labels 0..K-1)."""
+        cfg = tiny_cfg()
+        model = SpeakerClassifier(config=cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32),
+            train=False,
+        )["params"]
+        diar = Diarizer(encoder_config=cfg, encoder_params=params["encoder"],
+                        config=DiarizeConfig(batch_bucket=16))
+        item = SyntheticConversationDataset(n_convs=1, seed=7)[0]
+        segs = diar.diarize(item["audio"], n_speakers=item["n_speakers"])
+        dur = len(item["audio"]) / 16000
+        assert segs, "no segments found"
+        labels = {s.speaker for s in segs}
+        assert labels <= set(range(item["n_speakers"]))
+        prev_end = 0.0
+        for s in segs:
+            assert 0.0 <= s.start < s.end <= dur + 1e-6
+            assert s.start >= prev_end - 1e-9
+            prev_end = s.end
+
+    @pytest.mark.slow
+    def test_trained_embeddings_separate_unseen_voices(self, tmp_path):
+        """A briefly trained tiny encoder must embed UNSEEN speakers with a
+        clear intra- vs inter-speaker cosine gap (the property the
+        clusterer needs; the full-scale DER benchmark is
+        scripts/diarize.py eval — BENCH_DETAILS_r03.md)."""
+        from velocity_asr_tpu.data import ASRCollator, DataLoader, cycle
+        from velocity_asr_tpu.diarize import (
+            SpeakerTrainer,
+            scalar_normalize_mel,
+        )
+        from velocity_asr_tpu.audio import compute_mel_spectrogram_np
+        from velocity_asr_tpu.synth import _char_seed, sample_sentence
+        from velocity_asr_tpu.training import TrainingConfig
+
+        cfg = tiny_cfg(n_speakers=8, d_model=48, embedding_dim=32)
+        ds = SyntheticSpeakerDataset(
+            n_speakers=8, utts_per_speaker=24, max_words=3
+        )
+        loader = DataLoader(
+            ds, batch_size=16, shuffle=True, drop_last=True,
+            collate_fn=ASRCollator(frame_bucket=100, target_bucket=1),
+        )
+        tc = TrainingConfig(
+            learning_rate=2e-3, warmup_steps=20, max_steps=250,
+            batch_size=16, log_interval=100, eval_interval=10**9,
+            save_interval=10**9, checkpoint_dir=str(tmp_path),
+        )
+        trainer = SpeakerTrainer(
+            SpeakerClassifier(config=cfg), tc, cycle(loader)
+        )
+        first = trainer.train_step(next(iter(loader)))["loss"]
+        trainer.train()
+        last = trainer.train_step(next(iter(loader)))["loss"]
+        assert last < first * 0.7, (first, last)
+
+        enc = SpeakerEncoder(config=cfg)
+        params = jax.device_get(trainer.params)["encoder"]
+        voice = ds.voice
+        embs, labs = [], []
+        for k in range(4):  # UNSEEN speakers (held-out id range)
+            prof = SpeakerProfile.for_id(3_000_000 + k, seed=1234)
+            for u in range(6):
+                rng = _char_seed(1234, "gap_probe", k, u)
+                text = sample_sentence(ds.lexicon, rng, 2, 3)
+                audio = voice.render(text, rng, profile=prof)
+                mel = scalar_normalize_mel(
+                    compute_mel_spectrogram_np(audio, normalize=False)
+                )
+                e = enc.apply(
+                    {"params": params}, jnp.asarray(mel)[None],
+                    input_lengths=jnp.array([mel.shape[0]]),
+                )
+                embs.append(np.asarray(e)[0])
+                labs.append(k)
+        embs, labs = np.stack(embs), np.array(labs)
+        sim = embs @ embs.T
+        same = (labs[:, None] == labs[None, :]) & ~np.eye(len(labs), dtype=bool)
+        intra = sim[same].mean()
+        inter = sim[~same & ~np.eye(len(labs), dtype=bool)].mean()
+        assert intra > inter + 0.15, (intra, inter)
