@@ -12,7 +12,9 @@ Endpoints:
       body: audio file bytes (WAV or FLAC; decoded by the native decoder)
       query: ?timestamps=1 adds word timings, ?beam=N uses beam search,
              ?hotwords=a,b&hotword_weight=W biases the beam toward the
-             request's custom vocabulary (requires beam > 1)
+             request's custom vocabulary (requires beam > 1),
+             ?identify_language=1 adds the LID head's prediction
+             (models trained with num_languages > 0)
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
@@ -122,12 +124,16 @@ class ASRService:
         logger.info("Model loaded: %s", self.model.config)
 
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
-                         hotwords: str = "", hotword_weight: float = 2.0):
+                         hotwords: str = "", hotword_weight: float = 2.0,
+                         identify_language: bool = False):
         from velocity_asr_tpu.audio import load_audio
 
         if timestamps and beam > 1:
             raise BadRequest("beam search with timestamps is not supported; "
                              "drop one of ?timestamps / ?beam")
+        if identify_language and self.transcriber.num_languages <= 0:
+            raise BadRequest("?identify_language needs a model with a LID "
+                             "head (trained with num_languages > 0)")
         eff_beam = beam if beam > 0 else self.transcriber.beam_width
         booster = None
         if hotwords:
@@ -171,6 +177,11 @@ class ASRService:
             # greedy path: coalesced into one batched device call with any
             # other requests in flight
             result = self.batcher.submit(audio).result()
+        if identify_language:
+            # Separate jitted LID call under the lock (both request paths);
+            # see transcribe.Transcriber.language_probs.
+            with self.lock:
+                self.transcriber._lid_result(audio, result)
         result["rtf"] = (time.perf_counter() - t0) / max(result["duration"], 1e-9)
         return result
 
@@ -219,9 +230,13 @@ def make_handler(service: ASRService):
                 except ValueError as e:
                     raise BadRequest(f"invalid query value: {e}") from e
                 hotwords = q.get("hotwords", [""])[0]
+                identify_language = (
+                    q.get("identify_language", ["0"])[0] in ("1", "true")
+                )
                 result = service.transcribe_bytes(
                     data, timestamps, beam,
                     hotwords=hotwords, hotword_weight=hotword_weight,
+                    identify_language=identify_language,
                 )
                 self._send(200, result)
             except BadRequest as e:

@@ -77,13 +77,18 @@ def build_data(data_cfg, model_cfg, batch_size, logger):
         # pretraining recipe draws its "unlabeled" pool from a different
         # split than the supervised data (scripts/pretrain.py).
         split = str(data_cfg.get("synthetic_split", "train"))
+        # Multilingual corpus (language-ID training): >1 mixes the synth
+        # languages and items carry per-utterance "language" labels that
+        # feed training.lid_loss_weight.
+        langs = int(data_cfg.get("synthetic_languages", 1))
         train_ds = SyntheticSpeechDataset(
             n_synth, split=split, seed=seed, min_words=min_w,
-            max_words=max_w, device_mel=device_mel,
+            max_words=max_w, device_mel=device_mel, languages=langs,
         )
         eval_ds = SyntheticSpeechDataset(
             max(64, n_synth // 100), split=f"{split}_dev" if split != "train" else "dev",
             seed=seed, min_words=min_w, max_words=max_w, device_mel=device_mel,
+            languages=langs,
         )
         # frame_bucket 200 keeps the number of compiled train-step shapes
         # at ~3 for the 1-6 s synthetic utterances (first TPU compiles

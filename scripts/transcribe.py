@@ -171,6 +171,32 @@ class Transcriber:
         self._greedy_tokens = jax.jit(greedy_tokens)
         self._frame_preds = jax.jit(frame_preds)
 
+        # Language identification (models with num_languages > 0): the LID
+        # head's posterior, pooled over the valid output frames only.
+        self.num_languages = int(getattr(model.config, "num_languages", 0) or 0)
+        if self.num_languages > 0:
+            def lid_probs_mel(params, mel, out_len):
+                _, feats = forward(
+                    model, params, mel, train=False,
+                    return_features=True, feature_lengths=out_len,
+                )
+                return jax.nn.softmax(
+                    feats["lid_logits"].astype(jnp.float32), axis=-1
+                )
+
+            def lid_probs_audio(params, audio, n_valid_frames):
+                if audio.dtype == jnp.int16:
+                    audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+                mel = compute_mel_spectrogram(audio, normalize=False)
+                mel = masked_normalize_mel(mel, n_valid_frames)
+                out_len = (
+                    jnp.asarray(n_valid_frames, jnp.int32).reshape(-1) + 1
+                ) // 2
+                return lid_probs_mel(params, mel, out_len)
+
+            self._lid_probs_mel = jax.jit(lid_probs_mel)
+            self._lid_probs_audio = jax.jit(lid_probs_audio)
+
     def frame_bucket_of(self, audio: np.ndarray) -> int:
         """The frame bucket this utterance pads to on its own. The serving
         micro-batcher groups requests by this value: the global-context
@@ -215,9 +241,42 @@ class Transcriber:
         out_len = (n_frames + 1) // 2
         return logits[:, :out_len], out_len
 
+    def language_probs(self, audio: np.ndarray) -> np.ndarray:
+        """Posterior over the model's languages for one utterance
+        (the LID head; requires model config num_languages > 0)."""
+        if self.num_languages <= 0:
+            raise ValueError(
+                "this model has no language-ID head (num_languages=0); "
+                "train with model output.num_languages > 0 and "
+                "training.lid_loss_weight > 0"
+            )
+        n_frames = 1 + len(audio) // self.hop
+        if self.device_mel:
+            padded, n_frames = self._pad_audio(audio)
+            probs = self._lid_probs_audio(
+                self.params, self._jnp.asarray(self._to_wire(padded)), n_frames
+            )
+        else:
+            bucket = -(-n_frames // self.frame_bucket) * self.frame_bucket
+            mel = self._mel(audio)
+            mel_padded = np.zeros((1, bucket, mel.shape[1]), np.float32)
+            mel_padded[0, : mel.shape[0]] = mel
+            out_len = np.asarray([(n_frames + 1) // 2], np.int32)
+            probs = self._lid_probs_mel(
+                self.params, self._jnp.asarray(mel_padded), out_len
+            )
+        return np.asarray(probs)[0]
+
+    def _lid_result(self, audio: np.ndarray, result: dict) -> None:
+        probs = self.language_probs(audio)
+        result["language"] = int(np.argmax(probs))
+        result["language_prob"] = float(np.max(probs))
+        result["language_probs"] = [float(p) for p in probs]
+
     def transcribe_array(self, audio: np.ndarray, timestamps: bool = False,
                          beam_width: int = None, lm_scorer=None,
-                         lm_weight: float = None):
+                         lm_weight: float = None,
+                         identify_language: bool = False):
         """Transcribe one utterance. `beam_width` / `lm_scorer` /
         `lm_weight` override the instance defaults for this call (serving
         passes each request's values instead of mutating shared state
@@ -231,6 +290,8 @@ class Transcriber:
         if lm_weight is None:
             lm_weight = self.lm_weight
         result = {"duration": len(audio) / self.sr}
+        if identify_language:
+            self._lid_result(audio, result)
         if not self.device_mel:
             # host-mel fallback: decode from downloaded logits
             logits, _ = self.logits_for(audio)
@@ -322,12 +383,14 @@ class Transcriber:
             for i, a in enumerate(audios)
         ]
 
-    def transcribe_file(self, path: str, timestamps: bool = False):
+    def transcribe_file(self, path: str, timestamps: bool = False,
+                        identify_language: bool = False):
         from velocity_asr_tpu.audio import load_audio
 
         t0 = time.perf_counter()
         audio = load_audio(path)
-        result = self.transcribe_array(audio, timestamps=timestamps)
+        result = self.transcribe_array(audio, timestamps=timestamps,
+                                       identify_language=identify_language)
         result["file"] = path
         result["rtf"] = (time.perf_counter() - t0) / max(result["duration"], 1e-9)
         return result
@@ -426,6 +489,12 @@ def main():
         help="shard the SSM scans' time axis across all local devices "
              "(sequence parallelism for long-form audio; SURVEY.md §2.4)",
     )
+    parser.add_argument(
+        "--identify-language", action="store_true",
+        help="also report the language-ID head's prediction (models "
+             "trained with num_languages > 0; the reference's planned "
+             "multilingual extension, README.md:480)",
+    )
     args = parser.parse_args()
 
     if not args.audio and not args.input_dir:
@@ -451,6 +520,9 @@ def main():
     if args.lm and args.streaming:
         parser.error("--lm is not supported with --streaming (streaming "
                      "decodes greedily per chunk)")
+    if args.identify_language and args.streaming:
+        parser.error("--identify-language is not supported with --streaming "
+                     "(the LID head pools over the full utterance)")
 
     from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
     from velocity_asr_tpu.models.model import from_pretrained
@@ -501,6 +573,10 @@ def main():
         scorer, scorer_weight = None, 0.0
     pipeline = Transcriber(model, params, decoder, beam_width=args.beam_width,
                            lm_scorer=scorer, lm_weight=scorer_weight)
+    if args.identify_language and pipeline.num_languages <= 0:
+        parser.error("--identify-language requires a model with a LID head "
+                     "(trained with output.num_languages > 0); this "
+                     "checkpoint has none")
     streamer = None
     if args.streaming:
         streamer = make_streaming_transcriber(
@@ -520,9 +596,15 @@ def main():
                 if args.streaming:
                     result = transcribe_streaming(streamer, path)
                 else:
-                    result = pipeline.transcribe_file(path, timestamps=args.timestamps)
+                    result = pipeline.transcribe_file(
+                        path, timestamps=args.timestamps,
+                        identify_language=args.identify_language,
+                    )
                 results.append(result)
                 logger.info("%s -> %s (RTF %.4f)", path, result["text"], result["rtf"])
+                if "language" in result:
+                    logger.info("%s -> language %d (p=%.3f)", path,
+                                result["language"], result["language_prob"])
             except Exception as e:  # per-file isolation (reference :278-279)
                 logger.error("Failed on %s: %s", path, e)
                 results.append({"file": path, "error": str(e)})

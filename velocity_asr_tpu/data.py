@@ -125,6 +125,10 @@ class ASRDataset:
             "target_lengths": np.int32(len(tokens)),
             "text": text,
         }
+        if "language" in sample:
+            # Optional integer language-ID label (multilingual training;
+            # feeds the model's LID head via training.lid_loss_weight).
+            item["language"] = np.int32(sample["language"])
         if self.device_mel:
             item["audio"] = np.asarray(audio, np.float32)
             item["input_lengths"] = np.int32(1 + len(audio) // HOP_LENGTH)
@@ -185,13 +189,26 @@ class ASRCollator:
             target_lengths[i] = item["target_lengths"]
             texts.append(item.get("text", ""))
 
-        return {
+        out = {
             "mel_spectrogram": mels,
             "targets": targets,
             "input_lengths": input_lengths,
             "target_lengths": target_lengths,
             "texts": texts,
         }
+        self._collate_language(batch, out)
+        return out
+
+    @staticmethod
+    def _collate_language(batch, out):
+        # Utterance-level language-ID labels (multilingual training; the
+        # reference's planned extension, README.md:480). Optional: datasets
+        # without labels produce batches without the key and the Trainer's
+        # LID term stays off.
+        if "language" in batch[0]:
+            out["language"] = np.asarray(
+                [item["language"] for item in batch], np.int32
+            )
 
     def _collate_audio(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
         """device-mel collation: pad raw audio instead of mel.
@@ -235,13 +252,15 @@ class ASRCollator:
             target_lengths[i] = item["target_lengths"]
             texts.append(item.get("text", ""))
 
-        return {
+        out = {
             "audio": audio,
             "targets": targets,
             "input_lengths": input_lengths,
             "target_lengths": target_lengths,
             "texts": texts,
         }
+        self._collate_language(batch, out)
+        return out
 
 
 class DataLoader:

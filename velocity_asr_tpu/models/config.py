@@ -90,6 +90,16 @@ class VelocityASRConfig:
     # the round-1 streaming accuracy gap.
     stream_summary_tokens: int = 64
     stream_memory_chunks: int = 16
+    # Multi-lingual support (the reference's first "Planned Extension",
+    # README.md:480 — "Extended pre-training on multi-lingual datasets
+    # with language identification"; no code exists there). When > 0 the
+    # model grows an utterance-level language-identification head (a
+    # masked mean-pool over the fused features into a num_languages-way
+    # classifier); the Trainer adds a CE term when batches carry a
+    # "language" label (training.lid_loss_weight) and transcribe/serve
+    # expose the prediction (--identify-language). 0 = no LID head
+    # (checkpoint-compatible with every earlier artifact).
+    num_languages: int = 0
 
     @property
     def compute_dtype(self):

@@ -49,6 +49,7 @@ class VelocityASR(nn.Module):
         time_offset: int = 0,
         return_state: bool = False,
         frozen_mem: bool = False,
+        feature_lengths: Optional[jnp.ndarray] = None,
     ):
         """Full forward, or one streaming chunk step.
 
@@ -68,6 +69,12 @@ class VelocityASR(nn.Module):
         chunk: callers re-decoding an old chunk must discard the returned
         state (streaming.py _emit does). Requires a warm stream_state from
         at least one advancing step. See streaming.py lookahead_chunks.
+
+        feature_lengths (optional, offline only): per-utterance valid
+        OUTPUT-frame counts ((input_lengths + 1) // 2) used to mask
+        padding out of the language-ID head's mean pool. Without it the
+        pool covers all frames (consistent with the rest of the model,
+        which ignores padding for reference parity).
         """
         cfg = self.config
         dtype = cfg.compute_dtype
@@ -179,6 +186,29 @@ class VelocityASR(nn.Module):
         )(fused_features, train)
         logits = logits.astype(jnp.float32)
 
+        lid_logits = None
+        if cfg.num_languages > 0 and not streaming:
+            # Language identification (reference README.md:480, planned
+            # extension): utterance-level classifier over a (optionally
+            # length-masked) mean pool of the fused features. fp32
+            # throughout — it is a tiny head and feeds a CE loss.
+            feats32 = fused_features.astype(jnp.float32)
+            if feature_lengths is not None:
+                mask = (
+                    jnp.arange(feats32.shape[1])[None, :]
+                    < feature_lengths[:, None]
+                )
+                denom = jnp.maximum(
+                    jnp.sum(mask, axis=1, keepdims=True), 1
+                ).astype(jnp.float32)
+                pooled = jnp.sum(feats32 * mask[..., None], axis=1) / denom
+            else:
+                pooled = jnp.mean(feats32, axis=1)
+            pooled = nn.LayerNorm(dtype=jnp.float32, name="lid_norm")(pooled)
+            lid_logits = nn.Dense(
+                cfg.num_languages, dtype=jnp.float32, name="lid_head"
+            )(pooled)
+
         if return_state:
             return logits, {
                 "mel_carry": mel_carry,
@@ -188,11 +218,14 @@ class VelocityASR(nn.Module):
                 "gc_init": new_gc_state["init"],
             }
         if return_features:
-            return logits, {
+            feats = {
                 "temporal_binding": x,
                 "local_features": local_features,
                 "fused_features": fused_features,
             }
+            if lid_logits is not None:
+                feats["lid_logits"] = lid_logits
+            return logits, feats
         return logits
 
     def get_output_length(self, input_length: int) -> int:
@@ -224,6 +257,7 @@ def forward(
     dropout_rng: Optional[jax.Array] = None,
     return_features: bool = False,
     quant_stats: Optional[Dict[str, Any]] = None,
+    feature_lengths: Optional[jnp.ndarray] = None,
 ):
     """Pure apply wrapper."""
     variables = {"params": params}
@@ -231,7 +265,8 @@ def forward(
         variables["quant_stats"] = quant_stats
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
     return model.apply(
-        variables, mel, train=train, return_features=return_features, rngs=rngs
+        variables, mel, train=train, return_features=return_features, rngs=rngs,
+        feature_lengths=feature_lengths,
     )
 
 

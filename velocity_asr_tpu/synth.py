@@ -206,6 +206,71 @@ def sample_sentence(lexicon: List[str], rng, min_words: int = 2, max_words: int 
     return " ".join(lexicon[int(rng.integers(0, len(lexicon)))] for _ in range(n))
 
 
+# ----- synthetic languages (multilingual / language-ID benchmark) -----------
+
+#: Per-language phonologies. All languages share the grapheme set (a-z +
+#: space) and therefore the acoustic phoneme inventory — like real
+#: languages sharing phones — but differ in which phonemes occur, their
+#: frequencies, and their sequencing (syllable patterns). That is exactly
+#: the signal a language-ID head must learn from audio. Language 0 is the
+#: base corpus lexicon (make_lexicon), so every existing checkpoint /
+#: eval artifact is "language 0" of the multilingual family.
+_LANGUAGE_PHONOLOGIES: List[Optional[Dict]] = [
+    None,  # language 0: make_lexicon's mixed-CV pseudo-words
+    {  # open-syllable language: small consonant set, strict CV, a/i/u
+        "consonants": "ptkmnsrlhw",
+        "vowels": "aiu",
+        "patterns": ["CV", "CVCV", "CVCVCV", "CVVCV", "CVCVCVCV"],
+    },
+    {  # cluster language: voiced/fricative consonants, closed syllables
+        "consonants": "bdgvzjfqxc",
+        "vowels": "eoy",
+        "patterns": ["CVC", "CCVC", "CVCC", "CVCCVC", "CCVCVC"],
+    },
+    {  # vowel-initial language: sonorants, vowel-heavy sequences
+        "consonants": "mnrlszt",
+        "vowels": "aeiouy",
+        "patterns": ["VCV", "VCCV", "VCVC", "VVCV", "VCVCVV"],
+    },
+]
+
+#: Languages available out of the box (model num_languages may be <= this).
+NUM_SYNTH_LANGUAGES = len(_LANGUAGE_PHONOLOGIES)
+
+
+def make_language_lexicon(
+    language: int, n_words: int = 1500, seed: int = 1234
+) -> List[str]:
+    """Deterministic pseudo-word lexicon for one synthetic language.
+
+    Language 0 reproduces make_lexicon(n_words, seed) exactly (corpus
+    continuity); languages 1..3 draw words from their phonology's
+    syllable patterns.
+    """
+    if not 0 <= language < NUM_SYNTH_LANGUAGES:
+        raise ValueError(
+            f"language {language} out of range 0..{NUM_SYNTH_LANGUAGES - 1}"
+        )
+    phon = _LANGUAGE_PHONOLOGIES[language]
+    if phon is None:
+        return make_lexicon(n_words, seed=seed)
+    rng = _char_seed(seed, "lexicon_lang", language)
+    cons, vows, patterns = phon["consonants"], phon["vowels"], phon["patterns"]
+    words, seen = [], set()
+    while len(words) < n_words:
+        pat = patterns[int(rng.integers(0, len(patterns)))]
+        w = "".join(
+            (cons if ch == "C" else vows)[
+                int(rng.integers(0, len(cons if ch == "C" else vows)))
+            ]
+            for ch in pat
+        )
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 class SyntheticSpeechDataset:
     """data.ASRDataset-compatible on-the-fly synthetic corpus.
 
@@ -224,6 +289,7 @@ class SyntheticSpeechDataset:
         max_words: int = 8,
         normalize_audio: bool = True,
         device_mel: bool = False,
+        languages: int = 1,
     ):
         self.n_utts = n_utts
         self.split = split
@@ -240,8 +306,23 @@ class SyntheticSpeechDataset:
                 "normalize_audio=False is not supported with device_mel "
                 "(the train step normalizes on device); use host mel"
             )
+        # Multilingual mode: each utterance draws a deterministic language
+        # and samples its sentence from that language's lexicon
+        # (make_language_lexicon). languages=1 is byte-identical to the
+        # monolingual corpus (language 0 IS the base lexicon) and items do
+        # not carry a "language" key, so every earlier artifact/eval is
+        # unchanged.
+        if not 1 <= languages <= NUM_SYNTH_LANGUAGES:
+            raise ValueError(
+                f"languages must be 1..{NUM_SYNTH_LANGUAGES}, got {languages}"
+            )
+        self.languages = languages
         self.voice = SynthVoice(seed=seed)
-        self.lexicon = make_lexicon(lexicon_words, seed=seed)
+        self.lexicons = [
+            make_language_lexicon(l, lexicon_words, seed=seed)
+            for l in range(languages)
+        ]
+        self.lexicon = self.lexicons[0]
         specials = ["<blank>", "<unk>", "<pad>"]
         chars = sorted(set(CHARS + " "))
         self.vocab = {tok: i for i, tok in enumerate(specials + chars)}
@@ -250,9 +331,21 @@ class SyntheticSpeechDataset:
     def __len__(self) -> int:
         return self.n_utts
 
+    def language_for(self, idx: int) -> int:
+        """Deterministic per-utterance language (uniform over languages).
+
+        A separate rng stream from the text draw, so languages=1 reproduces
+        the monolingual corpus exactly.
+        """
+        if self.languages == 1:
+            return 0
+        rng = _char_seed(self.seed, "lang", self.split, idx)
+        return int(rng.integers(0, self.languages))
+
     def text_for(self, idx: int) -> str:
         rng = _char_seed(self.seed, "text", self.split, idx)
-        return sample_sentence(self.lexicon, rng, self.min_words, self.max_words)
+        lexicon = self.lexicons[self.language_for(idx)]
+        return sample_sentence(lexicon, rng, self.min_words, self.max_words)
 
     def audio_for(self, idx: int, text: str | None = None) -> np.ndarray:
         # text may be passed in when the caller already sampled it (the
@@ -275,6 +368,8 @@ class SyntheticSpeechDataset:
             "target_lengths": np.int32(len(tokens)),
             "text": text,
         }
+        if self.languages > 1:
+            item["language"] = np.int32(self.language_for(idx))
         if self.device_mel:
             from .audio import HOP_LENGTH
 

@@ -107,6 +107,14 @@ class TrainingConfig:
     streaming_chunks: int = 0
     # loss = (1-w)*offline + w*streaming
     streaming_aux_weight: float = 0.5
+    # Language-identification auxiliary loss (multilingual training; the
+    # reference's planned extension, README.md:480 — no code exists there).
+    # Requires a model with config.num_languages > 0 (the LID head) and
+    # batches carrying an utterance-level "language" label (int32 [B], e.g.
+    # synth.SyntheticSpeechDataset(languages=K) or a manifest "language"
+    # field). loss = ctc + lid_loss_weight * cross_entropy(lid_logits).
+    # 0 disables (a labeled batch with weight 0 trains pure CTC).
+    lid_loss_weight: float = 0.0
     # Append per-log-interval metrics as JSON lines (the reference's wandb
     # stanza was unimplemented; this is the lightweight observability sink).
     metrics_path: Optional[str] = None
@@ -300,6 +308,15 @@ class Trainer:
 
             self.quant_stats = init_quant_stats(model, self.params)
 
+        if config.lid_loss_weight > 0 and model.config.num_languages <= 0:
+            # Misconfiguration, not a fallback: the LID loss needs the LID
+            # head (model.num_languages > 0) or the term silently trains
+            # nothing.
+            raise ValueError(
+                "training.lid_loss_weight > 0 requires a model with "
+                "num_languages > 0 (the language-ID head)"
+            )
+
         self.global_step = 0
         self.best_eval_loss = float("inf")
         self._rng = rng
@@ -450,6 +467,22 @@ class Trainer:
             return (jnp.sum(jnp.where(valid, per_example, 0.0))
                     / jnp.maximum(n_valid, 1))
 
+        # Language-ID auxiliary term (multilingual training): active iff
+        # the model has the head, the config asks for it, and the batch
+        # carries labels. A head-less model with lid_loss_weight > 0 is a
+        # misconfiguration caught in __init__.
+        want_lid = (
+            self.config.lid_loss_weight > 0
+            and self.model.config.num_languages > 0
+            and "language" in batch
+        )
+        fwd_kw = {}
+        if want_lid:
+            fwd_kw = {
+                "return_features": True,
+                "feature_lengths": output_lengths,
+            }
+
         new_stats = quant_stats
         if quant_stats is not None:
             # QAT forward: observers refresh inside the step; the mutated
@@ -461,17 +494,32 @@ class Trainer:
             if train:
                 logits, mutated = self.model.apply(
                     variables, mel, train=True, rngs=rngs,
-                    mutable=["quant_stats"],
+                    mutable=["quant_stats"], **fwd_kw,
                 )
                 new_stats = mutated["quant_stats"]
             else:
-                logits = self.model.apply(variables, mel, train=False)
+                logits = self.model.apply(variables, mel, train=False,
+                                          **fwd_kw)
         else:
             logits = forward(
                 self.model, params, mel, train=train,
-                dropout_rng=dropout_rng if train else None,
+                dropout_rng=dropout_rng if train else None, **fwd_kw,
             )
+        feats = None
+        if want_lid:
+            logits, feats = logits
         loss = masked_ctc(logits)
+
+        if want_lid:
+            lid_logits = feats["lid_logits"].astype(jnp.float32)
+            labels = batch["language"].astype(jnp.int32)
+            per_ex = optax.softmax_cross_entropy_with_integer_labels(
+                lid_logits, labels
+            )
+            valid = jnp.arange(per_ex.shape[0]) < n_valid
+            lid_ce = (jnp.sum(jnp.where(valid, per_ex, 0.0))
+                      / jnp.maximum(n_valid, 1))
+            loss = loss + self.config.lid_loss_weight * lid_ce
 
         if self.config.streaming_chunks and raw_mel is None and train:
             # Misconfiguration, not a fallback: without device_mel batches

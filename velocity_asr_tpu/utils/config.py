@@ -44,6 +44,9 @@ def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
         ),
         scan_mode=scan_mode,
         dtype=perf.get("dtype", model.get("dtype", "float32")),
+        # Multilingual: >0 grows the language-ID head (models/model.py).
+        num_languages=int(out.get("num_languages",
+                                  model.get("num_languages", 0))),
     )
 
 
@@ -77,6 +80,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         use_amp=bool(trn.get("use_amp", True)),
         streaming_chunks=int(trn.get("streaming_chunks", 0)),
         streaming_aux_weight=float(trn.get("streaming_aux_weight", 0.5)),
+        lid_loss_weight=float(trn.get("lid_loss_weight", 0.0)),
         log_interval=int(log.get("log_interval", 100)),
         eval_interval=int(log.get("eval_interval", 1000)),
         save_interval=int(ckpt.get("save_interval", 5000)),
