@@ -99,6 +99,12 @@ def main():
                              "max(64, L//8))")
     parser.add_argument("--stream-memory", type=int, default=None,
                         help="override config.stream_memory_chunks")
+    parser.add_argument("--identify-language", action="store_true",
+                        help="also measure language-ID accuracy and "
+                             "per-language WER (models trained with "
+                             "num_languages > 0 on a manifest whose rows "
+                             "carry 'language' labels, e.g. synth."
+                             "write_corpus(languages=K))")
     args = parser.parse_args()
 
     if not args.audio_dir and not args.test_set:
@@ -128,6 +134,13 @@ def main():
     if args.lm and args.streaming:
         parser.error("--lm is not supported with --streaming (streaming "
                      "decodes greedily per chunk)")
+    if args.identify_language and args.streaming:
+        parser.error("--identify-language is not supported with --streaming "
+                     "(the LID head pools over the full utterance)")
+    if args.identify_language and args.audio_dir:
+        parser.error("--identify-language accuracy needs --test-set with "
+                     "'language' labels; for per-file predictions use "
+                     "transcribe.py --identify-language")
 
     import jax
     import jax.numpy as jnp
@@ -318,6 +331,21 @@ def main():
             masked_logits(p, mel, input_lengths), beam_width=beam_width
         )
 
+    if args.identify_language:
+        if model.config.num_languages <= 0:
+            raise SystemExit("--identify-language requires a model with a "
+                             "LID head (trained with num_languages > 0); "
+                             "this checkpoint has none")
+
+        @jax.jit
+        def lid_pred(p, mel, input_lengths):
+            _, feats = forward(model, p, mel, train=False,
+                               quant_stats=quant_stats,
+                               return_features=True,
+                               feature_lengths=(input_lengths + 1) // 2)
+            return jnp.argmax(feats["lid_logits"], axis=-1)
+
+    lid_predictions, lid_labels = [], []
     predictions, references = [], []
     total_audio_s, total_wall = 0.0, 0.0
     for start in range(0, n, args.batch_size):
@@ -376,6 +404,18 @@ def main():
                 for b in range(toks.shape[0])
             )
         total_wall += time.perf_counter() - t0
+        if args.identify_language:
+            # outside the timed region: a separate diagnostic forward, not
+            # part of the transcription RTF
+            if "language" not in batch:
+                raise SystemExit("--identify-language: the test set's rows "
+                                 "carry no 'language' labels (regenerate "
+                                 "with synth.write_corpus(languages=K) or "
+                                 "add the field to the manifest)")
+            lid_predictions.extend(
+                int(x) for x in np.asarray(lid_pred(params, mel, in_lens))
+            )
+            lid_labels.extend(int(x) for x in batch["language"])
         references.extend(batch["texts"])
         total_audio_s += float(np.sum(batch["input_lengths"])) * 0.01  # 10ms hop
         if (start // args.batch_size) % 20 == 0:
@@ -387,23 +427,49 @@ def main():
     logger.info("WER: %.2f%% | CER: %.2f%% | RTF: %.5f | utts/s: %.2f",
                 wer * 100, cer * 100, rtf, n / max(total_wall, 1e-9))
 
+    lid = None
+    if args.identify_language:
+        correct = sum(p == l for p, l in zip(lid_predictions, lid_labels))
+        lid = {"accuracy": correct / max(len(lid_labels), 1),
+               "per_language": {}}
+        for lang in sorted(set(lid_labels)):
+            sel = [i for i, l in enumerate(lid_labels) if l == lang]
+            lid["per_language"][str(lang)] = {
+                "utterances": len(sel),
+                "lid_recall": sum(lid_predictions[i] == lang for i in sel)
+                / max(len(sel), 1),
+                "wer": compute_wer([predictions[i] for i in sel],
+                                   [references[i] for i in sel]),
+            }
+        logger.info("LID accuracy: %.2f%% over %d languages (%s)",
+                    lid["accuracy"] * 100, len(lid["per_language"]),
+                    ", ".join(f"L{k}: {v['lid_recall']*100:.1f}%/WER "
+                              f"{v['wer']*100:.2f}%"
+                              for k, v in lid["per_language"].items()))
+
     if args.output:
         with open(args.output, "w") as f:
-            json.dump(
-                {
-                    "wer": wer,
-                    "cer": cer,
-                    "rtf": rtf,
-                    "utterances": n,
-                    "results": [
-                        {"prediction": p, "reference": r}
-                        for p, r in zip(predictions, references)
-                    ],
-                },
-                f,
-                indent=2,
-            )
-    return {"wer": wer, "cer": cer, "rtf": rtf}
+            payload = {
+                "wer": wer,
+                "cer": cer,
+                "rtf": rtf,
+                "utterances": n,
+                "results": [
+                    {"prediction": p, "reference": r}
+                    for p, r in zip(predictions, references)
+                ],
+            }
+            if lid is not None:
+                payload["lid"] = lid
+                for rec, p, l in zip(payload["results"], lid_predictions,
+                                     lid_labels):
+                    rec["language_pred"] = p
+                    rec["language"] = l
+            json.dump(payload, f, indent=2)
+    out = {"wer": wer, "cer": cer, "rtf": rtf}
+    if lid is not None:
+        out["lid_accuracy"] = lid["accuracy"]
+    return out
 
 
 if __name__ == "__main__":

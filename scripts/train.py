@@ -322,6 +322,23 @@ def main():
                                   "bias": tb.pop("conv_bias")}
                     p["temporal_binding"] = tb
                 init_params_loaded = p
+            if (model_cfg.num_languages > 0
+                    and "lid_head" not in init_params_loaded):
+                # Multilingual fine-tune from a monolingual artifact: the
+                # LID head is new — graft fresh-initialized head params
+                # onto the loaded tree (everything else transfers).
+                import flax
+
+                from velocity_asr_tpu.models.model import init_params
+
+                fresh = init_params(model, jax.random.PRNGKey(0),
+                                    example_frames=64)
+                p = flax.core.unfreeze(init_params_loaded)
+                p["lid_head"] = fresh["lid_head"]
+                p["lid_norm"] = fresh["lid_norm"]
+                init_params_loaded = p
+                logger.info("Grafted a fresh LID head (num_languages=%d) "
+                            "onto the loaded weights", model_cfg.num_languages)
             logger.info("Initialized weights from %s (fresh optimizer/step)",
                         args.init_from)
 

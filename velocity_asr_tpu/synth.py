@@ -603,6 +603,7 @@ def write_corpus(
     lexicon_words: int = 1500,
     min_words: int = 2,
     max_words: int = 8,
+    languages: int = 1,
 ) -> str:
     """Materialize a split as WAV files + JSONL manifest (for the evaluate
     CLI, which measures WER over files like the reference's benchmark
@@ -610,10 +611,12 @@ def write_corpus(
 
     min_words/max_words scale utterance length: the defaults give 1.5-6 s
     clips (the training distribution); ~90/110 gives 60-90 s long-form
-    utterances for the >60 s benchmark config (BASELINE config #3)."""
+    utterances for the >60 s benchmark config (BASELINE config #3).
+    languages > 1 mixes the synthetic languages and stamps each manifest
+    row with its "language" label (LID accuracy benchmark)."""
     ds = SyntheticSpeechDataset(
         n_utts, split=split, seed=seed, lexicon_words=lexicon_words,
-        min_words=min_words, max_words=max_words,
+        min_words=min_words, max_words=max_words, languages=languages,
     )
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, f"{split}_manifest.jsonl")
@@ -628,14 +631,12 @@ def write_corpus(
                 w.setsampwidth(2)
                 w.setframerate(SAMPLE_RATE)
                 w.writeframes(pcm.tobytes())
-            mf.write(
-                json.dumps(
-                    {
-                        "audio_path": path,
-                        "text": text,
-                        "duration": len(audio) / SAMPLE_RATE,
-                    }
-                )
-                + "\n"
-            )
+            row = {
+                "audio_path": path,
+                "text": text,
+                "duration": len(audio) / SAMPLE_RATE,
+            }
+            if languages > 1:
+                row["language"] = ds.language_for(i)
+            mf.write(json.dumps(row) + "\n")
     return manifest
