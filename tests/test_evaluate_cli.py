@@ -167,3 +167,113 @@ def test_benchmark_hotwords_modes_run(checkpoint_and_manifest):
          "--beam-width", "4", "--hotwords-oracle"]
     )
     assert "wer" in res2
+
+
+# ----- language identification (--identify-language) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def ml_checkpoint_and_manifest(tmp_path_factory):
+    """Tiny multilingual checkpoint (LID head) + labeled manifest."""
+    import jax
+
+    from velocity_asr_tpu.decode import create_default_vocabulary
+    from velocity_asr_tpu.models.config import VelocityASRConfig
+    from velocity_asr_tpu.models.model import (
+        create_model, init_params, save_pretrained,
+    )
+
+    tmp = tmp_path_factory.mktemp("evalcli_ml")
+    cfg = VelocityASRConfig(
+        d_model=32, ssm_layers=1, ssm_state_dim=8, global_ssm_layers=1,
+        global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
+        vocab_size=32, dropout=0.0, num_languages=3,
+    )
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=8)
+    ckpt = tmp / "ckpt"
+    save_pretrained(str(ckpt), cfg, params)
+    with open(ckpt / "vocabulary.json", "w") as f:
+        json.dump(create_default_vocabulary(cfg.vocab_size), f)
+
+    entries = []
+    for i in range(4):
+        path = tmp / f"utt{i}.wav"
+        _write_wav(path, seconds=1.0 + 0.2 * i, freq=300.0 + 80 * i)
+        entries.append(
+            {"audio_path": str(path), "text": "hello", "duration": 1.0 + 0.2 * i,
+             "language": i % 3}
+        )
+    manifest = tmp / "manifest.jsonl"
+    with open(manifest, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return str(ckpt), str(manifest)
+
+
+def test_identify_language_benchmark(ml_checkpoint_and_manifest, tmp_path):
+    """--identify-language reports overall accuracy, per-language recall/WER,
+    and per-result predictions in the output payload."""
+    ckpt, manifest = ml_checkpoint_and_manifest
+    out = tmp_path / "lid.json"
+    res = _run_evaluate(
+        ["--checkpoint", ckpt, "--test-set", manifest, "--batch-size", "2",
+         "--identify-language", "--output", str(out)]
+    )
+    assert 0.0 <= res["lid_accuracy"] <= 1.0
+    with open(out) as f:
+        payload = json.load(f)
+    lid = payload["lid"]
+    assert set(lid["per_language"]) == {"0", "1", "2"}
+    assert sum(v["utterances"] for v in lid["per_language"].values()) == 4
+    for rec in payload["results"]:
+        assert rec["language"] in (0, 1, 2)
+        assert 0 <= rec["language_pred"] < 3
+
+
+def test_identify_language_requires_head(checkpoint_and_manifest):
+    """A LID-less checkpoint fails fast, not mid-eval."""
+    ckpt, manifest = checkpoint_and_manifest
+    with pytest.raises(SystemExit):
+        _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
+                       "--identify-language"])
+
+
+def test_identify_language_requires_labels(ml_checkpoint_and_manifest,
+                                           checkpoint_and_manifest):
+    """A manifest without 'language' rows errors with the regenerate hint."""
+    ml_ckpt, _ = ml_checkpoint_and_manifest
+    _, unlabeled_manifest = checkpoint_and_manifest
+    with pytest.raises(SystemExit):
+        _run_evaluate(["--checkpoint", ml_ckpt, "--test-set",
+                       unlabeled_manifest, "--identify-language"])
+
+
+def test_identify_language_streaming_rejected(ml_checkpoint_and_manifest):
+    ml_ckpt, ml_manifest = ml_checkpoint_and_manifest
+    with pytest.raises(SystemExit):
+        _run_evaluate(["--checkpoint", ml_ckpt, "--test-set", ml_manifest,
+                       "--identify-language", "--streaming"])
+
+
+def test_transcriber_language_probs(ml_checkpoint_and_manifest):
+    """Transcriber.language_probs returns a normalized posterior; the
+    head-less model raises."""
+    import jax
+
+    from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
+    from velocity_asr_tpu.models.model import from_pretrained
+    from scripts.transcribe import Transcriber
+
+    ml_ckpt, _ = ml_checkpoint_and_manifest
+    model, params = from_pretrained(ml_ckpt)
+    dec = CTCDecoder(create_default_vocabulary(model.config.vocab_size))
+    tr = Transcriber(model, params, dec)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    probs = tr.language_probs(audio)
+    assert probs.shape == (3,)
+    assert abs(float(probs.sum()) - 1.0) < 1e-4
+    res = tr.transcribe_array(audio, identify_language=True)
+    assert res["language"] == int(np.argmax(probs))
+    assert len(res["language_probs"]) == 3

@@ -96,6 +96,19 @@ def test_collator_passes_language_through():
     assert "language" not in ASRCollator()([ds1[0], ds1[1]])
 
 
+def test_collator_rejects_mixed_labels():
+    """A half-labeled batch is a data bug (e.g. a manifest with some rows
+    missing the 'language' field): error, don't silently drop the term."""
+    ds = SyntheticSpeechDataset(8, split="dev", languages=2)
+    ds1 = SyntheticSpeechDataset(8, split="dev")
+    import pytest
+
+    with pytest.raises(ValueError, match="labeled and unlabeled"):
+        ASRCollator()([ds[0], ds1[0]])
+    with pytest.raises(ValueError, match="labeled and unlabeled"):
+        ASRCollator()([ds1[0], ds[0]])  # unlabeled-first order too
+
+
 # ----- model head -------------------------------------------------------------
 
 

@@ -205,10 +205,20 @@ class ASRCollator:
         # reference's planned extension, README.md:480). Optional: datasets
         # without labels produce batches without the key and the Trainer's
         # LID term stays off.
-        if "language" in batch[0]:
-            out["language"] = np.asarray(
-                [item["language"] for item in batch], np.int32
+        n_labeled = sum(1 for item in batch if "language" in item)
+        if n_labeled == 0:
+            return
+        if n_labeled != len(batch):
+            # A half-labeled manifest silently dropping the LID term (or
+            # KeyError-ing mid-epoch) is a data bug worth surfacing.
+            raise ValueError(
+                f"batch mixes labeled and unlabeled utterances: {n_labeled}"
+                f"/{len(batch)} rows carry a 'language' field; label every "
+                "manifest row (or none)"
             )
+        out["language"] = np.asarray(
+            [item["language"] for item in batch], np.int32
+        )
 
     def _collate_audio(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
         """device-mel collation: pad raw audio instead of mel.
