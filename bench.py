@@ -198,6 +198,21 @@ def extra_configs(params, batched_pipeline):
     wall = timed(pipe1, params, one)
     emit("single_utterance_rtf", wall / 30.0, "wall_s_per_audio_s", BASELINE_GPU_RTF)
 
+    # 1b. batch-64 throughput (the VERDICT r2 #7 operating point: utts/sec
+    # at batch 64 alongside MFU)
+    audio64 = jnp.asarray(
+        rng.standard_normal((64, 30 * 16000)).astype(np.float32) * 0.1
+    )
+    wall = timed(pipe1, params, audio64)
+    line = {"metric": "batch64_throughput",
+            "value": round(64 / wall, 2), "unit": "utts_per_s",
+            "rtf_per_chip": round(wall / (64 * 30.0), 7)}
+    flops64 = compiled_flops(pipe1, params, audio64)
+    if flops64:
+        peak, kind = device_peak_flops()
+        line["mfu"] = round(flops64 / wall / peak, 5)
+    print(json.dumps(line), file=sys.stderr)
+
     # 2. long-form 90 s (BASELINE config #3: pool sizes leave the K1 floor)
     long_audio = jnp.asarray(
         rng.standard_normal((1, 90 * 16000)).astype(np.float32) * 0.1

@@ -108,6 +108,17 @@ def cmd_train(args):
     )
 
 
+def _diarize_config(args):
+    from velocity_asr_tpu.diarize import DiarizeConfig
+
+    kw = dict(cluster_threshold=args.cluster_threshold,
+              cluster_method=args.cluster_method,
+              max_speakers=args.max_cluster_speakers)
+    if args.vad_threshold is not None:
+        kw["vad_threshold"] = args.vad_threshold
+    return DiarizeConfig(**kw)
+
+
 def cmd_eval(args):
     import numpy as np
 
@@ -124,10 +135,7 @@ def cmd_eval(args):
         split=args.split,
         seed=args.seed,
     )
-    diar = Diarizer(
-        args.speaker_model,
-        config=DiarizeConfig(cluster_threshold=args.cluster_threshold),
-    )
+    diar = Diarizer(args.speaker_model, config=_diarize_config(args))
     results = []
     for i in range(len(ds)):
         item = ds[i]
@@ -160,6 +168,7 @@ def cmd_eval(args):
         "total_speech_s": total,
         "collar": args.collar,
         "known_speakers": bool(args.known_speakers),
+        "cluster_method": args.cluster_method,
         "speaker_model": args.speaker_model,
     }
     logger.info(
@@ -181,10 +190,7 @@ def cmd_files(args):
     from velocity_asr_tpu.audio import SAMPLE_RATE, load_audio
     from velocity_asr_tpu.diarize import DiarizeConfig, Diarizer
 
-    diar = Diarizer(
-        args.speaker_model,
-        config=DiarizeConfig(cluster_threshold=args.cluster_threshold),
-    )
+    diar = Diarizer(args.speaker_model, config=_diarize_config(args))
 
     transcriber = None
     if args.asr_model:
@@ -270,6 +276,16 @@ def main():
     e.add_argument("--seed", type=int, default=1234)
     e.add_argument("--collar", type=float, default=0.25)
     e.add_argument("--cluster-threshold", type=float, default=0.45)
+    e.add_argument("--cluster-method", choices=["spectral", "ahc"],
+                   default="spectral",
+                   help="spectral = kNN-graph spectral clustering with "
+                        "silhouette-selected count (default); ahc = "
+                        "agglomerative threshold cut")
+    e.add_argument("--max-cluster-speakers", type=int, default=8,
+                   help="spectral count-search ceiling")
+    e.add_argument("--vad-threshold", type=float, default=None,
+                   help="energy-VAD relative threshold (default: "
+                        "DiarizeConfig.vad_threshold)")
     e.add_argument("--known-speakers", action="store_true",
                    help="give the clusterer the true speaker count")
     e.add_argument("--out", help="write aggregate JSON here")
@@ -284,6 +300,10 @@ def main():
     f.add_argument("--num-speakers", type=int, default=None,
                    help="pin the speaker count (default: infer)")
     f.add_argument("--cluster-threshold", type=float, default=0.45)
+    f.add_argument("--cluster-method", choices=["spectral", "ahc"],
+                   default="spectral")
+    f.add_argument("--max-cluster-speakers", type=int, default=8)
+    f.add_argument("--vad-threshold", type=float, default=None)
     f.add_argument("--json", action="store_true")
     f.add_argument("--output")
     f.set_defaults(fn=cmd_files)

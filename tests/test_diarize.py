@@ -293,6 +293,89 @@ class TestClustering:
         assert labels.tolist() == [0]
 
 
+class TestSpectralClustering:
+    """NME-SC auto-tuning spectral clusterer (the unknown-count default)."""
+
+    @staticmethod
+    def _blobs(rng, centers, per=10, noise=0.05):
+        emb = np.concatenate(
+            [rng.normal(size=(per, 8)) * noise + c for c in centers]
+        )
+        return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    def test_recovers_count_and_partition(self):
+        from velocity_asr_tpu.diarize import spectral_cluster_embeddings
+
+        rng = np.random.default_rng(0)
+        for k in (2, 3, 4):
+            emb = self._blobs(rng, [np.eye(8)[i] for i in range(k)])
+            labels = spectral_cluster_embeddings(emb)
+            assert len(set(labels.tolist())) == k, f"k={k}: {labels}"
+            for j in range(k):
+                assert len(set(labels[j * 10:(j + 1) * 10].tolist())) == 1
+
+    def test_single_cluster(self):
+        """One voice -> one cluster via the silhouette floor. Uses the
+        encoder's real operating point (128-dim embeddings): silhouette is
+        scale-invariant, so the floor is calibrated for that dimension
+        (tools/tune_clustering.py: single-voice ~0.03, multi >= 0.45)."""
+        from velocity_asr_tpu.diarize import spectral_cluster_embeddings
+
+        rng = np.random.default_rng(1)
+        c = rng.normal(size=(1, 128))
+        emb = rng.normal(size=(40, 128)) * 0.05 + c
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        labels = spectral_cluster_embeddings(emb)
+        assert len(set(labels.tolist())) == 1
+
+    def test_pinned_count(self):
+        from velocity_asr_tpu.diarize import spectral_cluster_embeddings
+
+        rng = np.random.default_rng(2)
+        emb = self._blobs(rng, [np.eye(8)[i] for i in (0, 3, 6)])
+        labels = spectral_cluster_embeddings(emb, n_speakers=3)
+        assert len(set(labels.tolist())) == 3
+        # first-appearance relabeling: labels start at 0 and are contiguous
+        seen = []
+        for lab in labels.tolist():
+            if lab not in seen:
+                seen.append(lab)
+        assert seen == sorted(seen) == list(range(3))
+
+    def test_edge_sizes(self):
+        from velocity_asr_tpu.diarize import spectral_cluster_embeddings
+
+        assert spectral_cluster_embeddings(np.zeros((0, 4))).shape == (0,)
+        assert spectral_cluster_embeddings(np.ones((1, 4))).tolist() == [0]
+        two = spectral_cluster_embeddings(
+            np.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+        )
+        assert two.shape == (2,)
+
+    def test_max_speakers_caps_count(self):
+        from velocity_asr_tpu.diarize import spectral_cluster_embeddings
+
+        rng = np.random.default_rng(3)
+        emb = self._blobs(rng, [np.eye(8)[i] for i in range(5)], per=6)
+        labels = spectral_cluster_embeddings(emb, max_speakers=3)
+        assert len(set(labels.tolist())) <= 3
+
+    def test_diarizer_rejects_unknown_method(self):
+        cfg = tiny_cfg()
+        model = SpeakerClassifier(config=cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32),
+            train=False,
+        )["params"]
+        diar = Diarizer(
+            encoder_config=cfg, encoder_params=params["encoder"],
+            config=DiarizeConfig(cluster_method="nope"),
+        )
+        item = SyntheticConversationDataset(n_convs=1, seed=7)[0]
+        with pytest.raises(ValueError, match="cluster_method"):
+            diar.diarize(item["audio"])
+
+
 class TestPipeline:
     def test_diarize_mechanics(self):
         """Untrained encoder: structural guarantees only (segments within

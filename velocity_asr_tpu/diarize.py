@@ -469,12 +469,23 @@ class DiarizeConfig:
 
     window_s: float = 1.5
     hop_s: float = 0.4
-    vad_threshold: float = 0.35
+    # energy-VAD relative threshold. Tuned on the dev conversation split
+    # (tools/tune_clustering.py --vad-threshold sweep): 0.35 missed 8% of
+    # speech (soft turn onsets under the noise bed) with 0 false alarm;
+    # 0.15 is the knee — 0.09% miss, still 0 FA; 0.10 starts admitting
+    # noise (FA + cluster pollution). Raise it for noisier recordings.
+    vad_threshold: float = 0.15
     min_speech_s: float = 0.25
     min_gap_s: float = 0.35
     # agglomerative clustering: cosine-distance cut when the speaker count
     # is unknown (fcluster criterion="distance")
     cluster_threshold: float = 0.45
+    # "spectral" (kNN-graph spectral clustering, silhouette-selected count
+    # — the default; measured better DER and count accuracy on both known
+    # and unknown counts, BENCH_DETAILS_r03.md) or "ahc"
+    cluster_method: str = "spectral"
+    # spectral count-search ceiling
+    max_speakers: int = 8
     # windows per jit call are padded up to a multiple of this
     batch_bucket: int = 64
 
@@ -519,6 +530,156 @@ def cluster_embeddings(
     else:
         labels = fcluster(z, threshold, criterion="distance")
     # relabel to 0..K-1 in order of first appearance (deterministic)
+    remap: Dict[int, int] = {}
+    out = np.empty(n, np.int32)
+    for i, lab in enumerate(labels):
+        if lab not in remap:
+            remap[lab] = len(remap)
+        out[i] = remap[lab]
+    return out
+
+
+def _kmeans(x: np.ndarray, k: int, restarts: int = 10, iters: int = 50,
+            seed: int = 0) -> np.ndarray:
+    """Deterministic k-means (best of `restarts` k-means++ inits).
+
+    Tiny host-side problem (N windows × k eigenvectors); scipy's kmeans2
+    warns on empty clusters and is not seedable per-restart, so this is
+    self-contained.
+    """
+    n = x.shape[0]
+    k = min(k, n)
+    best_labels, best_inertia = None, np.inf
+    for r in range(restarts):
+        rng = np.random.default_rng(seed + r)
+        # k-means++ seeding
+        centers = [x[rng.integers(n)]]
+        for _ in range(1, k):
+            d2 = np.min(
+                ((x[:, None, :] - np.asarray(centers)[None]) ** 2).sum(-1),
+                axis=1,
+            )
+            tot = d2.sum()
+            if tot <= 1e-12:
+                centers.append(x[rng.integers(n)])
+                continue
+            centers.append(x[rng.choice(n, p=d2 / tot)])
+        c = np.asarray(centers)
+        labels = np.zeros(n, np.int32)
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+            new_labels = d2.argmin(axis=1).astype(np.int32)
+            if (new_labels == labels).all() and _ > 0:
+                break
+            labels = new_labels
+            for j in range(k):
+                sel = labels == j
+                if sel.any():
+                    c[j] = x[sel].mean(axis=0)
+        inertia = float(((x - c[labels]) ** 2).sum())
+        if inertia < best_inertia:
+            best_inertia, best_labels = inertia, labels
+    return best_labels
+
+
+def _mean_silhouette(emb: np.ndarray, labels: np.ndarray) -> float:
+    """Mean silhouette coefficient on cosine distance (count-selection
+    criterion). -1 when fewer than two clusters."""
+    x = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+    d = 1.0 - x @ x.T
+    ks = sorted(set(labels.tolist()))
+    if len(ks) < 2:
+        return -1.0
+    n = len(labels)
+    s = np.zeros(n)
+    for i in range(n):
+        same = labels == labels[i]
+        same[i] = False
+        a = d[i][same].mean() if same.any() else 0.0
+        b = min(d[i][labels == kk].mean() for kk in ks if kk != labels[i])
+        s[i] = (b - a) / max(a, b, 1e-12)
+    return float(s.mean())
+
+
+def spectral_cluster_embeddings(
+    emb: np.ndarray,
+    n_speakers: Optional[int] = None,
+    max_speakers: int = 8,
+    graph_density: float = 0.2,
+    min_silhouette: float = 0.15,
+) -> np.ndarray:
+    """Spectral clustering with silhouette-selected speaker count.
+
+    The AHC threshold cut (cluster_embeddings) needs a corpus-tuned
+    distance threshold and over-merges similar voices. This clusterer:
+
+      1. builds a binarized kNN affinity graph — each window keeps edges
+         to its top ``graph_density * n`` cosine neighbors, symmetrized
+         (binarization makes the block structure crisp where raw cosine
+         values are uniformly high across a conversation);
+      2. takes the eigenvectors of the graph Laplacian L = D - A;
+      3. for each candidate k, k-means the rows of the first k
+         eigenvectors, and — when the count is unknown — picks the k
+         whose partition maximizes the mean silhouette of the ORIGINAL
+         embeddings under cosine distance. A best silhouette below
+         ``min_silhouette`` means no credible multi-speaker structure
+         (measured at the encoder's 128-dim operating point: single-voice
+         recordings score ~0.03, real 2-4-speaker conversations >= 0.45;
+         silhouette is scale-invariant, so re-calibrate the floor for a
+         much lower-dimensional embedding) -> one speaker.
+
+    Selection method and defaults were tuned on the dev conversation
+    split only (tools/tune_clustering.py; dev DER 14.7% / count accuracy
+    0.80 vs 23.3% / 0.30 for the best AHC threshold) — test-split numbers
+    in BENCH_DETAILS_r03.md. NME eigengap estimation (Park et al., IEEE
+    SPL 2019) was evaluated and rejected: it overestimates the count on
+    these embeddings (dev count accuracy 0.35).
+
+    `n_speakers` pins k. Returns 0-based labels relabeled in order of
+    first appearance, like cluster_embeddings.
+    """
+    n = emb.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int32)
+    if n == 1:
+        return np.zeros(1, np.int32)
+
+    x = emb.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    aff = x @ x.T
+    np.fill_diagonal(aff, 0.0)
+
+    # binarized top-p neighbor graph (positions n-p.. after a partition at
+    # kth = n-p are the row's p largest affinities)
+    p = int(min(max(2, round(graph_density * n)), n - 1))
+    a_p = np.zeros_like(aff)
+    idx = np.argpartition(aff, n - p, axis=1)[:, n - p:]
+    rows = np.repeat(np.arange(n), p)
+    a_p[rows, idx.ravel()] = 1.0
+    a_p = 0.5 * (a_p + a_p.T)
+
+    lap = np.diag(a_p.sum(axis=1)) - a_p
+    _, vecs = np.linalg.eigh(lap)
+
+    def cluster_at(k: int) -> np.ndarray:
+        feats = vecs[:, :k]
+        feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+        return _kmeans(feats, k)
+
+    if n_speakers is not None:
+        k = min(n_speakers, n)
+        labels = cluster_at(k) if k > 1 else np.zeros(n, np.int32)
+    else:
+        best_labels, best_s = None, -1.0
+        for k in range(2, int(min(max_speakers, n - 1)) + 1):
+            cand = cluster_at(k)
+            s = _mean_silhouette(emb, cand)
+            if s > best_s:
+                best_labels, best_s = cand, s
+        if best_labels is None or best_s < min_silhouette:
+            return np.zeros(n, np.int32)
+        labels = best_labels
+
     remap: Dict[int, int] = {}
     out = np.empty(n, np.int32)
     for i, lab in enumerate(labels):
@@ -630,9 +791,19 @@ class Diarizer:
         regions = speech_regions(speech)
         plan = window_plan(regions, self.window_frames, self.hop_frames)
         emb = self.embed_windows(mel_raw, plan)
-        labels = cluster_embeddings(
-            emb, n_speakers=n_speakers, threshold=cfg.cluster_threshold
-        )
+        if cfg.cluster_method == "spectral":
+            labels = spectral_cluster_embeddings(
+                emb, n_speakers=n_speakers, max_speakers=cfg.max_speakers
+            )
+        elif cfg.cluster_method == "ahc":
+            labels = cluster_embeddings(
+                emb, n_speakers=n_speakers, threshold=cfg.cluster_threshold
+            )
+        else:
+            raise ValueError(
+                f"unknown cluster_method {cfg.cluster_method!r} "
+                "(expected 'spectral' or 'ahc')"
+            )
 
         # frame-level majority vote over covering windows, then runs ->
         # segments (only frames the VAD marked as speech)
