@@ -15,10 +15,21 @@ Endpoints:
              request's custom vocabulary (requires beam > 1),
              ?identify_language=1 adds the LID head's prediction
              (models trained with num_languages > 0)
+  POST /diarize              -> {"segments": [{start, end, speaker[, text]}],
+                                 "duration", "rtf"}
+      requires --speaker-model; the reference's planned "Speaker
+      Diarization: Integration of speaker identification output"
+      (README.md:483) as a service surface.
+      query: ?num_speakers=N pins the speaker count,
+             ?transcripts=1 adds per-segment ASR text
+             (speaker-attributed transcription)
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
   curl -s --data-binary @utt.flac localhost:8570/transcribe
+  python scripts/serve.py --checkpoint ... \
+      --speaker-model checkpoints/speaker_run/final_speaker
+  curl -s --data-binary @meeting.wav 'localhost:8570/diarize?transcripts=1'
 """
 
 import argparse
@@ -101,7 +112,8 @@ class ASRService:
     """Checkpoint + compiled pipelines + a micro-batching dispatcher."""
 
     def __init__(self, checkpoint: str, beam_width: int = 0,
-                 max_batch: int = 8, batch_window_ms: float = 10.0):
+                 max_batch: int = 8, batch_window_ms: float = 10.0,
+                 speaker_model: str = None):
         from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
         from velocity_asr_tpu.models.model import from_pretrained
         from scripts.transcribe import Transcriber
@@ -121,13 +133,60 @@ class ASRService:
         self.batcher = MicroBatcher(
             self.transcriber, max_batch=max_batch, window_ms=batch_window_ms
         )
+        self.diarizer = None
+        if speaker_model:
+            from velocity_asr_tpu.diarize import Diarizer
+
+            self.diarizer = Diarizer(speaker_model)
+            logger.info("Speaker model loaded: %s", speaker_model)
         logger.info("Model loaded: %s", self.model.config)
+
+    def _decode_body(self, data: bytes):
+        """Decode an uploaded audio body via the native decoders; a body we
+        cannot decode is the client's fault (400)."""
+        from velocity_asr_tpu.audio import load_audio
+
+        with tempfile.NamedTemporaryFile(suffix=".audio", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            return load_audio(path)
+        except (ValueError, RuntimeError) as e:
+            # don't leak the server-side temp path to the client
+            raise BadRequest(str(e).replace(repr(path), "request body")) from e
+        finally:
+            os.unlink(path)
+
+    def diarize_bytes(self, data: bytes, num_speakers=None,
+                      transcripts: bool = False):
+        from velocity_asr_tpu.audio import SAMPLE_RATE
+
+        if self.diarizer is None:
+            raise BadRequest("this server has no speaker model; restart "
+                             "serve.py with --speaker-model DIR to enable "
+                             "/diarize")
+        audio = self._decode_body(data)
+        t0 = time.perf_counter()
+        with self.lock:
+            segs = self.diarizer.diarize(audio, n_speakers=num_speakers)
+            if transcripts and segs:
+                clips = [
+                    audio[int(s.start * SAMPLE_RATE): int(s.end * SAMPLE_RATE)]
+                    for s in segs
+                ]
+                for s, r in zip(segs, self.transcriber.transcribe_batch(clips)):
+                    s.text = r["text"]
+        duration = len(audio) / SAMPLE_RATE
+        return {
+            "segments": [s.to_dict() for s in segs],
+            "num_speakers": len({s.speaker for s in segs}),
+            "duration": duration,
+            "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
+        }
 
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
                          hotwords: str = "", hotword_weight: float = 2.0,
                          identify_language: bool = False):
-        from velocity_asr_tpu.audio import load_audio
-
         if timestamps and beam > 1:
             raise BadRequest("beam search with timestamps is not supported; "
                              "drop one of ?timestamps / ?beam")
@@ -151,16 +210,7 @@ class ASRService:
                 )
             except ValueError as e:
                 raise BadRequest(str(e)) from e
-        with tempfile.NamedTemporaryFile(suffix=".audio", delete=False) as f:
-            f.write(data)
-            path = f.name
-        try:
-            audio = load_audio(path)
-        except (ValueError, RuntimeError) as e:
-            # undecodable request body is the client's fault, not ours
-            raise BadRequest(str(e)) from e
-        finally:
-            os.unlink(path)
+        audio = self._decode_body(data)
 
         t0 = time.perf_counter()
         if timestamps or eff_beam > 1:
@@ -213,7 +263,7 @@ def make_handler(service: ASRService):
 
         def do_POST(self):
             parsed = urlparse(self.path)
-            if parsed.path != "/transcribe":
+            if parsed.path not in ("/transcribe", "/diarize"):
                 self._send(404, {"error": "unknown endpoint"})
                 return
             try:
@@ -223,6 +273,21 @@ def make_handler(service: ASRService):
                     return
                 data = self.rfile.read(length)
                 q = parse_qs(parsed.query)
+                if parsed.path == "/diarize":
+                    try:
+                        num_speakers = q.get("num_speakers", [None])[0]
+                        num_speakers = (int(num_speakers)
+                                        if num_speakers is not None else None)
+                    except ValueError as e:
+                        raise BadRequest(f"invalid query value: {e}") from e
+                    transcripts = (
+                        q.get("transcripts", ["0"])[0] in ("1", "true")
+                    )
+                    self._send(200, service.diarize_bytes(
+                        data, num_speakers=num_speakers,
+                        transcripts=transcripts,
+                    ))
+                    return
                 timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
                 try:
                     beam = int(q.get("beam", ["0"])[0])
@@ -243,8 +308,8 @@ def make_handler(service: ASRService):
                 logger.warning("bad request: %s", e)
                 self._send(400, {"error": str(e)})
             except Exception:  # request isolation: server-side fault
-                logger.exception("transcription failed")
-                self._send(500, {"error": "internal transcription failure"})
+                logger.exception("request failed")
+                self._send(500, {"error": "internal failure"})
 
         def log_message(self, fmt, *args):
             logger.info("%s - %s", self.address_string(), fmt % args)
@@ -262,14 +327,20 @@ def main():
                         help="micro-batch size cap for concurrent requests")
     parser.add_argument("--batch-window-ms", type=float, default=10.0,
                         help="how long to wait to coalesce concurrent requests")
+    parser.add_argument("--speaker-model",
+                        help="speaker-embedding artifact dir (e.g. "
+                             "checkpoints/speaker_run/final_speaker); "
+                             "enables POST /diarize")
     args = parser.parse_args()
 
     service = ASRService(args.checkpoint, beam_width=args.beam_width,
                          max_batch=args.max_batch,
-                         batch_window_ms=args.batch_window_ms)
+                         batch_window_ms=args.batch_window_ms,
+                         speaker_model=args.speaker_model)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
-    logger.info("Serving on http://%s:%d (POST /transcribe, GET /health)",
-                args.host, args.port)
+    logger.info("Serving on http://%s:%d (POST /transcribe%s, GET /health)",
+                args.host, args.port,
+                ", POST /diarize" if service.diarizer else "")
     server.serve_forever()
 
 

@@ -129,3 +129,71 @@ def test_serve_hotword_request_validation(pipeline):
         svc.transcribe_bytes(b"x", timestamps=False, beam=0, hotwords="cat")
     with pytest.raises(BadRequest, match="hotwords"):
         svc.transcribe_bytes(b"x", timestamps=False, beam=4, hotwords="ñ,é")
+
+
+def _wav_bytes(audio: np.ndarray, sr: int = 16000) -> bytes:
+    import io
+    import wave
+
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_serve_diarize_endpoint(pipeline):
+    """POST /diarize service logic: clear 400 without a speaker model;
+    segments (optionally speaker-attributed) with one."""
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.serve import ASRService, BadRequest
+    from velocity_asr_tpu.diarize import (
+        DiarizeConfig,
+        Diarizer,
+        SpeakerClassifier,
+        SpeakerEncoderConfig,
+    )
+    from velocity_asr_tpu.synth import SyntheticConversationDataset
+
+    svc = ASRService.__new__(ASRService)  # skip checkpoint load
+    svc.transcriber = pipeline
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+
+    item = SyntheticConversationDataset(n_convs=1, seed=11)[0]
+    body = _wav_bytes(item["audio"])
+
+    with pytest.raises(BadRequest, match="speaker model"):
+        svc.diarize_bytes(body)
+
+    enc_cfg = SpeakerEncoderConfig(
+        d_model=16, ssm_layers=1, ssm_state_dim=4, embedding_dim=8,
+        n_speakers=4, dropout=0.0,
+    )
+    params = SpeakerClassifier(config=enc_cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32), train=False,
+    )["params"]
+    svc.diarizer = Diarizer(
+        encoder_config=enc_cfg, encoder_params=params["encoder"],
+        config=DiarizeConfig(batch_bucket=16),
+    )
+
+    res = svc.diarize_bytes(body, num_speakers=item["n_speakers"])
+    assert res["segments"], "no segments"
+    assert res["duration"] > 0 and res["rtf"] > 0
+    assert res["num_speakers"] <= item["n_speakers"]
+    for s in res["segments"]:
+        assert 0 <= s["start"] < s["end"]
+        assert "text" not in s
+
+    res2 = svc.diarize_bytes(body, num_speakers=item["n_speakers"],
+                             transcripts=True)
+    assert all(isinstance(s.get("text"), str) for s in res2["segments"])
+
+    with pytest.raises(BadRequest):  # undecodable body is the client's fault
+        svc.diarize_bytes(b"\x00" * 64)
