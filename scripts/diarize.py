@@ -113,7 +113,8 @@ def _diarize_config(args):
 
     kw = dict(cluster_threshold=args.cluster_threshold,
               cluster_method=args.cluster_method,
-              max_speakers=args.max_cluster_speakers)
+              max_speakers=args.max_cluster_speakers,
+              refine_iters=args.refine_iters)
     if args.vad_threshold is not None:
         kw["vad_threshold"] = args.vad_threshold
     return DiarizeConfig(**kw)
@@ -286,6 +287,9 @@ def main():
     e.add_argument("--vad-threshold", type=float, default=None,
                    help="energy-VAD relative threshold (default: "
                         "DiarizeConfig.vad_threshold)")
+    e.add_argument("--refine-iters", type=int, default=2,
+                   help="nearest-centroid reassignment passes after "
+                        "clustering (0 disables)")
     e.add_argument("--known-speakers", action="store_true",
                    help="give the clusterer the true speaker count")
     e.add_argument("--out", help="write aggregate JSON here")
@@ -304,6 +308,7 @@ def main():
                    default="spectral")
     f.add_argument("--max-cluster-speakers", type=int, default=8)
     f.add_argument("--vad-threshold", type=float, default=None)
+    f.add_argument("--refine-iters", type=int, default=2)
     f.add_argument("--json", action="store_true")
     f.add_argument("--output")
     f.set_defaults(fn=cmd_files)

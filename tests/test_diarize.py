@@ -360,6 +360,37 @@ class TestSpectralClustering:
         labels = spectral_cluster_embeddings(emb, max_speakers=3)
         assert len(set(labels.tolist())) <= 3
 
+    def test_reassign_corrects_boundary_windows(self):
+        """A window mislabeled by the graph cut but nearer the other
+        centroid flips to it; clean partitions are a fixed point."""
+        from velocity_asr_tpu.diarize import reassign_to_centroids
+
+        rng = np.random.default_rng(4)
+        emb = self._blobs(rng, [np.eye(8)[0], np.eye(8)[4]], per=10)
+        clean = np.repeat([0, 1], 10).astype(np.int32)
+        assert reassign_to_centroids(emb, clean).tolist() == clean.tolist()
+        corrupted = clean.copy()
+        corrupted[3] = 1  # wrong side of the cut, but near centroid 0
+        fixed = reassign_to_centroids(emb, corrupted)
+        assert fixed.tolist() == clean.tolist()
+
+    def test_reassign_relabel_and_edges(self):
+        from velocity_asr_tpu.diarize import reassign_to_centroids
+
+        # relabels in order of first appearance
+        rng = np.random.default_rng(5)
+        emb = self._blobs(rng, [np.eye(8)[1], np.eye(8)[5]], per=4)
+        swapped = np.repeat([1, 0], 4).astype(np.int32)
+        out = reassign_to_centroids(emb, swapped)
+        assert out.tolist() == np.repeat([0, 1], 4).tolist()
+        # iters=0 and trivial sizes are no-ops
+        assert reassign_to_centroids(emb, swapped, iters=0).tolist() \
+            == swapped.tolist()
+        assert reassign_to_centroids(
+            np.zeros((0, 4)), np.zeros(0, np.int32)).shape == (0,)
+        assert reassign_to_centroids(
+            np.ones((1, 4)), np.zeros(1, np.int32)).tolist() == [0]
+
     def test_diarizer_rejects_unknown_method(self):
         cfg = tiny_cfg()
         model = SpeakerClassifier(config=cfg)

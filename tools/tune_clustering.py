@@ -128,10 +128,16 @@ def main():
     args = ap.parse_args()
 
     from velocity_asr_tpu.diarize import (
-        cluster_embeddings, spectral_cluster_embeddings,
+        cluster_embeddings, reassign_to_centroids, spectral_cluster_embeddings,
     )
 
     cache = load_or_extract(args)
+
+    def refined(fn, iters=2):
+        def wrapped(e, k):
+            lab = fn(e, k)
+            return reassign_to_centroids(e, lab, iters) if lab.size else lab
+        return wrapped
 
     for thr in (0.35, 0.45, 0.55, 0.65):
         run_variant(cache,
@@ -139,9 +145,13 @@ def main():
                     f"ahc_t{thr}")
     run_variant(cache, lambda e, k: cluster_embeddings(e, k), "ahc", known=True)
     run_variant(cache, lambda e, k: spectral_cluster_embeddings(e, k),
-                "nme_spectral")
+                "spectral")
     run_variant(cache, lambda e, k: spectral_cluster_embeddings(e, k),
-                "nme_spectral", known=True)
+                "spectral", known=True)
+    run_variant(cache, refined(lambda e, k: spectral_cluster_embeddings(e, k)),
+                "spectral+reassign")
+    run_variant(cache, refined(lambda e, k: spectral_cluster_embeddings(e, k)),
+                "spectral+reassign", known=True)
 
 
 if __name__ == "__main__":

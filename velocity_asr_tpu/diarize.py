@@ -480,6 +480,12 @@ class DiarizeConfig:
     # agglomerative clustering: cosine-distance cut when the speaker count
     # is unknown (fcluster criterion="distance")
     cluster_threshold: float = 0.45
+    # post-clustering refinement: iterations of nearest-centroid
+    # reassignment (0 disables). Windows that straddle a speaker turn often
+    # land in the wrong spectral cluster; the centroid pass corrects them
+    # (dev DER known 7.28% -> 6.48%, unknown 7.57% -> 7.20%,
+    # tools/tune_clustering.py reassign variants).
+    refine_iters: int = 2
     # "spectral" (kNN-graph spectral clustering, silhouette-selected count
     # — the default; measured better DER and count accuracy on both known
     # and unknown counts, BENCH_DETAILS_r03.md) or "ahc"
@@ -536,6 +542,42 @@ def cluster_embeddings(
         if lab not in remap:
             remap[lab] = len(remap)
         out[i] = remap[lab]
+    return out
+
+
+def reassign_to_centroids(
+    emb: np.ndarray, labels: np.ndarray, iters: int = 2
+) -> np.ndarray:
+    """Refine cluster labels: reassign each window to the nearest cluster
+    centroid under cosine similarity, recomputing centroids each pass.
+
+    The spectral/AHC partition optimizes a graph objective in which
+    boundary windows (analysis windows straddling a speaker turn) can end
+    up on the wrong side; one or two nearest-centroid passes correct them.
+    May empty a cluster (the count can only shrink). Labels are returned
+    relabeled 0..K-1 in order of first appearance, like the clusterers.
+    """
+    lab = labels.astype(np.int32, copy=True)
+    if lab.size <= 1 or iters <= 0:
+        return lab
+    x = emb.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    for _ in range(iters):
+        ks = sorted(set(lab.tolist()))
+        if len(ks) < 2:
+            break
+        cents = np.stack([x[lab == kk].mean(axis=0) for kk in ks])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+        new = np.asarray(ks, np.int32)[np.argmax(x @ cents.T, axis=1)]
+        if (new == lab).all():
+            break
+        lab = new
+    remap: Dict[int, int] = {}
+    out = np.empty(lab.size, np.int32)
+    for i, v in enumerate(lab):
+        if int(v) not in remap:
+            remap[int(v)] = len(remap)
+        out[i] = remap[int(v)]
     return out
 
 
@@ -804,6 +846,8 @@ class Diarizer:
                 f"unknown cluster_method {cfg.cluster_method!r} "
                 "(expected 'spectral' or 'ahc')"
             )
+        if labels.size and labels.max() > 0:
+            labels = reassign_to_centroids(emb, labels, cfg.refine_iters)
 
         # frame-level majority vote over covering windows, then runs ->
         # segments (only frames the VAD marked as speech)
