@@ -23,6 +23,18 @@ Endpoints:
       query: ?num_speakers=N pins the speaker count,
              ?transcripts=1 adds per-segment ASR text
              (speaker-attributed transcription)
+  POST /stream               -> NDJSON: {"text": increment}* then
+                                {"final": true, "text", "duration", "rtf"}
+      live incremental transcription over one HTTP request (the
+      reference's "Streaming Mode" future-work item, README.md:480-482,
+      as a service surface over velocity_asr_tpu.streaming). Body is
+      16 kHz mono audio — raw int16 PCM, or a WAV whose header declares
+      that format — sent with Transfer-Encoding: chunked (or
+      Content-Length); text increments are written back as the audio
+      arrives. query: ?chunk_seconds=S (default 2.0) sets the decode
+      cadence, ?lookahead=N delays each chunk's emission N chunks for
+      offline-like context (see StreamingTranscriber). Sessions are
+      pooled: at most --max-streams run concurrently (503 beyond that).
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
@@ -30,6 +42,9 @@ Example:
   python scripts/serve.py --checkpoint ... \
       --speaker-model checkpoints/speaker_run/final_speaker
   curl -s --data-binary @meeting.wav 'localhost:8570/diarize?transcripts=1'
+  # live microphone -> captions (any tool that emits 16 kHz mono s16le)
+  arecord -f S16_LE -r 16000 -c 1 -t raw | \
+      curl -sN -H 'Transfer-Encoding: chunked' -T - localhost:8570/stream
 """
 
 import argparse
@@ -60,6 +75,150 @@ logger = logging.getLogger("serve")
 class BadRequest(Exception):
     """Client-side fault (undecodable audio, unsupported flag combo):
     maps to HTTP 400; everything else is a 500."""
+
+
+class ServiceBusy(Exception):
+    """All streaming sessions are in use: maps to HTTP 503."""
+
+
+class PcmDecoder:
+    """Incremental 16 kHz mono int16 PCM decoder for the /stream body.
+
+    Accepts an optional leading WAV header — it must declare exactly the
+    raw format (PCM16, mono, 16 kHz), otherwise the request is the
+    client's fault. Carries the odd byte across block boundaries.
+    """
+
+    _MAX_HEADER = 65536
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+        self._buf = b""
+        self._header_checked = False
+
+    def _parse_wav_header(self):
+        """Return the 'data' chunk payload offset, or None if more bytes
+        are needed. Raises BadRequest on a non-matching format."""
+        buf = self._buf
+        if len(buf) < 12:
+            return None
+        if buf[8:12] != b"WAVE":
+            raise BadRequest("RIFF body is not a WAV file")
+        pos, fmt_ok = 12, False
+        while True:
+            if len(buf) < pos + 8:
+                return None
+            cid = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if cid == b"data":
+                if not fmt_ok:
+                    raise BadRequest("WAV 'data' chunk precedes 'fmt '")
+                return pos + 8
+            if len(buf) < pos + 8 + size:
+                return None
+            if cid == b"fmt ":
+                audio_format = int.from_bytes(buf[pos + 8:pos + 10], "little")
+                channels = int.from_bytes(buf[pos + 10:pos + 12], "little")
+                rate = int.from_bytes(buf[pos + 12:pos + 16], "little")
+                bits = int.from_bytes(buf[pos + 22:pos + 24], "little")
+                if (audio_format, channels, rate, bits) != \
+                        (1, 1, self.sample_rate, 16):
+                    raise BadRequest(
+                        "/stream WAV must be PCM16 mono "
+                        f"{self.sample_rate} Hz; got format={audio_format} "
+                        f"channels={channels} rate={rate} bits={bits}"
+                    )
+                fmt_ok = True
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    def feed(self, block: bytes):
+        import numpy as np
+
+        self._buf += block
+        if not self._header_checked:
+            if len(self._buf) < 4:
+                return np.zeros(0, np.float32)
+            if self._buf[:4] == b"RIFF":
+                data_ofs = self._parse_wav_header()
+                if data_ofs is None:
+                    if len(self._buf) > self._MAX_HEADER:
+                        raise BadRequest("WAV header too large")
+                    return np.zeros(0, np.float32)
+                self._buf = self._buf[data_ofs:]
+            self._header_checked = True
+        n = len(self._buf) // 2
+        if n == 0:
+            return np.zeros(0, np.float32)
+        pcm = np.frombuffer(self._buf[: 2 * n], "<i2")
+        self._buf = self._buf[2 * n:]
+        return pcm.astype(np.float32) / 32768.0
+
+
+class StreamPool:
+    """Reusable streaming-transcription sessions.
+
+    Each StreamingTranscriber owns its jitted chunk-step closures, so
+    building one per request would recompile the streaming graph every
+    time. The pool keeps finished sessions (reset() reuses the compiled
+    steps) keyed by (chunk_frames, lookahead), capping live sessions at
+    max_streams; a request for a new shape may evict an idle session of
+    another shape to make room.
+    """
+
+    def __init__(self, transcriber, max_streams: int = 2):
+        self.transcriber = transcriber
+        self.max_streams = max_streams
+        self._cv = threading.Condition()
+        self._idle: dict = {}  # key -> [StreamingTranscriber]
+        self._live = 0  # sessions in existence (idle + acquired)
+
+    def acquire(self, chunk_frames: int, lookahead: int,
+                timeout: float = 10.0):
+        key = (chunk_frames, lookahead)
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while True:
+                free = self._idle.get(key)
+                if free:
+                    st = free.pop()
+                    st.reset()
+                    return st
+                if self._live >= self.max_streams:
+                    # evict an idle session of another shape, if any
+                    for lst in self._idle.values():
+                        if lst:
+                            lst.pop()
+                            self._live -= 1
+                            break
+                if self._live < self.max_streams:
+                    self._live += 1
+                    break  # create below, outside the lock (compiles)
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise ServiceBusy(
+                        f"all {self.max_streams} streaming sessions are "
+                        "busy; retry later or raise --max-streams"
+                    )
+                self._cv.wait(remaining)
+        from velocity_asr_tpu.streaming import StreamingTranscriber
+
+        try:
+            return StreamingTranscriber(
+                self.transcriber.model, self.transcriber.params,
+                self.transcriber.decoder, chunk_frames=chunk_frames,
+                lookahead_chunks=lookahead,
+            )
+        except BaseException:
+            with self._cv:
+                self._live -= 1
+                self._cv.notify()
+            raise
+
+    def release(self, st) -> None:
+        key = (st.chunk_frames, st.lookahead_chunks)
+        with self._cv:
+            self._idle.setdefault(key, []).append(st)
+            self._cv.notify()
 
 
 class MicroBatcher:
@@ -113,7 +272,7 @@ class ASRService:
 
     def __init__(self, checkpoint: str, beam_width: int = 0,
                  max_batch: int = 8, batch_window_ms: float = 10.0,
-                 speaker_model: str = None):
+                 speaker_model: str = None, max_streams: int = 2):
         from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
         from velocity_asr_tpu.models.model import from_pretrained
         from scripts.transcribe import Transcriber
@@ -133,6 +292,7 @@ class ASRService:
         self.batcher = MicroBatcher(
             self.transcriber, max_batch=max_batch, window_ms=batch_window_ms
         )
+        self.stream_pool = StreamPool(self.transcriber, max_streams=max_streams)
         self.diarizer = None
         if speaker_model:
             from velocity_asr_tpu.diarize import Diarizer
@@ -183,6 +343,26 @@ class ASRService:
             "duration": duration,
             "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
         }
+
+    def open_stream(self, chunk_seconds: float, lookahead: int):
+        """Validate /stream query knobs and acquire a pooled session."""
+        from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE
+
+        if not 0.5 <= chunk_seconds <= 30.0:
+            raise BadRequest("chunk_seconds must be in [0.5, 30]")
+        if not 0 <= lookahead <= 4:
+            raise BadRequest("lookahead must be in [0, 4]")
+        frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
+        frames += frames % 2  # StreamingTranscriber needs an even chunk
+        return self.stream_pool.acquire(frames, lookahead)
+
+    def stream_feed(self, st, pcm) -> str:
+        with self.lock:
+            return st.feed(pcm)
+
+    def stream_finish(self, st) -> str:
+        with self.lock:
+            return st.finish()
 
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
                          hotwords: str = "", hotword_weight: float = 2.0,
@@ -238,6 +418,12 @@ class ASRService:
 
 def make_handler(service: ASRService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: chunked uploads (`Expect: 100-continue` gets its
+        # interim response) and keep-alive for /transcribe clients. Every
+        # response sets Content-Length (_send) or Connection: close
+        # (/stream), so 1.1 framing is always satisfied.
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -261,10 +447,128 @@ def make_handler(service: ASRService):
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
+        def _iter_body(self, max_block: int = 32768):
+            """Yield request-body blocks as they arrive: chunked
+            transfer-encoding (live streams) or Content-Length."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                while True:
+                    line = self.rfile.readline(1024).strip()
+                    if not line:
+                        raise BadRequest("malformed chunked encoding")
+                    try:
+                        size = int(line.split(b";")[0], 16)
+                    except ValueError as e:
+                        raise BadRequest("malformed chunk size") from e
+                    if size == 0:
+                        while self.rfile.readline(1024).strip():
+                            pass  # drain trailers up to the blank line
+                        return
+                    remaining = size
+                    while remaining:
+                        block = self.rfile.read1(min(remaining, max_block))
+                        if not block:
+                            raise BadRequest("truncated chunk")
+                        remaining -= len(block)
+                        yield block
+                    self.rfile.read(2)  # chunk-terminating CRLF
+            else:
+                remaining = int(self.headers.get("Content-Length", 0))
+                if remaining <= 0:
+                    raise BadRequest(
+                        "empty body (send Content-Length or "
+                        "Transfer-Encoding: chunked)"
+                    )
+                while remaining:
+                    block = self.rfile.read1(min(remaining, max_block))
+                    if not block:
+                        raise BadRequest("truncated body")
+                    remaining -= len(block)
+                    yield block
+
+        def _do_stream(self, parsed):
+            from velocity_asr_tpu.audio import SAMPLE_RATE
+
+            q = parse_qs(parsed.query)
+            try:
+                try:
+                    chunk_seconds = float(q.get("chunk_seconds", ["2.0"])[0])
+                    lookahead = int(q.get("lookahead", ["0"])[0])
+                except ValueError as e:
+                    raise BadRequest(f"invalid query value: {e}") from e
+                st = service.open_stream(chunk_seconds, lookahead)
+            except BadRequest as e:
+                self._send(400, {"error": str(e)})
+                return
+            except ServiceBusy as e:
+                self._send(503, {"error": str(e)})
+                return
+            except Exception:
+                logger.exception("stream setup failed")
+                self._send(500, {"error": "internal failure"})
+                return
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Cache-Control", "no-store")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.close_connection = True
+
+            def line(payload: dict):
+                self.wfile.write((json.dumps(payload) + "\n").encode())
+                self.wfile.flush()
+
+            dec = PcmDecoder(SAMPLE_RATE)
+            samples = 0
+            t0 = time.perf_counter()
+            try:
+                for block in self._iter_body():
+                    pcm = dec.feed(block)
+                    if pcm.size:
+                        samples += pcm.size
+                        inc = service.stream_feed(st, pcm)
+                        if inc:
+                            line({"text": inc})
+                inc = service.stream_finish(st)
+                if inc:
+                    line({"text": inc})
+                duration = samples / SAMPLE_RATE
+                line({
+                    "final": True, "text": st.text, "duration": duration,
+                    "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
+                })
+            except BadRequest as e:
+                # headers are out; the error rides the NDJSON stream
+                logger.warning("bad stream request: %s", e)
+                line({"error": str(e)})
+            except (BrokenPipeError, ConnectionResetError):
+                logger.info("stream client disconnected")
+            except Exception:
+                logger.exception("stream failed")
+                try:
+                    line({"error": "internal failure"})
+                except OSError:
+                    pass
+            finally:
+                service.stream_pool.release(st)
+
+        def do_PUT(self):
+            # `curl -T -` uploads with PUT; /stream accepts both verbs
+            parsed = urlparse(self.path)
+            if parsed.path != "/stream":
+                self._send(404, {"error": "unknown endpoint"})
+                return
+            self._do_stream(parsed)
+
         def do_POST(self):
             parsed = urlparse(self.path)
-            if parsed.path not in ("/transcribe", "/diarize"):
+            if parsed.path not in ("/transcribe", "/diarize", "/stream"):
                 self._send(404, {"error": "unknown endpoint"})
+                return
+            if parsed.path == "/stream":
+                # incremental body handling; never buffers the upload
+                self._do_stream(parsed)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -331,15 +635,19 @@ def main():
                         help="speaker-embedding artifact dir (e.g. "
                              "checkpoints/speaker_run/final_speaker); "
                              "enables POST /diarize")
+    parser.add_argument("--max-streams", type=int, default=2,
+                        help="concurrent POST /stream sessions "
+                             "(503 beyond this)")
     args = parser.parse_args()
 
     service = ASRService(args.checkpoint, beam_width=args.beam_width,
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         speaker_model=args.speaker_model)
+                         speaker_model=args.speaker_model,
+                         max_streams=args.max_streams)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
-    logger.info("Serving on http://%s:%d (POST /transcribe%s, GET /health)",
-                args.host, args.port,
+    logger.info("Serving on http://%s:%d (POST /transcribe, POST /stream%s, "
+                "GET /health)", args.host, args.port,
                 ", POST /diarize" if service.diarizer else "")
     server.serve_forever()
 

@@ -197,3 +197,141 @@ def test_serve_diarize_endpoint(pipeline):
 
     with pytest.raises(BadRequest):  # undecodable body is the client's fault
         svc.diarize_bytes(b"\x00" * 64)
+
+
+class TestPcmDecoder:
+    def test_raw_pcm_across_odd_boundaries(self):
+        from scripts.serve import PcmDecoder
+
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(1000) * 8000).astype("<i2")
+        raw = pcm.tobytes()
+        dec = PcmDecoder(16000)
+        out = []
+        for cut in (0, 3, 10, 257, 258, 1999, len(raw)):
+            pass
+        prev = 0
+        for cut in (3, 10, 257, 258, 1999, len(raw)):
+            out.append(dec.feed(raw[prev:cut]))
+            prev = cut
+        got = np.concatenate(out)
+        assert got.shape == (1000,)
+        np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0)
+
+    def test_wav_header_stripped(self):
+        from scripts.serve import PcmDecoder
+
+        rng = np.random.default_rng(1)
+        audio = (rng.standard_normal(500) * 0.1).astype(np.float32)
+        body = _wav_bytes(audio)
+        dec = PcmDecoder(16000)
+        # drip the header in tiny pieces: nothing decodes until 'data'
+        got = [dec.feed(body[i:i + 7]) for i in range(0, len(body), 7)]
+        got = np.concatenate(got)
+        assert got.shape == (500,)
+        np.testing.assert_allclose(
+            got, np.clip(audio, -1, 1), atol=2 / 32768.0)
+
+    def test_wav_wrong_format_rejected(self):
+        from scripts.serve import BadRequest, PcmDecoder
+
+        body = _wav_bytes(np.zeros(100, np.float32), sr=8000)
+        dec = PcmDecoder(16000)
+        with pytest.raises(BadRequest, match="rate=8000"):
+            dec.feed(body)
+
+
+class TestStreamPool:
+    @staticmethod
+    def _pool(pipeline, max_streams=1):
+        from scripts.serve import StreamPool
+
+        return StreamPool(pipeline, max_streams=max_streams)
+
+    def test_reuse_and_busy(self, pipeline):
+        from scripts.serve import ServiceBusy
+
+        pool = self._pool(pipeline, max_streams=1)
+        st = pool.acquire(16, 0, timeout=0.1)
+        with pytest.raises(ServiceBusy):
+            pool.acquire(16, 0, timeout=0.1)
+        pool.release(st)
+        st2 = pool.acquire(16, 0, timeout=0.1)
+        assert st2 is st  # reset + reuse, no recompile
+        pool.release(st2)
+
+    def test_eviction_makes_room_for_new_shape(self, pipeline):
+        pool = self._pool(pipeline, max_streams=1)
+        st = pool.acquire(16, 0, timeout=0.1)
+        pool.release(st)
+        st2 = pool.acquire(32, 0, timeout=0.1)  # evicts the idle (16, 0)
+        assert st2.chunk_frames == 32
+        pool.release(st2)
+
+
+def test_serve_stream_http_end_to_end(pipeline):
+    """POST /stream over a real socket with a chunked upload: NDJSON
+    increments arrive, and the final text matches a direct
+    StreamingTranscriber run with the same chunking."""
+    import http.client
+    import socket
+
+    from http.server import ThreadingHTTPServer
+
+    from scripts.serve import ASRService, StreamPool, make_handler
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    svc = ASRService.__new__(ASRService)  # skip checkpoint load
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+
+    ref = StreamingTranscriber(
+        pipeline.model, pipeline.params, pipeline.decoder, chunk_frames=100,
+    )
+    # one-shot feed of the int16-quantized audio: streaming output is
+    # arrival-invariant (chunk-quantized causal normalization), so the
+    # HTTP path's network fragmentation must not change the text
+    ref.feed(np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0)
+    expected = ref.text + ref.finish()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def blocks():
+            for i in range(0, len(pcm), 4096):
+                yield pcm[i:i + 4096]
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/stream?chunk_seconds=1.0", body=blocks(),
+                     headers={"Transfer-Encoding": "chunked"},
+                     encode_chunked=True)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+        conn.close()
+
+        final = lines[-1]
+        assert final.get("final") is True
+        assert abs(final["duration"] - 3.0) < 1e-6
+        assert final["text"] == expected
+        # increments concatenate to the final text
+        assert "".join(l["text"] for l in lines[:-1]) == expected
+
+        # bad query -> 400 before any streaming
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/stream?chunk_seconds=999", body=b"")
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -574,3 +574,31 @@ def test_streaming_mel_trim_preserves_output():
         return np.concatenate(outs)
 
     np.testing.assert_allclose(run(trim=True), run(trim=False), atol=1e-6)
+
+
+def test_streaming_output_is_arrival_invariant(tiny_model):
+    """The text a stream produces depends only on the audio and the chunk
+    cadence — never on how the samples were fragmented in transit
+    (chunk-quantized causal normalization; serve's /stream endpoint
+    receives arbitrary TCP fragmentation)."""
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=100)
+
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal(int(2.7 * 16000)) * 0.1).astype(np.float32)
+
+    texts = []
+    for blocks in ([len(audio)],                       # one shot
+                   [1600] * (len(audio) // 1600) + [len(audio) % 1600],
+                   [7, 33, 40000, 1, 2048] * 100):     # adversarial splits
+        st.reset()
+        text, s = "", 0
+        for b in blocks:
+            text += st.feed(audio[s:s + b])
+            s += b
+            if s >= len(audio):
+                break
+        text += st.finish()
+        texts.append(text)
+    assert texts[0] == texts[1] == texts[2]

@@ -13,9 +13,12 @@ on the full sequence. Here streaming is first-class:
     memory of the last stream_memory_chunks chunks' SSM outputs (~32 s at
     2 s chunks) — an approximation of the offline full-utterance pooling;
   - the mel front-end is incremental: a sample ring buffer supplies each
-    frame's full n_fft window, and per-bin normalization uses running
-    (causal) statistics instead of the full-utterance statistics the
-    offline path uses (documented approximation);
+    frame's full n_fft window, and per-bin normalization uses causal
+    chunk-quantized statistics (chunk c normalized with stats over frames
+    [0, chunk c's end) — audio.causal_normalize_mel, the rule the
+    streaming-aware training objective uses) instead of the
+    full-utterance statistics the offline path uses. Output depends only
+    on the audio and chunk cadence, never on feed fragmentation;
   - greedy CTC decoding carries its collapse state across chunks.
 
 One compiled step (static chunk shape, dynamic time offset) serves the
@@ -72,6 +75,11 @@ class StreamingMel:
         self._count = 0
         self._sum = np.zeros(n_mels, np.float64)
         self._sumsq = np.zeros(n_mels, np.float64)
+        # stats of raw-mel frames dropped by trim_raw_mel, so stats_at()
+        # stays exact after history is trimmed
+        self._trim_count = 0
+        self._trim_sum = np.zeros(n_mels, np.float64)
+        self._trim_sumsq = np.zeros(n_mels, np.float64)
         # un-normalized log-mel of frames [_raw_mel_start, ...), so the
         # lookahead re-decode path can re-normalize an older chunk with
         # LATER statistics (see StreamingTranscriber lookahead_chunks)
@@ -119,6 +127,41 @@ class StreamingMel:
         mean, std = self.current_stats()
         return ((raw_mel - mean) / (std + 1e-10)).astype(np.float32)
 
+    @property
+    def frames_extracted(self) -> int:
+        """Total mel frames extracted so far (feed + finish)."""
+        return self._next_frame
+
+    def stats_at(self, k: int):
+        """(mean, std) of the per-bin statistics over raw frames [0, k)
+        — unbiased std, fp32 outputs. k may exceed the frames extracted
+        (clamped); frames already trimmed contribute via running sums."""
+        k = min(k, self._raw_mel_start + self._raw_mel.shape[0])
+        assert k >= self._raw_mel_start, (
+            f"stats_at({k}): raw frames before {self._raw_mel_start} "
+            "were trimmed"
+        )
+        part = self._raw_mel[: k - self._raw_mel_start].astype(np.float64)
+        count = self._trim_count + part.shape[0]
+        s = self._trim_sum + part.sum(axis=0)
+        s2 = self._trim_sumsq + (part**2).sum(axis=0)
+        c = max(count, 1)
+        mean = s / c
+        if count > 1:
+            var = (s2 - c * mean**2) / (c - 1)
+            std = np.sqrt(np.maximum(var, 0.0))
+        else:
+            std = np.zeros_like(mean)
+        return mean.astype(np.float32), std.astype(np.float32)
+
+    def normalize_span(self, start: int, count: int, upto: int) -> np.ndarray:
+        """Frames [start, start+count) normalized with stats_at(upto) —
+        the chunk-quantized causal statistics of audio.causal_normalize_mel
+        (frame in chunk c uses stats over [0, chunk c's end))."""
+        mean, std = self.stats_at(upto)
+        return ((self.raw_frames(start, count) - mean)
+                / (std + 1e-10)).astype(np.float32)
+
     def raw_frames(self, start: int, count: int) -> np.ndarray:
         """Un-normalized log-mel of frames [start, start+count)."""
         assert start >= self._raw_mel_start, (
@@ -133,6 +176,10 @@ class StreamingMel:
         as it goes to keep memory bounded)."""
         drop = before_frame - self._raw_mel_start
         if drop > 0:
+            dropped = self._raw_mel[:drop].astype(np.float64)
+            self._trim_count += dropped.shape[0]
+            self._trim_sum += dropped.sum(axis=0)
+            self._trim_sumsq += (dropped**2).sum(axis=0)
             self._raw_mel = self._raw_mel[drop:]
             self._raw_mel_start = before_frame
 
@@ -300,6 +347,14 @@ class StreamingTranscriber:
     context; tools/ablate_streaming_gap.py) are addressed. Advancing steps
     are unchanged, so the recurrent state stream is identical to
     lookahead 0.
+
+    Normalization is chunk-quantized: chunk c is normalized with the
+    statistics of raw frames [0, chunk c's end) — exactly
+    audio.causal_normalize_mel, i.e. the feature distribution the
+    streaming-aware training objective saw. The output therefore depends
+    only on the audio and the chunk cadence, never on how the samples were
+    fragmented in transit (a live network feed and a file replay decode
+    identically).
     """
 
     def __init__(
@@ -317,10 +372,9 @@ class StreamingTranscriber:
         self.chunk_frames = chunk_frames
         self.lookahead_chunks = lookahead_chunks
         self.mel = StreamingMel()
-        self._mel_buf = np.zeros((0, model.config.mel_bins), np.float32)
         self._state = None
         self._time_offset = 0
-        self._frame_cursor = 0  # absolute mel-frame index of _mel_buf[0]
+        self._frame_cursor = 0  # absolute mel-frame index of the next chunk
         self._pending: List[dict] = []
         self._prev_token = BLANK_TOKEN
         self._tokens: List[int] = []
@@ -352,7 +406,6 @@ class StreamingTranscriber:
     def reset(self) -> None:
         """Start a new session, reusing the compiled step function."""
         self.mel = StreamingMel()
-        self._mel_buf = np.zeros((0, self.model.config.mel_bins), np.float32)
         self._state = None
         self._time_offset = 0
         self._frame_cursor = 0
@@ -373,9 +426,15 @@ class StreamingTranscriber:
             self._prev_token = tok
 
     def _emit(self, p: dict) -> None:
-        """Lookahead emission of a pending chunk (frozen-memory re-decode)."""
-        raw = self.mel.raw_frames(p["frame_start"], p["valid"])
-        chunk = self.mel.apply_stats(raw)
+        """Lookahead emission of a pending chunk (frozen-memory re-decode).
+
+        Mel is re-normalized with the statistics available at emission
+        time — chunk-quantized like the advancing path: _frame_cursor sits
+        at the end of the chunk whose advance triggered this emission
+        (the utterance end during the finish() flush)."""
+        chunk = self.mel.normalize_span(
+            p["frame_start"], p["valid"], self._frame_cursor
+        )
         if chunk.shape[0] < self.chunk_frames:
             chunk = np.pad(chunk, ((0, self.chunk_frames - chunk.shape[0]), (0, 0)))
         state = {
@@ -392,12 +451,20 @@ class StreamingTranscriber:
         self._decode_logits(logits, (p["valid"] + 1) // 2)
 
     def _run_chunks(self, flush: bool = False) -> str:
-        while self._mel_buf.shape[0] >= self.chunk_frames or (
-            flush and self._mel_buf.shape[0] > 0
-        ):
-            chunk = self._mel_buf[: self.chunk_frames]
-            self._mel_buf = self._mel_buf[self.chunk_frames :]
-            valid = chunk.shape[0]
+        while True:
+            avail = self.mel.frames_extracted - self._frame_cursor
+            if avail >= self.chunk_frames:
+                valid = self.chunk_frames
+            elif flush and avail > 0:
+                valid = avail
+            else:
+                break
+            # chunk-quantized causal normalization: stats over raw frames
+            # [0, this chunk's end) — audio.causal_normalize_mel exactly,
+            # independent of how the samples arrived (see class docstring)
+            chunk = self.mel.normalize_span(
+                self._frame_cursor, valid, self._frame_cursor + valid
+            )
             if valid < self.chunk_frames:
                 # final partial chunk: zero-pad to the static shape (the
                 # trailing zero mel frames reproduce the offline right-pad)
@@ -440,16 +507,12 @@ class StreamingTranscriber:
 
     def feed(self, samples: np.ndarray) -> str:
         """Feed raw audio samples; returns newly finalized text."""
-        frames = self.mel.feed(samples)
-        if frames.shape[0]:
-            self._mel_buf = np.concatenate([self._mel_buf, frames])
+        self.mel.feed(samples)
         return self._run_chunks()
 
     def finish(self) -> str:
         """Flush trailing audio and return the remaining text."""
-        tail = self.mel.finish()
-        if tail.shape[0]:
-            self._mel_buf = np.concatenate([self._mel_buf, tail])
+        self.mel.finish()
         return self._run_chunks(flush=True)
 
     @property
@@ -462,12 +525,13 @@ class BatchedStreamingTranscriber:
 
     Runs B independent streams through one compiled chunk step (the carried
     state pytree simply gains a batch axis), reproducing the per-utterance
-    StreamingTranscriber semantics exactly: each utterance's mel is
-    extracted with the causal StreamingMel front-end fed in
-    feed_block-sample blocks, chunks are zero-padded to the static shape,
-    and greedy collapse state is carried per stream. Tokens past an
-    utterance's own output-frame count are masked out, so shorter
-    utterances in a batch are unaffected by their padding chunks.
+    StreamingTranscriber semantics exactly: each utterance's mel uses the
+    same chunk-quantized causal normalization (chunk c normalized with
+    stats over raw frames [0, chunk c's end) — audio.causal_normalize_mel),
+    chunks are zero-padded to the static shape, and greedy collapse state
+    is carried per stream. Tokens past an utterance's own output-frame
+    count are masked out, so shorter utterances in a batch are unaffected
+    by their padding chunks.
 
     This is the evaluation analog of the serve daemon's micro-batching: it
     exists so `evaluate --streaming` scales past one-utterance-at-a-time
@@ -475,11 +539,9 @@ class BatchedStreamingTranscriber:
 
     lookahead_chunks: see StreamingTranscriber — chunk c is re-decoded
     (frozen-memory emit pass) with memory from chunk min(c+L, last) and
-    mel re-normalized with the statistics available then. The live
-    transcriber's running stats at emission time may cover slightly more
-    frames than the (c+1+L)*chunk_frames cutoff used here (its mel
-    extraction runs ahead of chunk consumption by up to one feed block);
-    the difference is a handful of frames of statistics."""
+    mel re-normalized with the statistics available then (stats over
+    [0, (c+1+L)*chunk_frames), clamped to the utterance end — the live
+    transcriber's emission-time statistics)."""
 
     def __init__(
         self,
@@ -498,8 +560,9 @@ class BatchedStreamingTranscriber:
         self.chunk_frames = chunk_frames
         self.batch_size = batch_size
         self.lookahead_chunks = lookahead_chunks
-        # default: one chunk's worth of audio per mel feed, matching the
-        # per-utterance loop in scripts/evaluate.py
+        # retained for API compatibility: normalization is chunk-quantized
+        # (feed-order invariant), so the mel no longer depends on how the
+        # audio is fed
         self.feed_block = feed_block or chunk_frames * HOP_LENGTH
 
         def step(params, mel_chunk, state, offset):
@@ -534,14 +597,23 @@ class BatchedStreamingTranscriber:
         return self._causal_mel_raw(audio)[0]
 
     def _causal_mel_raw(self, audio: np.ndarray):
-        """(causally normalized mel, raw log-mel) — frame-aligned."""
-        sm = StreamingMel()
-        frames = [
-            sm.feed(audio[s : s + self.feed_block])
-            for s in range(0, len(audio), self.feed_block)
-        ]
-        frames.append(sm.finish())
-        return np.concatenate(frames), sm._raw_mel
+        """(causally normalized mel, raw log-mel) — frame-aligned.
+
+        Normalization is chunk-quantized (chunk c with stats over raw
+        frames [0, min((c+1)*chunk_frames, T))), the exact
+        audio.causal_normalize_mel rule the live StreamingTranscriber
+        applies — raw mel extraction itself is feed-order invariant."""
+        sm = StreamingMel(normalize=False)
+        frames = [sm.feed(audio), sm.finish()]
+        raw = np.concatenate(frames)
+        F = self.chunk_frames
+        if raw.shape[0] == 0:
+            return raw, raw
+        normed = np.concatenate([
+            self._renormalize(raw, (c + 1) * F, c * F, (c + 1) * F)
+            for c in range(-(-raw.shape[0] // F))
+        ])
+        return normed, raw
 
     @staticmethod
     def _renormalize(raw: np.ndarray, upto: int,
