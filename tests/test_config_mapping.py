@@ -92,3 +92,34 @@ def test_noise_injection_without_spec_augment():
         "augmentation": {"enabled": True, "noise_injection": True}
     })
     assert on.augment.noise_injection and on.augment.num_time_masks == 2
+
+
+def test_speed_perturb_mapping():
+    """speed_perturb maps for real (the reference declares the key,
+    train.yaml:34): bare boolean uses the 0.9-1.1 default range, a
+    [min, max] list overrides it, malformed lists error."""
+    import pytest
+
+    on = training_config_from_yaml({
+        "data": {"augmentation": {"spec_augment": False,
+                                  "speed_perturb": True}}
+    })
+    assert on.augment is not None and on.augment.speed_perturb
+    assert (on.augment.speed_min, on.augment.speed_max) == (0.9, 1.1)
+    assert on.augment.num_time_masks == 0  # masking stays off
+
+    ranged = training_config_from_yaml({
+        "augmentation": {"enabled": True, "speed_perturb": [0.85, 1.2]}
+    })
+    assert ranged.augment.speed_perturb
+    assert (ranged.augment.speed_min, ranged.augment.speed_max) == (0.85, 1.2)
+
+    off = training_config_from_yaml({
+        "augmentation": {"speed_perturb": False}
+    })
+    assert off.augment is None
+
+    with pytest.raises(ValueError, match="speed_perturb"):
+        training_config_from_yaml(
+            {"augmentation": {"speed_perturb": [1.2, 0.8]}}
+        )

@@ -2,9 +2,10 @@
 
 The reference declares an `augmentation:` config stanza but never
 implements it (reference configs/train.yaml:27-34, unread by any code).
-Implemented here: SpecAugment-style time/frequency masking applied to the
-batched mel input inside the jitted train step (masks are sampled with
-the step PRNG; zero host work).
+Implemented here, all inside the jitted train step (sampled with the
+step PRNG; zero host work): SpecAugment-style time/frequency masking on
+the batched mel, white-noise injection on the waveform, and speed
+perturbation as a fixed-shape on-device time warp.
 """
 
 from __future__ import annotations
@@ -19,14 +20,18 @@ import jax.numpy as jnp
 class SpecAugmentConfig:
     """SpecAugment hyperparameters (LibriSpeech-style defaults).
 
-    noise_injection implements the reference's declared-but-unimplemented
-    `augmentation.noise_injection` key (reference configs/train.yaml:33):
-    white noise added to the waveform at a per-utterance SNR drawn from
-    [noise_min_snr_db, noise_max_snr_db]. It runs inside the jitted train
-    step and therefore requires device-mel batches (raw PCM on device);
-    `speed_perturb` (train.yaml:34) is deliberately NOT implemented:
-    rate-resampling changes utterance length, which fights XLA's static
-    shapes, and SpecAugment's time masking covers most of its benefit.
+    noise_injection and speed_perturb implement the reference's
+    declared-but-unimplemented `augmentation` keys (reference
+    configs/train.yaml:33-34); both run inside the jitted train step and
+    therefore require device-mel batches (raw PCM on device):
+
+      - noise_injection: white noise added to the waveform at a
+        per-utterance SNR drawn from [noise_min_snr_db, noise_max_snr_db].
+      - speed_perturb: sox-`speed`-style tempo+pitch warp by a factor
+        drawn from [speed_min, speed_max], done the TPU way — a
+        fixed-shape linear-interpolation gather keeps the batch's static
+        width and only the valid-length bookkeeping changes (host-side
+        rate resampling would produce dynamic lengths).
     """
 
     enabled: bool = False
@@ -37,6 +42,9 @@ class SpecAugmentConfig:
     noise_injection: bool = False
     noise_min_snr_db: float = 10.0
     noise_max_snr_db: float = 40.0
+    speed_perturb: bool = False
+    speed_min: float = 0.9
+    speed_max: float = 1.1
 
 
 def spec_augment(
@@ -132,3 +140,44 @@ def noise_inject(
     noise_pow = sig_pow * 10.0 ** (-snr_db / 10.0)
     noise = jax.random.normal(k2, audio.shape, audio.dtype) * jnp.sqrt(noise_pow)
     return jnp.where(valid, audio + noise, audio)
+
+
+def speed_perturb_audio(
+    audio: jnp.ndarray,
+    rng: jax.Array,
+    config: SpecAugmentConfig,
+    input_lengths: jnp.ndarray,
+    hop_length: int,
+):
+    """Per-utterance speed perturbation on (batch, samples) waveforms.
+
+    The reference declares `augmentation.speed_perturb` but never reads it
+    (reference configs/train.yaml:34). Classic implementations resample on
+    the host, changing utterance length — which fights XLA's static
+    shapes. Here each utterance is warped ON DEVICE by a factor
+    f ~ U[speed_min, speed_max] with a fixed-shape linear-interpolation
+    gather (out[t] = audio[t*f], sox `speed`: tempo and pitch shift
+    together); the padded buffer keeps its static width and only the
+    valid-length bookkeeping changes. Slow-down factors are clamped per
+    utterance so the stretched signal still fits the buffer (f >= valid/S
+    — only utterances already filling their padding bucket lose range).
+
+    input_lengths are valid MEL frames (the collator's 1 + samples // hop
+    rule); returns (warped audio, new input_lengths) under the same rule.
+    """
+    b, s = audio.shape
+    f = jax.random.uniform(
+        rng, (b, 1), minval=config.speed_min, maxval=config.speed_max
+    )
+    valid = ((input_lengths[:, None] - 1) * hop_length).astype(jnp.float32)
+    f = jnp.maximum(f, valid / s)
+    pos = jnp.arange(s, dtype=jnp.float32)[None, :] * f
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, s - 1)
+    i1 = jnp.minimum(i0 + 1, s - 1)
+    w = pos - i0.astype(jnp.float32)
+    out = (jnp.take_along_axis(audio, i0, axis=1) * (1.0 - w)
+           + jnp.take_along_axis(audio, i1, axis=1) * w)
+    new_valid = jnp.floor(valid / f).astype(jnp.int32)
+    out = jnp.where(jnp.arange(s)[None, :] < new_valid, out, 0.0)
+    new_lengths = new_valid[:, 0] // hop_length + 1
+    return out, new_lengths

@@ -232,7 +232,9 @@ class SpeakerTrainer(Trainer):
         super().__init__(model, config, train_iter, eval_batches, **kwargs)
 
     def _loss_fn(self, params, quant_stats, batch, dropout_rng, train, n_valid):
-        mel, _, dropout_rng = self._batch_mel(batch, dropout_rng, train)
+        mel, _, input_lengths, dropout_rng = self._batch_mel(
+            batch, dropout_rng, train
+        )
         if train and self.config.augment is not None and self.config.augment.enabled:
             from .training import spec_augment
 

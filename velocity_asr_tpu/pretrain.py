@@ -258,7 +258,9 @@ class PretrainTrainer(Trainer):
         super().__init__(model, config, train_iter, eval_batches, **kwargs)
 
     def _loss_fn(self, params, quant_stats, batch, dropout_rng, train, n_valid):
-        mel, _, dropout_rng = self._batch_mel(batch, dropout_rng, train)
+        mel, _, input_lengths, dropout_rng = self._batch_mel(
+            batch, dropout_rng, train
+        )
         # Eval gets no dropout key; masks must still be sampled (fixed key
         # -> deterministic eval loss across runs).
         rng = dropout_rng if dropout_rng is not None else jax.random.PRNGKey(0)

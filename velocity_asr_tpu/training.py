@@ -400,12 +400,18 @@ class Trainer:
         """Normalized mel for a batch, on either pipeline.
 
         device-mel batches ship int16 PCM and run the fused mel front-end
-        (+ optional waveform noise injection) inside the compiled step;
-        host-mel batches arrive normalized. Returns (mel, raw_mel,
-        dropout_rng) where raw_mel is the un-normalized device mel (None on
-        the host path) and dropout_rng has been advanced past any noise key.
+        (+ optional waveform speed perturbation / noise injection) inside
+        the compiled step; host-mel batches arrive normalized. Returns
+        (mel, raw_mel, input_lengths, dropout_rng) where raw_mel is the
+        un-normalized device mel (None on the host path), input_lengths
+        are the batch's valid frame counts — rescaled when speed
+        perturbation warped the waveforms — and dropout_rng has been
+        advanced past any augmentation keys.
         """
         raw_mel = None
+        input_lengths = batch["input_lengths"]
+        aug = self.config.augment
+        aug_on = train and aug is not None and aug.enabled
         if "audio" in batch:
             # device-mel path: the host pipeline ships int16 PCM (audio
             # decode only — what lets one host feed a multi-chip DP mesh,
@@ -416,46 +422,55 @@ class Trainer:
             from .audio import HOP_LENGTH, compute_mel_spectrogram, masked_normalize_mel
 
             audio = batch["audio"].astype(jnp.float32) * (1.0 / 32768.0)
-            aug = self.config.augment
-            if train and aug is not None and aug.enabled and aug.noise_injection:
+            if aug_on and aug.speed_perturb:
+                # Fixed-shape on-device time warp — the reference's
+                # speed_perturb key, for real (augment.speed_perturb_audio).
+                from .augment import speed_perturb_audio
+
+                sp_rng, dropout_rng = jax.random.split(dropout_rng)
+                audio, input_lengths = speed_perturb_audio(
+                    audio, sp_rng, aug, input_lengths, HOP_LENGTH
+                )
+            if aug_on and aug.noise_injection:
                 # Waveform-level noise at a sampled SNR, before the mel
                 # front-end — the reference's noise_injection key, for real.
                 from .augment import noise_inject
 
                 noise_rng, dropout_rng = jax.random.split(dropout_rng)
-                sample_lengths = (batch["input_lengths"] - 1) * HOP_LENGTH
+                sample_lengths = (input_lengths - 1) * HOP_LENGTH
                 audio = noise_inject(audio, noise_rng, aug, sample_lengths)
             raw_mel = compute_mel_spectrogram(audio, normalize=False)
-            mel = masked_normalize_mel(raw_mel, batch["input_lengths"])
+            mel = masked_normalize_mel(raw_mel, input_lengths)
         else:
-            aug = self.config.augment
-            if train and aug is not None and aug.enabled and aug.noise_injection:
+            if aug_on and (aug.noise_injection or aug.speed_perturb):
                 # Misconfiguration, not a fallback (same contract as
-                # streaming_chunks below): waveform noise needs raw PCM
-                # on device.
+                # streaming_chunks below): waveform augmentation needs raw
+                # PCM on device.
                 raise ValueError(
-                    "augmentation.noise_injection requires data.device_mel: "
-                    "true (waveform noise is applied before the on-device "
-                    "mel front-end)"
+                    "augmentation.noise_injection / speed_perturb require "
+                    "data.device_mel: true (both act on the waveform "
+                    "before the on-device mel front-end)"
                 )
             mel = batch["mel_spectrogram"]
-        return mel, raw_mel, dropout_rng
+        return mel, raw_mel, input_lengths, dropout_rng
 
     def _loss_fn(self, params, quant_stats, batch, dropout_rng, train: bool,
                  n_valid):
         """Returns (loss, new_quant_stats). For non-QAT models quant_stats
         is None and passes through unchanged."""
-        mel, raw_mel, dropout_rng = self._batch_mel(batch, dropout_rng, train)
+        mel, raw_mel, input_lengths, dropout_rng = self._batch_mel(
+            batch, dropout_rng, train
+        )
 
         aug_rng = None
         if train and self.config.augment is not None and self.config.augment.enabled:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = spec_augment(
-                mel, aug_rng, self.config.augment, batch["input_lengths"]
+                mel, aug_rng, self.config.augment, input_lengths
             )
         # Output lengths after stride-2 temporal binding
         # (reference training.py:234).
-        output_lengths = (batch["input_lengths"] + 1) // 2
+        output_lengths = (input_lengths + 1) // 2
 
         def masked_ctc(logits):
             per_example = ctc_loss_per_example(
@@ -537,11 +552,11 @@ class Trainer:
             from .streaming import streaming_forward
 
             smel = causal_normalize_mel(
-                raw_mel, batch["input_lengths"], self.config.streaming_chunks
+                raw_mel, input_lengths, self.config.streaming_chunks
             )
             if aug_rng is not None:
                 smel = spec_augment(
-                    smel, aug_rng, self.config.augment, batch["input_lengths"]
+                    smel, aug_rng, self.config.augment, input_lengths
                 )
             slogits = streaming_forward(
                 self.model, params, smel, self.config.streaming_chunks,

@@ -97,22 +97,26 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
 def _spec_augment_from_yaml(aug):
     from ..augment import SpecAugmentConfig
 
-    if aug.get("speed_perturb"):
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "augmentation.speed_perturb is not implemented (rate resampling "
-            "changes utterance length, which fights XLA static shapes; "
-            "SpecAugment time masking covers most of its benefit) — ignoring"
-        )
-
-    # enabled/spec_augment gates the masking; noise_injection is its own
-    # switch (`spec_augment: false, noise_injection: true` trains with
-    # noise only instead of silently dropping the key). None when nothing
-    # is on.
+    # enabled/spec_augment gates the masking; noise_injection and
+    # speed_perturb are their own switches (`spec_augment: false,
+    # noise_injection: true` trains with noise only instead of silently
+    # dropping the key). None when nothing is on.
     masking = bool(aug.get("enabled", aug.get("spec_augment", False)))
     noise = bool(aug.get("noise_injection", False))
-    if not masking and not noise:
+    # the reference declares a bare boolean (train.yaml:34); a 2-element
+    # [min, max] list overrides the 0.9-1.1 default factor range
+    sp = aug.get("speed_perturb", False)
+    if isinstance(sp, (list, tuple)):
+        if len(sp) != 2 or not sp[0] <= sp[1]:
+            raise ValueError(
+                f"augmentation.speed_perturb: expected true/false or "
+                f"[min, max] with min <= max, got {sp!r}"
+            )
+        speed_min, speed_max = float(sp[0]), float(sp[1])
+        speed = True
+    else:
+        speed, speed_min, speed_max = bool(sp), 0.9, 1.1
+    if not masking and not noise and not speed:
         return None
     return SpecAugmentConfig(
         enabled=True,
@@ -131,4 +135,7 @@ def _spec_augment_from_yaml(aug):
         noise_injection=noise,
         noise_min_snr_db=float(aug.get("noise_min_snr_db", 10.0)),
         noise_max_snr_db=float(aug.get("noise_max_snr_db", 40.0)),
+        speed_perturb=speed,
+        speed_min=speed_min,
+        speed_max=speed_max,
     )
