@@ -335,3 +335,52 @@ def test_serve_stream_http_end_to_end(pipeline):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_stream_malformed_chunked_encoding(pipeline):
+    """Malformed chunked bodies surface as an in-stream error line, the
+    session returns to the pool, and the next request still works."""
+    import http.client
+    import socket
+
+    from http.server import ThreadingHTTPServer
+
+    from scripts.serve import ASRService, StreamPool, make_handler
+
+    svc = ASRService.__new__(ASRService)
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # hand-rolled socket: garbage where the chunk size should be
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.sendall(b"POST /stream HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nnope\r\n")
+        buf = b""
+        while b'"error"' not in buf:
+            got = s.recv(4096)
+            if not got:
+                break
+            buf += got
+        s.close()
+        assert b"malformed chunk size" in buf, buf
+
+        # pool recovered: a normal request succeeds afterwards
+        rng = np.random.default_rng(4)
+        pcm = (rng.standard_normal(16000) * 3000).astype("<i2").tobytes()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/stream?chunk_seconds=1.0", body=pcm)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+        assert lines[-1].get("final") is True
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
