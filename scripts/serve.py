@@ -508,13 +508,6 @@ def make_handler(service: ASRService):
                 self._send(500, {"error": "internal failure"})
                 return
 
-            self.send_response(200)
-            self.send_header("Content-Type", "application/x-ndjson")
-            self.send_header("Cache-Control", "no-store")
-            self.send_header("Connection", "close")
-            self.end_headers()
-            self.close_connection = True
-
             def line(payload: dict):
                 self.wfile.write((json.dumps(payload) + "\n").encode())
                 self.wfile.flush()
@@ -523,6 +516,15 @@ def make_handler(service: ASRService):
             samples = 0
             t0 = time.perf_counter()
             try:
+                # everything past acquire lives under this try: a client
+                # that vanishes mid-headers must not leak the pooled
+                # session (finally releases it)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Cache-Control", "no-store")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.close_connection = True
                 for block in self._iter_body():
                     pcm = dec.feed(block)
                     if pcm.size:
