@@ -23,8 +23,9 @@ Endpoints:
       query: ?num_speakers=N pins the speaker count,
              ?transcripts=1 adds per-segment ASR text
              (speaker-attributed transcription)
-  POST /stream               -> NDJSON: {"text": increment}* then
-                                {"final": true, "text", "duration", "rtf"}
+  POST /stream               -> NDJSON: {"text": increment[, "words"]}*
+                                then {"final": true, "text", "duration",
+                                "rtf"[, "words"]}
       live incremental transcription over one HTTP request (the
       reference's "Streaming Mode" future-work item, README.md:480-482,
       as a service surface over velocity_asr_tpu.streaming). Body is
@@ -33,8 +34,10 @@ Endpoints:
       Content-Length); text increments are written back as the audio
       arrives. query: ?chunk_seconds=S (default 2.0) sets the decode
       cadence, ?lookahead=N delays each chunk's emission N chunks for
-      offline-like context (see StreamingTranscriber). Sessions are
-      pooled: at most --max-streams run concurrently (503 beyond that).
+      offline-like context (see StreamingTranscriber), ?timestamps=1
+      adds word-level timings to the increments (finalized words) and
+      the final line. Sessions are pooled: at most --max-streams run
+      concurrently (503 beyond that).
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
@@ -496,6 +499,7 @@ def make_handler(service: ASRService):
                     lookahead = int(q.get("lookahead", ["0"])[0])
                 except ValueError as e:
                     raise BadRequest(f"invalid query value: {e}") from e
+                timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
                 st = service.open_stream(chunk_seconds, lookahead)
             except BadRequest as e:
                 self._send(400, {"error": str(e)})
@@ -525,21 +529,32 @@ def make_handler(service: ASRService):
                 self.send_header("Connection", "close")
                 self.end_headers()
                 self.close_connection = True
+                def emit(inc: str, flush: bool = False):
+                    payload = {"text": inc} if inc else {}
+                    if timestamps:
+                        # words finalized since the last emission (a word is
+                        # final once a later word has started; flush
+                        # releases the trailing one)
+                        words = st.take_new_words(flush=flush)
+                        if words:
+                            payload["words"] = words
+                    if payload:
+                        line(payload)
+
                 for block in self._iter_body():
                     pcm = dec.feed(block)
                     if pcm.size:
                         samples += pcm.size
-                        inc = service.stream_feed(st, pcm)
-                        if inc:
-                            line({"text": inc})
-                inc = service.stream_finish(st)
-                if inc:
-                    line({"text": inc})
+                        emit(service.stream_feed(st, pcm))
+                emit(service.stream_finish(st), flush=True)
                 duration = samples / SAMPLE_RATE
-                line({
+                final = {
                     "final": True, "text": st.text, "duration": duration,
                     "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
-                })
+                }
+                if timestamps:
+                    final["words"] = st.words()
+                line(final)
             except BadRequest as e:
                 # headers are out; the error rides the NDJSON stream
                 logger.warning("bad stream request: %s", e)

@@ -41,47 +41,10 @@ from velocity_asr_tpu.io import supported_audio_exts
 AUDIO_EXTS = supported_audio_exts()
 
 
-def frame_to_seconds(frame: int, hop_length: int, sample_rate: int) -> float:
-    """Output frame -> seconds; output frames cover 2 hops after the stride-2
-    temporal binding (reference scripts/transcribe.py:42-45)."""
-    return frame * 2 * hop_length / sample_rate
-
-
-def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
-    """Assemble word-level timings from char tokens + frame spans
-    (reference scripts/transcribe.py:85-119)."""
-    words, current, start_t = [], [], None
-    for tok, (s, e) in zip(tokens, stamps):
-        ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
-        # "▁" is the subword word-start marker: any token BEGINNING with it
-        # closes the current word (decode._tokens_to_text maps "▁" to a
-        # space, so "▁hel" "lo" "▁world" reads "hello world" — the
-        # timestamps must split on the same rule).
-        if ch == " " or ch.startswith("▁"):
-            if current:
-                words.append(
-                    {
-                        "word": "".join(current),
-                        "start": start_t,
-                        "end": frame_to_seconds(e, hop_length, sample_rate),
-                    }
-                )
-                current, start_t = [], None
-            if ch == " ":
-                continue
-            ch = ch.replace("▁", "")
-            if not ch:
-                continue
-        elif "▁" in ch:
-            # marker mid-token: strip it without forcing a word boundary
-            ch = ch.replace("▁", "")
-        if not current:
-            start_t = frame_to_seconds(s, hop_length, sample_rate)
-        current.append(ch)
-        last_end = frame_to_seconds(e, hop_length, sample_rate)
-    if current:
-        words.append({"word": "".join(current), "start": start_t, "end": last_end})
-    return words
+from velocity_asr_tpu.decode import (  # noqa: E402  (library home;
+    frame_to_seconds,                     # re-exported here for backwards
+    words_with_timestamps,                # compatibility of older callers)
+)
 
 
 class Transcriber:
@@ -408,10 +371,12 @@ def make_streaming_transcriber(model, params, decoder, chunk_seconds=2.0,
                                 lookahead_chunks=lookahead)
 
 
-def transcribe_streaming(st, path):
+def transcribe_streaming(st, path, timestamps=False):
     """Chunked streaming transcription: exact SSM/conv carry, per-chunk
     global context (velocity_asr_tpu.streaming). lookahead > 0 emits each
     chunk N chunks late with offline-like context (see StreamingTranscriber).
+    timestamps=True adds word-level timings (the same assembly as the
+    offline --timestamps path, tracked across chunk boundaries).
 
     The feed block size is derived from the transcriber's own compiled
     chunk length so the two can never diverge."""
@@ -426,13 +391,16 @@ def transcribe_streaming(st, path):
         text += st.feed(audio[i : i + block])
     text += st.finish()
     duration = len(audio) / SAMPLE_RATE
-    return {
+    result = {
         "file": path,
         "text": text,
         "duration": duration,
         "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
         "streaming": True,
     }
+    if timestamps:
+        result["words"] = st.words()
+    return result
 
 
 def collect_files(input_dir: str):
@@ -504,8 +472,6 @@ def main():
     if args.streaming and args.beam_width > 1:
         parser.error("--beam-width is not supported with --streaming "
                      "(streaming decodes greedily per chunk)")
-    if args.streaming and args.timestamps:
-        parser.error("--timestamps is not supported with --streaming")
     if args.lookahead and not args.streaming:
         parser.error("--lookahead requires --streaming")
     if args.timestamps and args.beam_width > 1:
@@ -594,7 +560,8 @@ def main():
         for path in files:
             try:
                 if args.streaming:
-                    result = transcribe_streaming(streamer, path)
+                    result = transcribe_streaming(streamer, path,
+                                                  timestamps=args.timestamps)
                 else:
                     result = pipeline.transcribe_file(
                         path, timestamps=args.timestamps,

@@ -384,3 +384,55 @@ def test_serve_stream_malformed_chunked_encoding(pipeline):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_stream_timestamps(pipeline):
+    """?timestamps=1 rides word timings on the NDJSON increments; the
+    final line's words equal a direct streaming run's words()."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from scripts.serve import ASRService, StreamPool, make_handler
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    svc = ASRService.__new__(ASRService)
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+
+    ref = StreamingTranscriber(
+        pipeline.model, pipeline.params, pipeline.decoder, chunk_frames=100,
+    )
+    ref.feed(np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0)
+    ref.finish()
+    expected_words = ref.words()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", port, timeout=300)
+        conn.request("POST", "/stream?chunk_seconds=1.0&timestamps=1",
+                     body=pcm)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+        conn.close()
+        final = lines[-1]
+        assert final.get("final") is True
+        assert final["words"] == expected_words
+        # increments carry only finalized words; they concatenate to the
+        # full list
+        inc = [w for l in lines[:-1] for w in l.get("words", [])]
+        assert inc == expected_words
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -602,3 +602,62 @@ def test_streaming_output_is_arrival_invariant(tiny_model):
         text += st.finish()
         texts.append(text)
     assert texts[0] == texts[1] == texts[2]
+
+
+def test_streaming_timestamps_match_offline_rule(tiny_model):
+    """Cross-chunk token spans are frame-exact with
+    decode.timestamps_from_predictions applied to the concatenated
+    per-frame predictions: a run crossing a chunk boundary extends its
+    open span instead of re-emitting."""
+    from velocity_asr_tpu.decode import timestamps_from_predictions
+
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=8)
+
+    # synthetic per-frame predictions with runs crossing the 4-frame
+    # output-chunk boundary, blanks, and repeats
+    preds = np.array([0, 3, 3, 3, 3, 0, 4, 4, 5, 0, 0, 5, 5, 6, 7, 7],
+                     np.int64)
+    vocab = 30
+    base = 0
+    for s in range(0, len(preds), 4):  # out_valid = 8//2 = 4 per chunk
+        chunk = preds[s:s + 4]
+        logits = np.full((1, len(chunk), vocab), -10.0, np.float32)
+        logits[0, np.arange(len(chunk)), chunk] = 10.0
+        st._decode_logits(jnp.asarray(logits), len(chunk), base)
+        base += len(chunk)
+
+    ref_tokens, ref_stamps = timestamps_from_predictions(preds[None])[0]
+    stamps = [(s, e if e >= 0 else st._decoded_frames)
+              for s, e in st._stamps]
+    assert st._tokens == ref_tokens
+    assert stamps == ref_stamps
+
+
+def test_streaming_words_end_to_end(tiny_model):
+    """words() assembles the full transcript with monotonic spans, and
+    take_new_words() increments concatenate to it exactly."""
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=100)
+
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(3 * 16000) * 0.1).astype(np.float32)
+    incremental = []
+    for i in range(0, len(audio), 16000):
+        st.feed(audio[i:i + 16000])
+        incremental.extend(st.take_new_words())
+    st.finish()
+    incremental.extend(st.take_new_words(flush=True))
+
+    words = st.words()
+    assert incremental == words
+    # words reassemble the text (text joins words with the space tokens)
+    assert " ".join(w["word"] for w in words) == " ".join(st.text.split())
+    t_prev = 0.0
+    for w in words:
+        assert 0.0 <= w["start"] <= w["end"]
+        assert w["start"] >= t_prev - 1e-9  # monotonic word starts
+        t_prev = w["start"]
+    assert words[-1]["end"] <= st._decoded_frames * 2 * 160 / 16000 + 1e-9

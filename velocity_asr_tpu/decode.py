@@ -116,6 +116,49 @@ def timestamps_from_predictions(
     return results
 
 
+def frame_to_seconds(frame: int, hop_length: int, sample_rate: int) -> float:
+    """Output frame -> seconds; output frames cover 2 hops after the stride-2
+    temporal binding (reference scripts/transcribe.py:42-45)."""
+    return frame * 2 * hop_length / sample_rate
+
+
+def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
+    """Assemble word-level timings from char tokens + frame spans
+    (reference scripts/transcribe.py:85-119)."""
+    words, current, start_t = [], [], None
+    for tok, (s, e) in zip(tokens, stamps):
+        ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
+        # "▁" is the subword word-start marker: any token BEGINNING with it
+        # closes the current word (decode._tokens_to_text maps "▁" to a
+        # space, so "▁hel" "lo" "▁world" reads "hello world" — the
+        # timestamps must split on the same rule).
+        if ch == " " or ch.startswith("▁"):
+            if current:
+                words.append(
+                    {
+                        "word": "".join(current),
+                        "start": start_t,
+                        "end": frame_to_seconds(e, hop_length, sample_rate),
+                    }
+                )
+                current, start_t = [], None
+            if ch == " ":
+                continue
+            ch = ch.replace("▁", "")
+            if not ch:
+                continue
+        elif "▁" in ch:
+            # marker mid-token: strip it without forcing a word boundary
+            ch = ch.replace("▁", "")
+        if not current:
+            start_t = frame_to_seconds(s, hop_length, sample_rate)
+        current.append(ch)
+        last_end = frame_to_seconds(e, hop_length, sample_rate)
+    if current:
+        words.append({"word": "".join(current), "start": start_t, "end": last_end})
+    return words
+
+
 def _log_softmax_np(x: np.ndarray) -> np.ndarray:
     m = x.max(axis=-1, keepdims=True)
     s = x - m

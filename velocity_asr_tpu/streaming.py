@@ -378,6 +378,14 @@ class StreamingTranscriber:
         self._pending: List[dict] = []
         self._prev_token = BLANK_TOKEN
         self._tokens: List[int] = []
+        # (start, end) absolute output-frame span per emitted token, same
+        # rule as decode.timestamps_from_predictions (end = first frame
+        # where the prediction changes); end == -1 while the token's run is
+        # still open at the newest decoded frame (it may extend into the
+        # next chunk)
+        self._stamps: List[List[int]] = []
+        self._decoded_frames = 0  # absolute output frames decoded so far
+        self._words_emitted = 0
         self._emitted_text = ""
 
         def step(params, mel_chunk, state, offset):
@@ -412,18 +420,33 @@ class StreamingTranscriber:
         self._pending = []
         self._prev_token = BLANK_TOKEN
         self._tokens = []
+        self._stamps = []
+        self._decoded_frames = 0
+        self._words_emitted = 0
         self._emitted_text = ""
 
     def _init_state(self):
         return init_stream_state(self.model.config, 1)
 
-    def _decode_logits(self, logits, out_valid: int) -> None:
+    def _decode_logits(self, logits, out_valid: int, base: int) -> None:
+        """Collapse one chunk's argmax into tokens + absolute frame spans.
+
+        `base` is the chunk's first absolute output frame. The collapse
+        state (_prev_token) carries across chunks, so a token run crossing
+        a chunk boundary extends its open span instead of re-emitting —
+        frame-exact with decode.timestamps_from_predictions applied to the
+        concatenated predictions (tests/test_streaming.py)."""
         preds = np.asarray(jnp.argmax(logits[0, :out_valid], axis=-1))
-        for tok in preds:
+        for i, tok in enumerate(preds):
             tok = int(tok)
-            if tok != BLANK_TOKEN and tok != self._prev_token:
-                self._tokens.append(tok)
+            if tok != self._prev_token:
+                if self._stamps and self._stamps[-1][1] < 0:
+                    self._stamps[-1][1] = base + i
+                if tok != BLANK_TOKEN:
+                    self._tokens.append(tok)
+                    self._stamps.append([base + i, -1])
             self._prev_token = tok
+        self._decoded_frames = max(self._decoded_frames, base + out_valid)
 
     def _emit(self, p: dict) -> None:
         """Lookahead emission of a pending chunk (frozen-memory re-decode).
@@ -448,7 +471,7 @@ class StreamingTranscriber:
             self.params, jnp.asarray(chunk[None]), state,
             jnp.asarray(p["offset"], jnp.int32),
         )
-        self._decode_logits(logits, (p["valid"] + 1) // 2)
+        self._decode_logits(logits, (p["valid"] + 1) // 2, int(p["offset"]))
 
     def _run_chunks(self, flush: bool = False) -> str:
         while True:
@@ -488,7 +511,8 @@ class StreamingTranscriber:
             self._time_offset += out_valid
             self._frame_cursor += valid
             if self.lookahead_chunks == 0:
-                self._decode_logits(logits, out_valid)
+                self._decode_logits(logits, out_valid,
+                                    self._time_offset - out_valid)
             else:
                 while len(self._pending) > self.lookahead_chunks:
                     self._emit(self._pending.pop(0))
@@ -518,6 +542,37 @@ class StreamingTranscriber:
     @property
     def text(self) -> str:
         return self._emitted_text
+
+    def words(self) -> List[dict]:
+        """Word-level timestamps of everything decoded so far.
+
+        Same assembly as the offline --timestamps path
+        (decode.words_with_timestamps; frame -> seconds = frame*2*hop/sr).
+        The LAST word may still grow — its final token's run can extend
+        into the next chunk; take_new_words() handles that for live
+        incremental emission."""
+        from .decode import words_with_timestamps
+
+        stamps = [
+            (s, e if e >= 0 else self._decoded_frames)
+            for s, e in self._stamps
+        ]
+        return words_with_timestamps(
+            self._tokens, stamps, self.decoder.vocabulary,
+            HOP_LENGTH, SAMPLE_RATE,
+        )
+
+    def take_new_words(self, flush: bool = False) -> List[dict]:
+        """Newly FINALIZED words since the last call.
+
+        A word is final once a later word has started (its last token's
+        span can no longer extend); flush=True (after finish()) also
+        releases the trailing word."""
+        w = self.words()
+        cut = len(w) if flush else max(len(w) - 1, self._words_emitted)
+        new = w[self._words_emitted:cut]
+        self._words_emitted = cut
+        return new
 
 
 class BatchedStreamingTranscriber:
