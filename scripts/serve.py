@@ -10,7 +10,8 @@ Endpoints:
   GET  /health               -> {"status": "ok", "model": {...}}
   POST /transcribe           -> {"text", "duration", "rtf"}
       body: audio file bytes (WAV or FLAC; decoded by the native decoder)
-      query: ?timestamps=1 adds word timings, ?beam=N uses beam search,
+      query: ?timestamps=1 adds word timings + confidences, ?beam=N
+             uses beam search,
              ?hotwords=a,b&hotword_weight=W biases the beam toward the
              request's custom vocabulary (requires beam > 1),
              ?identify_language=1 adds the LID head's prediction

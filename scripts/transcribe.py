@@ -127,7 +127,13 @@ class Transcriber:
             return ctc_greedy_decode_jax(logits)
 
         def frame_preds(params, audio, n_valid_frames):
-            return jnp.argmax(masked_logits(params, audio, n_valid_frames), axis=-1)
+            # (argmax ids, their per-frame log posterior) — the lp feeds
+            # word confidences on the --timestamps path; only two (B, T)
+            # vectors cross the host link
+            lsm = jax.nn.log_softmax(
+                masked_logits(params, audio, n_valid_frames).astype(jnp.float32)
+            )
+            return jnp.argmax(lsm, axis=-1), jnp.max(lsm, axis=-1)
 
         # Device-side decode: only token ids cross the host link (full
         # logits are vocab_size/2 KB per frame — dominant at serve time).
@@ -259,12 +265,20 @@ class Transcriber:
             # host-mel fallback: decode from downloaded logits
             logits, _ = self.logits_for(audio)
             if timestamps:
+                from velocity_asr_tpu.decode import (
+                    _log_softmax_np,
+                    token_logprobs_from_frames,
+                )
+
+                lsm = _log_softmax_np(np.asarray(logits[0], np.float32))
                 tokens, stamps = timestamps_from_predictions(
-                    np.asarray(np.argmax(logits, -1))
+                    np.argmax(lsm, -1)[None]
                 )[0]
                 result["text"] = self.decoder._tokens_to_text(tokens)
                 result["words"] = words_with_timestamps(
-                    tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
+                    tokens, stamps, self.decoder.vocabulary, self.hop, self.sr,
+                    token_logprobs=token_logprobs_from_frames(
+                        lsm.max(-1), stamps),
                 )
             elif beam_width > 1:
                 result["text"] = self.decoder.decode_beam_search(
@@ -281,11 +295,15 @@ class Transcriber:
         out_len = (n_frames + 1) // 2
         audio_dev = self._jnp.asarray(self._to_wire(padded))
         if timestamps:
-            preds = np.asarray(self._frame_preds(self.params, audio_dev, n_frames))
+            from velocity_asr_tpu.decode import token_logprobs_from_frames
+
+            preds_dev, lp_dev = self._frame_preds(self.params, audio_dev, n_frames)
+            preds, frame_lp = np.asarray(preds_dev), np.asarray(lp_dev)
             tokens, stamps = timestamps_from_predictions(preds[:, :out_len])[0]
             result["text"] = self.decoder._tokens_to_text(tokens)
             result["words"] = words_with_timestamps(
-                tokens, stamps, self.decoder.vocabulary, self.hop, self.sr
+                tokens, stamps, self.decoder.vocabulary, self.hop, self.sr,
+                token_logprobs=token_logprobs_from_frames(frame_lp[0], stamps),
             )
         elif beam_width > 1:
             logits = self._infer_audio(self.params, audio_dev, n_frames)

@@ -250,3 +250,42 @@ def test_words_with_timestamps_subword_boundaries():
     stamps = [(0, 0), (1, 1), (2, 2)]
     words = words_with_timestamps(tokens, stamps, vocab, 160, 16000)
     assert [w["word"] for w in words] == ["a", "a"]
+
+
+def test_words_with_timestamps_confidence():
+    """token_logprobs attach per-word confidence = exp of the
+    span-length-weighted mean log posterior of the word's content tokens
+    (boundary space tokens excluded)."""
+    import math
+
+    from velocity_asr_tpu.decode import words_with_timestamps
+
+    vocab = ["<blank>", " ", "a", "b"]
+    tokens = [2, 3, 1, 2]  # "ab a"
+    stamps = [(0, 2), (2, 3), (3, 5), (5, 6)]
+    lps = [math.log(0.9), math.log(0.5), math.log(0.1), math.log(0.8)]
+    words = words_with_timestamps(tokens, stamps, vocab, 160, 16000,
+                                  token_logprobs=lps)
+    assert [w["word"] for w in words] == ["ab", "a"]
+    # "ab": spans 2 and 1 frames -> weighted mean of log(.9), log(.5)
+    exp0 = math.exp((2 * lps[0] + 1 * lps[1]) / 3)
+    assert abs(words[0]["confidence"] - exp0) < 1e-9
+    # the space's log(0.1) must NOT leak into either word
+    assert abs(words[1]["confidence"] - 0.8) < 1e-9
+    # without logprobs the field is absent (backwards compatible)
+    plain = words_with_timestamps(tokens, stamps, vocab, 160, 16000)
+    assert all("confidence" not in w for w in plain)
+
+
+def test_token_logprobs_from_frames():
+    import math
+
+    import numpy as np
+
+    from velocity_asr_tpu.decode import token_logprobs_from_frames
+
+    frame_lp = np.log(np.array([0.9, 0.3, 0.3, 0.6], np.float32))
+    lps = token_logprobs_from_frames(frame_lp, [(0, 1), (1, 3), (3, 3)])
+    assert abs(lps[0] - math.log(0.9)) < 1e-6
+    assert abs(lps[1] - math.log(0.3)) < 1e-6
+    assert abs(lps[2] - math.log(0.6)) < 1e-6  # empty span clamps to 1 frame

@@ -661,3 +661,35 @@ def test_streaming_words_end_to_end(tiny_model):
         assert w["start"] >= t_prev - 1e-9  # monotonic word starts
         t_prev = w["start"]
     assert words[-1]["end"] <= st._decoded_frames * 2 * 160 / 16000 + 1e-9
+
+
+def test_streaming_word_confidence(tiny_model):
+    """Streaming words carry confidences: exp of the mean per-frame log
+    posterior over the word's token spans — verified against crafted
+    near-one-hot logits with a known softmax value."""
+    import math
+
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    st = StreamingTranscriber(model, params, decoder, chunk_frames=8)
+
+    vocab = 30
+    mag = 5.0
+    p_tok = math.exp(mag) / (math.exp(mag) + (vocab - 1))
+    preds = np.array([0, 4, 4, 0, 5, 5, 5, 0], np.int64)
+    logits = np.zeros((1, len(preds), vocab), np.float32)
+    logits[0, np.arange(len(preds)), preds] = mag
+    st._decode_logits(jnp.asarray(logits[:, :4]), 4, 0)
+    st._decode_logits(jnp.asarray(logits[:, 4:]), 4, 4)
+
+    words = st.words()
+    assert len(words) == 1  # "ab" (tokens 4, 5 are chars, no space)
+    assert abs(words[0]["confidence"] - p_tok) < 1e-5
+
+    # end-to-end: every word of a real stream has a confidence in (0, 1]
+    st.reset()
+    rng = np.random.default_rng(17)
+    st.feed((rng.standard_normal(2 * 16000) * 0.1).astype(np.float32))
+    st.finish()
+    ws = st.words()
+    assert ws and all(0.0 < w["confidence"] <= 1.0 for w in ws)

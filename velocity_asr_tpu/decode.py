@@ -122,11 +122,29 @@ def frame_to_seconds(frame: int, hop_length: int, sample_rate: int) -> float:
     return frame * 2 * hop_length / sample_rate
 
 
-def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
+def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate,
+                          token_logprobs=None):
     """Assemble word-level timings from char tokens + frame spans
-    (reference scripts/transcribe.py:85-119)."""
+    (reference scripts/transcribe.py:85-119).
+
+    token_logprobs (optional, aligned with tokens): each token's mean
+    per-frame log posterior over its span. When given, every word gets a
+    "confidence" field — exp of the span-length-weighted mean log
+    posterior of its content tokens (word-boundary space tokens are
+    excluded, like the characters themselves).
+    """
+    import math
+
     words, current, start_t = [], [], None
-    for tok, (s, e) in zip(tokens, stamps):
+    lp_sum = lp_n = 0.0
+
+    def close(end_t):
+        w = {"word": "".join(current), "start": start_t, "end": end_t}
+        if token_logprobs is not None:
+            w["confidence"] = math.exp(lp_sum / max(lp_n, 1.0))
+        words.append(w)
+
+    for i, (tok, (s, e)) in enumerate(zip(tokens, stamps)):
         ch = vocabulary[tok] if 0 <= tok < len(vocabulary) else "<unk>"
         # "▁" is the subword word-start marker: any token BEGINNING with it
         # closes the current word (decode._tokens_to_text maps "▁" to a
@@ -134,14 +152,9 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
         # timestamps must split on the same rule).
         if ch == " " or ch.startswith("▁"):
             if current:
-                words.append(
-                    {
-                        "word": "".join(current),
-                        "start": start_t,
-                        "end": frame_to_seconds(e, hop_length, sample_rate),
-                    }
-                )
+                close(frame_to_seconds(e, hop_length, sample_rate))
                 current, start_t = [], None
+                lp_sum = lp_n = 0.0
             if ch == " ":
                 continue
             ch = ch.replace("▁", "")
@@ -153,10 +166,29 @@ def words_with_timestamps(tokens, stamps, vocabulary, hop_length, sample_rate):
         if not current:
             start_t = frame_to_seconds(s, hop_length, sample_rate)
         current.append(ch)
+        if token_logprobs is not None:
+            n = max(e - s, 1)
+            lp_sum += float(token_logprobs[i]) * n
+            lp_n += n
         last_end = frame_to_seconds(e, hop_length, sample_rate)
     if current:
-        words.append({"word": "".join(current), "start": start_t, "end": last_end})
+        close(last_end)
     return words
+
+
+def token_logprobs_from_frames(frame_lp, stamps):
+    """Mean per-frame log posterior per token span.
+
+    frame_lp: (T,) log posterior of each frame's argmax token; stamps:
+    (start, end) spans over the same axis (every frame in a span predicts
+    that token, so the mean is the token's posterior)."""
+    import numpy as np
+
+    out = []
+    for s, e in stamps:
+        e = max(e, s + 1)
+        out.append(float(np.mean(frame_lp[s:e])))
+    return out
 
 
 def _log_softmax_np(x: np.ndarray) -> np.ndarray:

@@ -384,6 +384,8 @@ class StreamingTranscriber:
         # still open at the newest decoded frame (it may extend into the
         # next chunk)
         self._stamps: List[List[int]] = []
+        # [lp_sum, n_frames] per emitted token (mean = its log posterior)
+        self._stamp_lp: List[List[float]] = []
         self._decoded_frames = 0  # absolute output frames decoded so far
         self._words_emitted = 0
         self._emitted_text = ""
@@ -421,6 +423,7 @@ class StreamingTranscriber:
         self._prev_token = BLANK_TOKEN
         self._tokens = []
         self._stamps = []
+        self._stamp_lp = []
         self._decoded_frames = 0
         self._words_emitted = 0
         self._emitted_text = ""
@@ -436,7 +439,9 @@ class StreamingTranscriber:
         a chunk boundary extends its open span instead of re-emitting —
         frame-exact with decode.timestamps_from_predictions applied to the
         concatenated predictions (tests/test_streaming.py)."""
-        preds = np.asarray(jnp.argmax(logits[0, :out_valid], axis=-1))
+        lsm = jax.nn.log_softmax(logits[0, :out_valid].astype(jnp.float32))
+        preds = np.asarray(jnp.argmax(lsm, axis=-1))
+        frame_lp = np.asarray(jnp.max(lsm, axis=-1))  # lp of the argmax
         for i, tok in enumerate(preds):
             tok = int(tok)
             if tok != self._prev_token:
@@ -445,6 +450,12 @@ class StreamingTranscriber:
                 if tok != BLANK_TOKEN:
                     self._tokens.append(tok)
                     self._stamps.append([base + i, -1])
+                    self._stamp_lp.append([0.0, 0])
+            if tok != BLANK_TOKEN and self._stamps and self._stamps[-1][1] < 0:
+                # frame belongs to the open token's span (pred == token
+                # for every frame of a span, by construction)
+                self._stamp_lp[-1][0] += float(frame_lp[i])
+                self._stamp_lp[-1][1] += 1
             self._prev_token = tok
         self._decoded_frames = max(self._decoded_frames, base + out_valid)
 
@@ -557,9 +568,10 @@ class StreamingTranscriber:
             (s, e if e >= 0 else self._decoded_frames)
             for s, e in self._stamps
         ]
+        token_lp = [lp / max(n, 1) for lp, n in self._stamp_lp]
         return words_with_timestamps(
             self._tokens, stamps, self.decoder.vocabulary,
-            HOP_LENGTH, SAMPLE_RATE,
+            HOP_LENGTH, SAMPLE_RATE, token_logprobs=token_lp,
         )
 
     def take_new_words(self, flush: bool = False) -> List[dict]:
