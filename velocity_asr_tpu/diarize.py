@@ -240,14 +240,14 @@ class SpeakerTrainer(Trainer):
 
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
             mel = spec_augment(
-                mel, aug_rng, self.config.augment, batch["input_lengths"]
+                mel, aug_rng, self.config.augment, input_lengths
             )
         rngs = (
             {"dropout": dropout_rng}
             if train and dropout_rng is not None else {}
         )
         _, cos = self.model.apply(
-            {"params": params}, mel, input_lengths=batch["input_lengths"],
+            {"params": params}, mel, input_lengths=input_lengths,
             train=train, rngs=rngs,
         )
         cfg = self.model.config
@@ -849,7 +849,14 @@ class Diarizer:
                 "(expected 'spectral' or 'ahc')"
             )
         if labels.size and labels.max() > 0:
-            labels = reassign_to_centroids(emb, labels, cfg.refine_iters)
+            refined = reassign_to_centroids(emb, labels, cfg.refine_iters)
+            # a pinned speaker count is a contract: if the centroid pass
+            # emptied a cluster (it can only shrink the count), keep the
+            # unrefined partition rather than under-deliver
+            if n_speakers is None or len(set(refined.tolist())) == len(
+                set(labels.tolist())
+            ):
+                labels = refined
 
         # frame-level majority vote over covering windows, then runs ->
         # segments (only frames the VAD marked as speech)

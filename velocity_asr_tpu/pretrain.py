@@ -268,7 +268,7 @@ class PretrainTrainer(Trainer):
 
         b, t, n_mels = mel.shape
         time_mask = sample_time_mask(
-            mask_rng, b, t, batch["input_lengths"], self.mask_config
+            mask_rng, b, t, input_lengths, self.mask_config
         )
         freq_mask = sample_freq_mask(freq_rng, b, n_mels, self.mask_config)
         inputs = jnp.where(freq_mask[:, None, :], 0.0, mel)
@@ -279,7 +279,7 @@ class PretrainTrainer(Trainer):
             rngs=rngs,
         )
         loss = masked_prediction_loss(
-            pred, mel, time_mask, batch["input_lengths"], n_valid
+            pred, mel, time_mask, input_lengths, n_valid
         )
         return loss, quant_stats
 

@@ -371,7 +371,10 @@ class StreamingTranscriber:
         self.decoder = decoder
         self.chunk_frames = chunk_frames
         self.lookahead_chunks = lookahead_chunks
-        self.mel = StreamingMel()
+        # normalize=False: chunks are normalized at decode time with
+        # chunk-quantized stats (normalize_span); normalizing every feed
+        # block with running stats would be discarded host work
+        self.mel = StreamingMel(normalize=False)
         self._state = None
         self._time_offset = 0
         self._frame_cursor = 0  # absolute mel-frame index of the next chunk
@@ -415,7 +418,7 @@ class StreamingTranscriber:
 
     def reset(self) -> None:
         """Start a new session, reusing the compiled step function."""
-        self.mel = StreamingMel()
+        self.mel = StreamingMel(normalize=False)
         self._state = None
         self._time_offset = 0
         self._frame_cursor = 0
