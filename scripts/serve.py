@@ -297,6 +297,14 @@ class ASRService:
             self.transcriber, max_batch=max_batch, window_ms=batch_window_ms
         )
         self.stream_pool = StreamPool(self.transcriber, max_streams=max_streams)
+        # Default-cadence lookahead-0 /stream sessions are micro-batched
+        # through ONE compiled chunk step (streaming.StreamSessionBatcher):
+        # concurrent live streams share each device round trip instead of
+        # serializing on it. Built lazily on the first such session; other
+        # cadences / lookahead fall back to per-session pooled transcribers.
+        self.stream_batcher = None
+        self._stream_batcher_slots = max(8, max_streams)
+        self._batcher_lock = threading.Lock()
         self.diarizer = None
         if speaker_model:
             from velocity_asr_tpu.diarize import Diarizer
@@ -354,9 +362,18 @@ class ASRService:
     #: fresh jit compile that also occupies a pool slot).
     STREAM_CADENCES = (0.5, 1.0, 2.0, 4.0, 8.0, 15.0, 30.0)
 
+    #: /stream decode cadence that routes to the shared micro-batched
+    #: step (seconds)
+    STREAM_DEFAULT_CADENCE = 2.0
+
     def open_stream(self, chunk_seconds: float, lookahead: int):
-        """Validate /stream query knobs and acquire a pooled session.
-        chunk_seconds snaps to the nearest STREAM_CADENCES entry."""
+        """Validate /stream query knobs and acquire a session.
+
+        chunk_seconds snaps to the nearest STREAM_CADENCES entry. The
+        default cadence with lookahead 0 gets a slot in the shared
+        StreamSessionBatcher (concurrent streams share one compiled device
+        call per chunk interval); other shapes use pooled per-session
+        transcribers."""
         from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE
 
         if not 0.5 <= chunk_seconds <= 30.0:
@@ -367,13 +384,45 @@ class ASRService:
                             key=lambda c: abs(c - chunk_seconds))
         frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
         frames += frames % 2  # StreamingTranscriber needs an even chunk
+        if chunk_seconds == self.STREAM_DEFAULT_CADENCE and lookahead == 0:
+            from velocity_asr_tpu.streaming import StreamSessionBatcher
+
+            with self._batcher_lock:
+                if self.stream_batcher is None:
+                    self.stream_batcher = StreamSessionBatcher(
+                        self.transcriber.model, self.transcriber.params,
+                        self.transcriber.decoder, chunk_frames=frames,
+                        max_slots=self._stream_batcher_slots,
+                    )
+            try:
+                return self.stream_batcher.open()
+            except RuntimeError as e:
+                raise ServiceBusy(str(e)) from e
         return self.stream_pool.acquire(frames, lookahead)
 
+    def release_stream(self, st) -> None:
+        from velocity_asr_tpu.streaming import BatchedStreamSession
+
+        if isinstance(st, BatchedStreamSession):
+            st.close()
+        else:
+            self.stream_pool.release(st)
+
     def stream_feed(self, st, pcm) -> str:
+        from velocity_asr_tpu.streaming import BatchedStreamSession
+
+        if isinstance(st, BatchedStreamSession):
+            # batched sessions synchronize inside the batcher; taking the
+            # service lock here would re-serialize concurrent streams
+            return st.feed(pcm)
         with self.lock:
             return st.feed(pcm)
 
     def stream_finish(self, st) -> str:
+        from velocity_asr_tpu.streaming import BatchedStreamSession
+
+        if isinstance(st, BatchedStreamSession):
+            return st.finish()
         with self.lock:
             return st.finish()
 
@@ -591,7 +640,7 @@ def make_handler(service: ASRService):
                 except OSError:
                     pass
             finally:
-                service.stream_pool.release(st)
+                service.release_stream(st)
 
         def do_PUT(self):
             # `curl -T -` uploads with PUT; /stream accepts both verbs

@@ -351,6 +351,9 @@ def test_serve_stream_malformed_chunked_encoding(pipeline):
     svc.lock = threading.Lock()
     svc.diarizer = None
     svc.stream_pool = StreamPool(pipeline, max_streams=1)
+    svc.stream_batcher = None
+    svc._stream_batcher_slots = 2
+    svc._batcher_lock = threading.Lock()
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     port = server.server_address[1]
@@ -431,6 +434,81 @@ def test_serve_stream_timestamps(pipeline):
         # full list
         inc = [w for l in lines[:-1] for w in l.get("words", [])]
         assert inc == expected_words
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_stream_concurrent_batched_sessions(pipeline):
+    """Two default-cadence /stream requests run concurrently through the
+    shared micro-batched step (StreamSessionBatcher) and each returns the
+    text a dedicated StreamingTranscriber produces."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from scripts.serve import ASRService, StreamPool, make_handler
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    svc = ASRService.__new__(ASRService)
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+    svc.stream_batcher = None
+    svc._stream_batcher_slots = 4
+    svc._batcher_lock = threading.Lock()
+
+    rng = np.random.default_rng(29)
+    pcms = [
+        (np.clip((rng.standard_normal(n) * 0.1), -1, 1) * 32767)
+        .astype("<i2").tobytes()
+        for n in (3 * 16000, 2 * 16000 + 5000)
+    ]
+
+    ref = StreamingTranscriber(
+        pipeline.model, pipeline.params, pipeline.decoder, chunk_frames=200,
+    )
+    expected = []
+    for pcm in pcms:
+        ref.reset()
+        ref.feed(np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0)
+        expected.append(ref.text + ref.finish())
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    results = [None, None]
+    errs = []
+
+    def client(i):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/stream", body=pcms[i])  # default cadence
+            resp = conn.getresponse()
+            assert resp.status == 200
+            lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+            conn.close()
+            results[i] = lines[-1]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        # the default cadence really used the batcher (pool holds 1 slot;
+        # two concurrent sessions would otherwise have 503'd)
+        assert svc.stream_batcher is not None
+        for i in (0, 1):
+            assert results[i]["final"] is True
+            assert results[i]["text"] == expected[i]
+        # all batcher slots returned
+        assert len(svc.stream_batcher._free) == 4
     finally:
         server.shutdown()
         server.server_close()

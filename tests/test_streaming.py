@@ -1,6 +1,8 @@
 """Streaming tests: exact chunked conv+SSM path, incremental mel, and the
 end-to-end StreamingTranscriber."""
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -693,3 +695,80 @@ def test_streaming_word_confidence(tiny_model):
     st.finish()
     ws = st.words()
     assert ws and all(0.0 < w["confidence"] <= 1.0 for w in ws)
+
+
+def test_batched_sessions_match_dedicated_transcribers(tiny_model):
+    """Independent live sessions micro-batched through one compiled step
+    (StreamSessionBatcher) produce EXACTLY the text and words a dedicated
+    StreamingTranscriber produces — with interleaved feeds, different
+    lengths (different per-row time offsets), and slot reuse."""
+    from velocity_asr_tpu.streaming import StreamSessionBatcher
+
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    batcher = StreamSessionBatcher(
+        model, params, decoder, chunk_frames=50, max_slots=3, window_ms=20.0,
+    )
+
+    rng = np.random.default_rng(23)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (30000, 17000, 41000)
+    ]
+
+    # reference: dedicated per-session transcribers
+    ref = StreamingTranscriber(model, params, decoder, chunk_frames=50)
+    expected = []
+    for a in audios:
+        ref.reset()
+        ref.feed(a)
+        ref.finish()
+        expected.append((ref.text, ref.words()))
+
+    # batched: three concurrent sessions, interleaved feeds from threads
+    sessions = [batcher.open() for _ in audios]
+    errs = []
+
+    def run(sess, audio):
+        try:
+            for i in range(0, len(audio), 4000):
+                sess.feed(audio[i:i + 4000])
+            sess.finish()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s, a))
+               for s, a in zip(sessions, audios)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    def words_match(got, want):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g["word"], g["start"], g["end"]) == \
+                (w["word"], w["start"], w["end"])
+            # batched log-softmax rounds differently at ~1e-8; tokens,
+            # spans, and text are exactly equal
+            assert g["confidence"] == pytest.approx(w["confidence"], abs=1e-6)
+
+    for sess, (text, words) in zip(sessions, expected):
+        assert sess.text == text
+        words_match(sess.words(), words)
+
+    # slot exhaustion is a clear error; close frees, reset recycles
+    with pytest.raises(RuntimeError, match="slots"):
+        batcher.open()
+    sessions[0].close()
+    s_new = batcher.open()
+    s_new.feed(audios[1])
+    s_new.finish()
+    assert s_new.text == expected[1][0]
+    # recycle in place: same session, fresh stream
+    s_new.reset()
+    s_new.feed(audios[2])
+    s_new.finish()
+    assert s_new.text == expected[2][0]
+    for s in (s_new, *sessions[1:]):
+        s.close()

@@ -238,12 +238,15 @@ class HierarchicalGlobalContext(nn.Module):
             s = ssm_new.shape[1]
             tiled = jnp.tile(ssm_new, (1, mem_tokens // s, 1))
             rolled = jnp.concatenate([gc_state["mem"][:, s:], ssm_new], axis=1)
-            x_ssm = jnp.where(gc_state["init"], rolled, tiled).astype(self.dtype)
+            # init is per-row ((B,) bool): micro-batched sessions join the
+            # batch at different lifetimes (streaming.StreamSessionBatcher)
+            init = gc_state["init"][:, None, None]
+            x_ssm = jnp.where(init, rolled, tiled).astype(self.dtype)
             pool_size1 = mem_tokens
             new_gc_state = {
                 "mem": x_ssm.astype(jnp.float32),
                 "blocks": new_blocks,
-                "init": jnp.ones((), jnp.bool_),
+                "init": jnp.ones_like(gc_state["init"]),
             }
         else:
             x_pool1, pool_size1 = pool1(local_features, train=train)

@@ -102,20 +102,24 @@ class PositionalEncoding2D(nn.Module):
         div_term = np.exp(
             np.arange(0, half, 2, dtype=np.float32) * (-math.log(10000.0) / half)
         )
-        positions = jnp.asarray(time_offset, jnp.float32) + jnp.arange(
-            seq_len, dtype=jnp.float32
-        )
-        ang = positions[:, None] * jnp.asarray(div_term)[None, :]
+        # time_offset: scalar (offline / single-session streaming) or a
+        # (batch,) vector — independent live sessions micro-batched
+        # through one compiled step sit at different absolute positions
+        # (streaming.StreamSessionBatcher).
+        offs = jnp.asarray(time_offset, jnp.float32)
+        positions = offs[..., None] + jnp.arange(seq_len, dtype=jnp.float32)
+        ang = positions[..., :, None] * jnp.asarray(div_term)
         n_even = (half + 1) // 2  # columns 0,2,4,... of the (L, half) encoding
-        pe_time = jnp.zeros((seq_len, half), jnp.float32)
-        pe_time = pe_time.at[:, 0::2].set(jnp.sin(ang[:, :n_even]))
-        pe_time = pe_time.at[:, 1::2].set(jnp.cos(ang[:, : half - n_even]))
+        pe_time = jnp.zeros(positions.shape + (half,), jnp.float32)
+        pe_time = pe_time.at[..., 0::2].set(jnp.sin(ang[..., :n_even]))
+        pe_time = pe_time.at[..., 1::2].set(jnp.cos(ang[..., : half - n_even]))
         pe_freq = self.param(
             "pe_freq", nn.initializers.normal(stddev=0.02), (1, 1, half)
         )
-        time_enc = pe_time[None, :, :]  # (1, L, D/2)
-        freq_enc = jnp.broadcast_to(pe_freq, (1, seq_len, half))
-        pos = jnp.concatenate([time_enc, freq_enc], axis=-1).astype(x.dtype)
+        if pe_time.ndim == 2:  # scalar offset: shared across the batch
+            pe_time = pe_time[None, :, :]
+        freq_enc = jnp.broadcast_to(pe_freq, pe_time.shape)
+        pos = jnp.concatenate([pe_time, freq_enc], axis=-1).astype(x.dtype)
         return x + pos
 
 

@@ -139,7 +139,7 @@ class VelocityASR(nn.Module):
                         jnp.float32,
                     ),
                     "blocks": None,
-                    "init": jnp.zeros((), jnp.bool_),
+                    "init": jnp.zeros((mel_spectrogram.shape[0],), jnp.bool_),
                 }
             else:
                 gc_state = {

@@ -271,7 +271,9 @@ def init_stream_state(cfg, batch: int):
         "blocks": blocks,
         "gc_mem": jnp.zeros((batch, mem_tokens, cfg.d_model), jnp.float32),
         "gc_blocks": gc_blocks,
-        "gc_init": jnp.zeros((), jnp.bool_),
+        # per-row: independent batched sessions are at different
+        # lifetimes (StreamSessionBatcher)
+        "gc_init": jnp.zeros((batch,), jnp.bool_),
     }
 
 
@@ -364,6 +366,7 @@ class StreamingTranscriber:
         decoder: CTCDecoder,
         chunk_frames: int = 200,  # mel frames per step (2 s); must be even
         lookahead_chunks: int = 0,
+        _compile_steps: bool = True,  # False: a subclass routes the step
     ):
         assert chunk_frames % 2 == 0
         self.model = model
@@ -413,8 +416,9 @@ class StreamingTranscriber:
                 frozen_mem=True,
             )
 
-        self._step = jax.jit(step)
-        self._emit_step = jax.jit(emit_step)
+        if _compile_steps:
+            self._step = jax.jit(step)
+            self._emit_step = jax.jit(emit_step)
 
     def reset(self) -> None:
         """Start a new session, reusing the compiled step function."""
@@ -434,7 +438,32 @@ class StreamingTranscriber:
     def _init_state(self):
         return init_stream_state(self.model.config, 1)
 
+    def _advance_chunk(self, chunk: np.ndarray, offset: int):
+        """Run one padded (chunk_frames, mels) chunk through the advancing
+        step, mutating the carried state; returns (preds, frame_lp) over
+        the chunk's output frames. The seam StreamSessionBatcher sessions
+        override to route the step through a shared batched call."""
+        if self._state is None:
+            self._state = self._init_state()
+        logits, self._state = self._step(
+            self.params, jnp.asarray(chunk[None]), self._state,
+            jnp.asarray(offset, jnp.int32),
+        )
+        lsm = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+        return (np.asarray(jnp.argmax(lsm, axis=-1)),
+                np.asarray(jnp.max(lsm, axis=-1)))
+
     def _decode_logits(self, logits, out_valid: int, base: int) -> None:
+        """Collapse one chunk's logits (see _decode_tokens)."""
+        lsm = jax.nn.log_softmax(logits[0, :out_valid].astype(jnp.float32))
+        self._decode_tokens(
+            np.asarray(jnp.argmax(lsm, axis=-1)),
+            np.asarray(jnp.max(lsm, axis=-1)),
+            base,
+        )
+
+    def _decode_tokens(self, preds: np.ndarray, frame_lp: np.ndarray,
+                       base: int) -> None:
         """Collapse one chunk's argmax into tokens + absolute frame spans.
 
         `base` is the chunk's first absolute output frame. The collapse
@@ -442,9 +471,7 @@ class StreamingTranscriber:
         a chunk boundary extends its open span instead of re-emitting —
         frame-exact with decode.timestamps_from_predictions applied to the
         concatenated predictions (tests/test_streaming.py)."""
-        lsm = jax.nn.log_softmax(logits[0, :out_valid].astype(jnp.float32))
-        preds = np.asarray(jnp.argmax(lsm, axis=-1))
-        frame_lp = np.asarray(jnp.max(lsm, axis=-1))  # lp of the argmax
+        out_valid = len(preds)
         for i, tok in enumerate(preds):
             tok = int(tok)
             if tok != self._prev_token:
@@ -506,9 +533,9 @@ class StreamingTranscriber:
                 # final partial chunk: zero-pad to the static shape (the
                 # trailing zero mel frames reproduce the offline right-pad)
                 chunk = np.pad(chunk, ((0, self.chunk_frames - valid), (0, 0)))
-            if self._state is None:
-                self._state = self._init_state()
             if self.lookahead_chunks > 0:
+                if self._state is None:
+                    self._state = self._init_state()
                 self._pending.append({
                     "mel_carry": self._state["mel_carry"],
                     "blocks": self._state["blocks"],
@@ -516,16 +543,13 @@ class StreamingTranscriber:
                     "valid": valid,
                     "frame_start": self._frame_cursor,
                 })
-            logits, self._state = self._step(
-                self.params, jnp.asarray(chunk[None]), self._state,
-                jnp.asarray(self._time_offset, jnp.int32),
-            )
+            preds, frame_lp = self._advance_chunk(chunk, self._time_offset)
             # (valid+1)//2 == valid//2 for even valid; odd only on final flush.
             out_valid = (valid + 1) // 2
             self._time_offset += out_valid
             self._frame_cursor += valid
             if self.lookahead_chunks == 0:
-                self._decode_logits(logits, out_valid,
+                self._decode_tokens(preds[:out_valid], frame_lp[:out_valid],
                                     self._time_offset - out_valid)
             else:
                 while len(self._pending) > self.lookahead_chunks:
@@ -782,3 +806,183 @@ class BatchedStreamingTranscriber:
                     prev[i] = tok
             offset += chunk_out
         return [self.decoder._tokens_to_text(t) for t in tokens[:n]]
+
+
+class StreamSessionBatcher:
+    """Micro-batches INDEPENDENT live streaming sessions through one
+    compiled chunk step.
+
+    A live session's per-chunk cost is dominated by step dispatch (one
+    host->device->host round trip per chunk — ~30 ms through this
+    environment's TPU tunnel, far above the compiled step's compute), so
+    N concurrent streams served with per-session steps pay N round trips
+    per chunk interval, serialized. Here every session's carried state
+    lives stacked on device as one (max_slots, ...) pytree; chunks that
+    arrive within `window_ms` of each other run as ONE batched call with
+    an active-row mask (inactive rows' states pass through untouched) and
+    a (max_slots,) vector of per-row absolute time offsets into the
+    positional encoding. Outputs are identical to a dedicated
+    StreamingTranscriber: every op in the chunk step is row-independent,
+    and the mel/normalization/decode host path is the same code.
+
+    This is the streaming analog of serve's MicroBatcher for /transcribe.
+    open() -> BatchedStreamSession (the StreamingTranscriber API);
+    lookahead is not supported (it needs per-session frozen-memory
+    re-decodes); close() frees the slot.
+    """
+
+    def __init__(self, model: VelocityASR, params, decoder: CTCDecoder,
+                 chunk_frames: int = 200, max_slots: int = 8,
+                 window_ms: float = 5.0):
+        import queue as queue_mod
+        import threading
+
+        assert chunk_frames % 2 == 0
+        self.model = model
+        self.params = params
+        self.decoder = decoder
+        self.chunk_frames = chunk_frames
+        self.max_slots = max_slots
+        self.window = window_ms / 1e3
+        self._mels = model.config.mel_bins
+        # The dispatcher thread is the sole owner of the stacked states
+        # (resets arrive through the same queue as steps), so donated
+        # buffers are never raced.
+        self._states = init_stream_state(model.config, max_slots)
+        self._init1 = init_stream_state(model.config, 1)
+        self._free = list(range(max_slots))
+        self._lock = threading.Lock()
+        self._q: "queue_mod.Queue" = queue_mod.Queue()
+
+        def step(params, chunks, states, offsets, active):
+            logits, new_states = model.apply(
+                {"params": params}, chunks, train=False,
+                stream_state=states, time_offset=offsets, return_state=True,
+            )
+
+            def keep(n, o):
+                a = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                return jnp.where(a, n.astype(o.dtype), o)
+
+            new_states = jax.tree_util.tree_map(keep, new_states, states)
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return jnp.argmax(lsm, -1), jnp.max(lsm, -1), new_states
+
+        def reset_row(states, slot, init1):
+            return jax.tree_util.tree_map(
+                lambda s, i: s.at[slot].set(i[0]), states, init1
+            )
+
+        self._step = jax.jit(step, donate_argnums=(2,))
+        self._reset_row = jax.jit(reset_row, donate_argnums=(0,))
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def open(self) -> "BatchedStreamSession":
+        """Acquire a slot (its state row is reset) and return a session."""
+        from concurrent.futures import Future
+
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(
+                    f"all {self.max_slots} batched stream slots are in use"
+                )
+            slot = self._free.pop()
+        fut: Future = Future()
+        self._q.put(("reset", slot, fut))
+        fut.result()
+        return BatchedStreamSession(self, slot)
+
+    def _release(self, slot: int) -> None:
+        with self._lock:
+            self._free.append(slot)
+
+    def _loop(self) -> None:
+        import queue as queue_mod
+        import time
+
+        while True:
+            group = [self._q.get()]
+            deadline = time.perf_counter() + self.window
+            while len(group) < self.max_slots:
+                t = deadline - time.perf_counter()
+                if t <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=t))
+                except queue_mod.Empty:
+                    break
+            try:
+                # A session submits one chunk at a time and blocks on its
+                # future (_run_chunks is sequential), so a slot appears at
+                # most once per group.
+                for kind, slot, fut in (g for g in group if g[0] == "reset"):
+                    self._states = self._reset_row(
+                        self._states, jnp.asarray(slot, jnp.int32), self._init1
+                    )
+                    fut.set_result(None)
+                steps = [g for g in group if g[0] == "step"]
+                if steps:
+                    chunks = np.zeros(
+                        (self.max_slots, self.chunk_frames, self._mels),
+                        np.float32,
+                    )
+                    offsets = np.zeros((self.max_slots,), np.int32)
+                    active = np.zeros((self.max_slots,), bool)
+                    for _, slot, chunk, offset, _fut in steps:
+                        chunks[slot] = chunk
+                        offsets[slot] = offset
+                        active[slot] = True
+                    preds, lps, self._states = self._step(
+                        self.params, jnp.asarray(chunks), self._states,
+                        jnp.asarray(offsets), jnp.asarray(active),
+                    )
+                    preds, lps = np.asarray(preds), np.asarray(lps)
+                    for _, slot, _c, _o, fut in steps:
+                        fut.set_result((preds[slot], lps[slot]))
+            except Exception as e:  # pragma: no cover - device failure
+                for g in group:
+                    if not g[-1].done():
+                        g[-1].set_exception(e)
+
+
+class BatchedStreamSession(StreamingTranscriber):
+    """One live session whose chunk steps run through a shared
+    StreamSessionBatcher call.
+
+    Identical output to a dedicated StreamingTranscriber — the batched
+    step's rows are independent and the host-side mel/decode path is
+    inherited unchanged. Call close() when the stream ends to free the
+    slot (reset() also recycles it for a new stream in place)."""
+
+    def __init__(self, batcher: StreamSessionBatcher, slot: int):
+        super().__init__(
+            batcher.model, batcher.params, batcher.decoder,
+            chunk_frames=batcher.chunk_frames, lookahead_chunks=0,
+            _compile_steps=False,
+        )
+        self._batcher = batcher
+        self._slot = slot
+
+    def _advance_chunk(self, chunk: np.ndarray, offset: int):
+        from concurrent.futures import Future
+
+        assert self._slot is not None, "session is closed"
+        fut: Future = Future()
+        self._batcher._q.put(("step", self._slot, chunk, offset, fut))
+        return fut.result()
+
+    def reset(self) -> None:
+        """Recycle the slot for a new stream (state row re-initialized)."""
+        from concurrent.futures import Future
+
+        super().reset()
+        if self._slot is not None:
+            fut: Future = Future()
+            self._batcher._q.put(("reset", self._slot, fut))
+            fut.result()
+
+    def close(self) -> None:
+        if self._slot is not None:
+            self._batcher._release(self._slot)
+            self._slot = None
