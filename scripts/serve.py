@@ -303,7 +303,7 @@ class ASRService:
         # serializing on it. Built lazily on the first such session; other
         # cadences / lookahead fall back to per-session pooled transcribers.
         self.stream_batcher = None
-        self._stream_batcher_slots = max(8, max_streams)
+        self._stream_batcher_slots = max_streams
         self._batcher_lock = threading.Lock()
         self.diarizer = None
         if speaker_model:
@@ -394,37 +394,38 @@ class ASRService:
                         self.transcriber.decoder, chunk_frames=frames,
                         max_slots=self._stream_batcher_slots,
                     )
+            from velocity_asr_tpu.streaming import StreamSlotsExhausted
+
             try:
-                return self.stream_batcher.open()
-            except RuntimeError as e:
+                st = self.stream_batcher.open()
+            except StreamSlotsExhausted as e:
                 raise ServiceBusy(str(e)) from e
-        return self.stream_pool.acquire(frames, lookahead)
+            st._pooled = False
+            return st
+        st = self.stream_pool.acquire(frames, lookahead)
+        st._pooled = True
+        return st
 
     def release_stream(self, st) -> None:
-        from velocity_asr_tpu.streaming import BatchedStreamSession
-
-        if isinstance(st, BatchedStreamSession):
-            st.close()
-        else:
+        if st._pooled:
             self.stream_pool.release(st)
+        else:
+            st.close()
 
     def stream_feed(self, st, pcm) -> str:
-        from velocity_asr_tpu.streaming import BatchedStreamSession
-
-        if isinstance(st, BatchedStreamSession):
-            # batched sessions synchronize inside the batcher; taking the
-            # service lock here would re-serialize concurrent streams
-            return st.feed(pcm)
-        with self.lock:
-            return st.feed(pcm)
+        if st._pooled:
+            # pooled sessions share the service's single-utterance device
+            # path; batched sessions synchronize inside the batcher, and
+            # taking the lock would re-serialize concurrent streams
+            with self.lock:
+                return st.feed(pcm)
+        return st.feed(pcm)
 
     def stream_finish(self, st) -> str:
-        from velocity_asr_tpu.streaming import BatchedStreamSession
-
-        if isinstance(st, BatchedStreamSession):
-            return st.finish()
-        with self.lock:
-            return st.finish()
+        if st._pooled:
+            with self.lock:
+                return st.finish()
+        return st.finish()
 
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
                          hotwords: str = "", hotword_weight: float = 2.0,
@@ -724,9 +725,11 @@ def main():
                         help="speaker-embedding artifact dir (e.g. "
                              "checkpoints/speaker_run/final_speaker); "
                              "enables POST /diarize")
-    parser.add_argument("--max-streams", type=int, default=2,
-                        help="concurrent POST /stream sessions "
-                             "(503 beyond this)")
+    parser.add_argument("--max-streams", type=int, default=8,
+                        help="concurrent POST /stream sessions (503 beyond "
+                             "this). Default-cadence sessions are "
+                             "micro-batched through one compiled step, so "
+                             "each extra slot costs only a small state row")
     args = parser.parse_args()
 
     service = ASRService(args.checkpoint, beam_width=args.beam_width,

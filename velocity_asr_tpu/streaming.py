@@ -808,6 +808,10 @@ class BatchedStreamingTranscriber:
         return [self.decoder._tokens_to_text(t) for t in tokens[:n]]
 
 
+class StreamSlotsExhausted(RuntimeError):
+    """All StreamSessionBatcher slots are in use (capacity, not a fault)."""
+
+
 class StreamSessionBatcher:
     """Micro-batches INDEPENDENT live streaming sessions through one
     compiled chunk step.
@@ -884,13 +888,17 @@ class StreamSessionBatcher:
 
         with self._lock:
             if not self._free:
-                raise RuntimeError(
+                raise StreamSlotsExhausted(
                     f"all {self.max_slots} batched stream slots are in use"
                 )
             slot = self._free.pop()
         fut: Future = Future()
         self._q.put(("reset", slot, fut))
-        fut.result()
+        try:
+            fut.result()
+        except BaseException:
+            self._release(slot)  # device fault must not leak the slot
+            raise
         return BatchedStreamSession(self, slot)
 
     def _release(self, slot: int) -> None:
@@ -941,6 +949,14 @@ class StreamSessionBatcher:
                     for _, slot, _c, _o, fut in steps:
                         fut.set_result((preds[slot], lps[slot]))
             except Exception as e:  # pragma: no cover - device failure
+                # _step/_reset_row donate the stacked states, so after a
+                # failed call the old buffers may be gone — rebuild fresh
+                # states to keep the batcher alive (the failed group's
+                # sessions get the exception and end; rows are re-reset by
+                # the next open()).
+                self._states = init_stream_state(
+                    self.model.config, self.max_slots
+                )
                 for g in group:
                     if not g[-1].done():
                         g[-1].set_exception(e)
