@@ -221,6 +221,21 @@ class LocalSSMProcessor(nn.Module):
         states: list = None,
         return_state: bool = False,
     ):
+        # Pipeline-parallel path: under an ambient pipeline_parallel
+        # context (parallel/pp.py), the homogeneous block stack runs as an
+        # S-stage microbatch pipeline over the mesh instead of the Python
+        # layer loop. Offline only — streaming/stateful calls (tiny chunks,
+        # carried state) keep the sequential loop. Numerically exact vs the
+        # loop (tests/test_pp.py); under train, dropout draws from a
+        # differently-folded (still independent per layer x microbatch)
+        # stream.
+        if states is None and not return_state and not self.is_initializing():
+            from ..parallel.pp import current_pipeline_parallel
+
+            pp_ctx = current_pipeline_parallel()
+            if pp_ctx is not None:
+                return self._pipelined(x, train, pp_ctx)
+
         block_cls = SSMBlock
         if self.use_checkpoint and not return_state:
             # jax.checkpoint per block (reference's torch checkpoint,
@@ -254,6 +269,55 @@ class LocalSSMProcessor(nn.Module):
         if return_state:
             return out, new_states
         return out
+
+    def _pipelined(self, x: jnp.ndarray, train: bool, pp_ctx) -> jnp.ndarray:
+        """Apply the block stack through parallel.pp.pipeline_blocks.
+
+        The per-layer parameter subtrees already exist in this module's
+        scope (init always runs the sequential loop); they are read as
+        values and re-applied functionally by the pipeline, so the
+        parameter tree, checkpoint format, and gradients are identical to
+        the sequential path.
+        """
+        from ..parallel.pp import pipeline_blocks
+
+        if self.scan_mode == "sp":
+            raise ValueError(
+                "pipeline_parallel cannot nest with scan_mode='sp' (both "
+                "wrap the stack in shard_map); pick one axis per run"
+            )
+        mesh, axis, microbatches = pp_ctx
+        params_col = self.variables["params"]
+        layer_params = [params_col[f"layers_{i}"] for i in range(self.num_layers)]
+
+        block = SSMBlock(
+            d_model=self.d_model,
+            state_dim=self.state_dim,
+            expand_ratio=self.expand_ratio,
+            kernel_size=self.kernel_size,
+            dropout=self.dropout,
+            scan_mode=self.scan_mode,
+            dtype=self.dtype,
+            parent=None,
+        )
+        rng = None
+        if train and self.dropout > 0:
+            rng = self.make_rng("dropout")
+
+        def block_apply(p, h, r):
+            rngs = {"dropout": r} if r is not None else {}
+            return block.apply({"params": p}, h, train, rngs=rngs)
+
+        if self.use_checkpoint:
+            block_apply = jax.checkpoint(block_apply)
+
+        x = pipeline_blocks(
+            block_apply, layer_params, x,
+            mesh=mesh, axis=axis, microbatches=microbatches, rng=rng,
+        )
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(
+            self.dtype
+        )
 
 
 class GlobalSSM(nn.Module):

@@ -2,6 +2,7 @@
 
 from .mesh import create_mesh, data_sharding, replicated_sharding
 from .tp import shard_params_tp, tp_param_shardings, tp_param_specs
+from .pp import current_pipeline_parallel, pipeline_blocks, pipeline_parallel
 from .sp_scan import (
     current_sequence_parallel,
     selective_scan_sequence_parallel,
@@ -18,4 +19,7 @@ __all__ = [
     "sequence_parallel",
     "current_sequence_parallel",
     "selective_scan_sequence_parallel",
+    "pipeline_parallel",
+    "current_pipeline_parallel",
+    "pipeline_blocks",
 ]

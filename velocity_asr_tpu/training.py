@@ -89,6 +89,17 @@ class TrainingConfig:
     # use case). XLA inserts the logits all-gather / gradient
     # reduce-scatter from the shardings alone.
     num_model_shards: int = 1
+    # Pipeline parallelism: split the local SSM stack into this many
+    # GPipe-style microbatch stages over MODEL_AXIS (parallel/pp.py). >1
+    # sizes the mesh's model axis (must equal num_model_shards when both
+    # are >1 — TP and PP share the axis, sharding different graph
+    # regions) and wraps every step trace in pipeline_parallel(). Exact
+    # vs the sequential stack (tests/test_pp.py).
+    num_pipeline_stages: int = 1
+    # Microbatch count for the pipeline (default: num_pipeline_stages;
+    # clamped to a divisor of the per-step batch). More microbatches
+    # shrink the (S-1)/(M+S-1) bubble.
+    pipeline_microbatches: Optional[int] = None
     # jax.profiler trace: capture steps [profile_start, profile_start +
     # profile_steps) into profile_dir (the reference has no profiling
     # tooling at all, SURVEY.md §5).
@@ -287,9 +298,27 @@ class Trainer:
             params = init_params(model, rng, example_frames=64)
         self.params = params
 
+        n_model = config.num_model_shards
+        if config.num_pipeline_stages > 1:
+            if n_model > 1 and n_model != config.num_pipeline_stages:
+                raise ValueError(
+                    "num_model_shards and num_pipeline_stages both >1 must "
+                    "be equal: TP and PP share the mesh's model axis "
+                    f"(got {n_model} vs {config.num_pipeline_stages})"
+                )
+            n_model = config.num_pipeline_stages
         self.mesh = mesh if mesh is not None else create_mesh(
-            config.num_data_shards, n_model=config.num_model_shards
+            config.num_data_shards, n_model=n_model
         )
+        if config.num_pipeline_stages > 1:
+            from .parallel.mesh import MODEL_AXIS
+
+            have = self.mesh.shape.get(MODEL_AXIS, 1)
+            if have != config.num_pipeline_stages:
+                raise ValueError(
+                    f"mesh model axis is {have}, but num_pipeline_stages="
+                    f"{config.num_pipeline_stages}"
+                )
         self.tx, self.schedule = make_optimizer(config)
         self.opt_state = self.tx.init(self.params)
 
@@ -617,12 +646,28 @@ class Trainer:
         losses only at log_interval)."""
         return self._train_step_sharded(self.shard_batch(batch))
 
+    def _pp_scope(self):
+        """Ambient pipeline-parallel context for step traces (no-op unless
+        num_pipeline_stages > 1). Entered around every jitted-step CALL —
+        the context is read at trace time, and wrapping each call means
+        shape-bucket retraces inherit it too (cf. sp_scan.py's caveat)."""
+        if self.config.num_pipeline_stages > 1:
+            from .parallel.pp import pipeline_parallel
+
+            return pipeline_parallel(
+                self.mesh, microbatches=self.config.pipeline_microbatches
+            )
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _train_step_sharded(self, sharded):
         batch, n_valid = sharded
-        self.params, self.opt_state, self.quant_stats, loss = self._train_step(
-            self.params, self.opt_state, self.quant_stats, batch, self._rng,
-            n_valid
-        )
+        with self._pp_scope():
+            self.params, self.opt_state, self.quant_stats, loss = self._train_step(
+                self.params, self.opt_state, self.quant_stats, batch, self._rng,
+                n_valid
+            )
         self.global_step += 1
         return loss
 
@@ -644,8 +689,9 @@ class Trainer:
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         batch, n_valid = self.shard_batch(batch)
-        return {"eval_loss": float(self._eval_step(
-            self.params, self.quant_stats, batch, n_valid))}
+        with self._pp_scope():
+            return {"eval_loss": float(self._eval_step(
+                self.params, self.quant_stats, batch, n_valid))}
 
     def train(self) -> Dict[str, Any]:
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)

@@ -88,6 +88,11 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         keep_last=int(ckpt.get("keep_last", 5)),
         num_data_shards=dist.get("num_data_shards", None),
         num_model_shards=int(dist.get("num_model_shards", 1)),
+        num_pipeline_stages=int(dist.get("num_pipeline_stages", 1)),
+        pipeline_microbatches=(
+            int(dist["pipeline_microbatches"])
+            if dist.get("pipeline_microbatches") else None
+        ),
         profile_dir=log.get("profile_dir", None),
         metrics_path=log.get("metrics_path", None),
         augment=_spec_augment_from_yaml(aug),
