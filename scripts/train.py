@@ -322,6 +322,23 @@ def main():
                                   "bias": tb.pop("conv_bias")}
                     p["temporal_binding"] = tb
                 init_params_loaded = p
+            if model_cfg.moe_experts > 0 and "ffn_in" in (
+                init_params_loaded.get("local_ssm", {}).get("layers_0", {})
+            ):
+                # Dense -> MoE fine-tune: sparse upcycling (replicate the
+                # dense FFN into every expert, small-random router) so the
+                # MoE model starts at the dense checkpoint's quality and
+                # the router specializes from there (models/moe.py).
+                from velocity_asr_tpu.models.moe import upcycle_dense_to_moe
+
+                init_params_loaded = upcycle_dense_to_moe(
+                    init_params_loaded, model_cfg.moe_experts,
+                    jax.random.PRNGKey(0),
+                )
+                logger.info(
+                    "Upcycled dense FFNs into %d experts per block "
+                    "(sparse upcycling; router fresh)", model_cfg.moe_experts,
+                )
             if (model_cfg.num_languages > 0
                     and "lid_head" not in init_params_loaded):
                 # Multilingual fine-tune from a monolingual artifact: the

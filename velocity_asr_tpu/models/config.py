@@ -100,6 +100,18 @@ class VelocityASRConfig:
     # expose the prediction (--identify-language). 0 = no LID head
     # (checkpoint-compatible with every earlier artifact).
     num_languages: int = 0
+    # Mixture-of-experts FFN in the local SSM blocks (models/moe.py; a
+    # net-new capacity-scaling extension — the reference block is always
+    # dense). >0 replaces each block's dense FFN with moe_experts expert
+    # FFNs behind a top-k router, GShard-style capacity dispatch (all
+    # dense einsums, MXU-friendly), Switch load-balance aux loss
+    # (training.moe_aux_weight), and expert parallelism: expert weights
+    # stack on a leading E axis and shard over the mesh's model axis
+    # (distributed.num_model_shards). 0 = dense FFN (checkpoint-compatible
+    # with every earlier artifact).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def compute_dtype(self):
@@ -118,6 +130,9 @@ class VelocityASRConfig:
         - "large-vocab": base encoder with the 50k subword vocabulary the
           reference documents as the production variant (model.py:46-48 —
           the CTC head alone adds ~9.6M params)
+        - "moe": base encoder with an 8-expert top-2 MoE FFN in every
+          local SSM block (~4.9M extra params; experts shard over the
+          mesh's model axis via distributed.num_model_shards)
         """
         presets: Dict[str, Dict[str, Any]] = {
             "tiny": dict(d_model=128, ssm_layers=4, ssm_state_dim=32,
@@ -125,6 +140,7 @@ class VelocityASRConfig:
                          attention_dim=32, vocab_size=1000),
             "base": {},
             "large-vocab": dict(vocab_size=50000),
+            "moe": dict(moe_experts=8),
         }
         if name not in presets:
             raise ValueError(f"unknown preset {name!r}; options: {sorted(presets)}")

@@ -112,6 +112,9 @@ class VelocityASR(nn.Module):
             use_checkpoint=cfg.gradient_checkpointing,
             scan_mode=cfg.scan_mode,
             dtype=dtype,
+            moe_experts=cfg.moe_experts,
+            moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
             name="local_ssm",
         )
         if streaming:

@@ -1,0 +1,191 @@
+"""Mixture-of-experts FFN with expert parallelism (net-new scaling axis).
+
+The reference has no MoE (its SSM blocks carry one dense FFN,
+/root/reference/velocity_asr/ssm.py:340-441); this module is the
+framework's capacity-scaling extension: `VelocityASRConfig.moe_experts
+> 0` replaces each local SSM block's FFN with `num_experts` expert FFNs
+behind a top-k softmax router.
+
+TPU-native design — everything is dense einsums with static shapes:
+
+- GShard/Switch-style capacity dispatch. Each batch row is a routing
+  group; expert capacity C = ceil(top_k * T * capacity_factor /
+  num_experts). Token t's k-th choice goes to slot `position(t)` of its
+  expert's (C, d) buffer via a one-hot combine tensor (B, T, E, C); the
+  dispatch/combine/expert matmuls are three einsums the MXU runs
+  directly — no scatter, no sort, no dynamic shapes.
+- Expert parallelism: expert weights are stacked on a leading E axis
+  ((E, d, h) etc.) and shard over the mesh's `model` axis
+  (parallel/tp.py EP rules). XLA's sharding propagation turns the
+  dispatch einsum into the token all-to-all — no user collectives.
+- Router math in fp32 (softmax + cumsum position bookkeeping);
+  expert matmuls run in the model compute dtype (bf16 on TPU).
+- Load balancing: the Switch aux loss E * sum_e f_e * P_e (f_e =
+  first-choice dispatch fraction, P_e = mean router probability) is
+  sown into the "losses" collection; the Trainer adds
+  `moe_aux_weight * aux` when the collection is mutable and ignores it
+  otherwise (inference never pays for it).
+
+Tokens that overflow every chosen expert's capacity pass through with a
+zero FFN contribution — the block's residual connection carries them
+unchanged (standard capacity-drop semantics).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import xavier_uniform
+
+
+def upcycle_dense_to_moe(
+    params,
+    num_experts: int,
+    rng: jax.Array = None,
+    router_scale: float = 1e-2,
+):
+    """Sparse upcycling (Komatsuzaki et al., arXiv:2212.05055): initialize
+    a MoE model from a trained dense checkpoint by replicating each local
+    SSM block's dense FFN into every expert and adding a small-random
+    router.
+
+    Because the top-k mixture weights normalize to 1 and every expert
+    starts identical, the upcycled model's forward equals the dense
+    model's (up to rare capacity drops) at step 0 — fine-tuning starts
+    from full flagship quality and the router learns to specialize the
+    experts. Used by `scripts/train.py --init-from <dense ckpt>` when the
+    target config has moe_experts > 0.
+    """
+    import flax
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    p = flax.core.unfreeze(params)
+    local = p.get("local_ssm", {})
+    for name in sorted(local):
+        if not name.startswith("layers_"):
+            continue
+        layer = dict(local[name])
+        if "moe" in layer or "ffn_in" not in layer:
+            continue
+        ffn_in = layer.pop("ffn_in")
+        ffn_out = layer.pop("ffn_out")
+        d = ffn_in["kernel"].shape[0]
+        rng, sub = jax.random.split(rng)
+        tile = lambda a: jnp.tile(a[None], (num_experts,) + (1,) * a.ndim)  # noqa: E731
+        layer["moe"] = {
+            "router": {
+                "kernel": router_scale
+                * jax.random.normal(sub, (d, num_experts), jnp.float32)
+            },
+            "w_in": tile(ffn_in["kernel"]),
+            "b_in": tile(ffn_in["bias"]),
+            "w_out": tile(ffn_out["kernel"]),
+            "b_out": tile(ffn_out["bias"]),
+        }
+        local[name] = layer
+    p["local_ssm"] = local
+    return p
+
+
+class MoEFFN(nn.Module):
+    """Top-k routed mixture of expert FFNs (d -> hidden GELU -> d)."""
+
+    d_model: int = 192
+    hidden: int = 384
+    num_experts: int = 8
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if not 1 <= self.top_k <= self.num_experts:
+            raise ValueError(
+                f"moe_top_k={self.top_k} must be in [1, num_experts="
+                f"{self.num_experts}]"
+            )
+        b, t_len, d = x.shape
+        n_exp, k_top = self.num_experts, self.top_k
+        capacity = min(
+            t_len,
+            max(1, math.ceil(k_top * t_len * self.capacity_factor / n_exp)),
+        )
+
+        # Router: fp32 probabilities over experts.
+        gates = jax.nn.softmax(
+            nn.Dense(
+                n_exp, use_bias=False, kernel_init=xavier_uniform(),
+                dtype=jnp.float32, name="router",
+            )(x.astype(jnp.float32))
+        )  # (B, T, E)
+
+        # Iterative top-k dispatch with per-expert position bookkeeping.
+        combine = jnp.zeros((b, t_len, n_exp, capacity), jnp.float32)
+        remaining = gates
+        counts = jnp.zeros((b, 1, n_exp), jnp.float32)
+        kept_gate_sum = jnp.zeros((b, t_len), jnp.float32)
+        first_mask = None
+        for k in range(k_top):
+            idx = jnp.argmax(remaining, axis=-1)  # (B, T)
+            mask = jax.nn.one_hot(idx, n_exp, dtype=jnp.float32)
+            if k == 0:
+                first_mask = mask
+            # Position of each token inside its expert's buffer: tokens
+            # earlier in time (and earlier k rounds) fill slots first.
+            pos = jnp.cumsum(mask, axis=1) - mask + counts  # (B, T, E)
+            pos_tok = jnp.sum(pos * mask, axis=-1)  # (B, T)
+            keep = (pos_tok < capacity).astype(jnp.float32)
+            gate_k = jnp.sum(gates * mask, axis=-1)  # original gate value
+            combine = combine + (
+                (gate_k * keep)[..., None, None]
+                * mask[..., None]
+                * jax.nn.one_hot(
+                    pos_tok.astype(jnp.int32), capacity, dtype=jnp.float32
+                )[:, :, None, :]
+            )
+            kept_gate_sum = kept_gate_sum + gate_k * keep
+            counts = counts + jnp.sum(mask, axis=1, keepdims=True)
+            remaining = remaining * (1.0 - mask)
+        # Normalize over the (kept) selected experts so their mixture
+        # weights sum to 1; fully-dropped tokens stay all-zero.
+        combine = combine / jnp.maximum(kept_gate_sum, 1e-9)[..., None, None]
+        dispatch = (combine > 0).astype(self.dtype)
+
+        # Switch load-balance aux (arXiv:2101.03961 eq. 4): minimized (=1)
+        # at a uniform router. Sown — the Trainer picks it up when it
+        # requests the "losses" collection; a plain apply ignores it.
+        f_frac = jnp.mean(first_mask, axis=(0, 1))  # (E,)
+        p_mean = jnp.mean(gates, axis=(0, 1))  # (E,)
+        aux = n_exp * jnp.sum(f_frac * p_mean)
+        self.sow("losses", "moe_aux", aux)
+
+        # Expert-stacked weights: leading E axis shards over MODEL_AXIS
+        # (parallel/tp.py EP rules). xavier fans are the last two dims, so
+        # each expert initializes exactly like the dense FFN would.
+        w_in = self.param("w_in", xavier_uniform(), (n_exp, d, self.hidden))
+        b_in = self.param("b_in", nn.initializers.zeros, (n_exp, self.hidden))
+        w_out = self.param("w_out", xavier_uniform(), (n_exp, self.hidden, d))
+        b_out = self.param("b_out", nn.initializers.zeros, (n_exp, d))
+
+        expert_in = jnp.einsum("btec,btd->becd", dispatch, x.astype(self.dtype))
+        h = (
+            jnp.einsum("becd,edh->bech", expert_in, w_in.astype(self.dtype))
+            + b_in.astype(self.dtype)[None, :, None, :]
+        )
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        expert_out = (
+            jnp.einsum("bech,ehd->becd", h, w_out.astype(self.dtype))
+            + b_out.astype(self.dtype)[None, :, None, :]
+        )
+        y = jnp.einsum(
+            "btec,becd->btd", combine.astype(self.dtype), expert_out
+        )
+        return y.astype(self.dtype)

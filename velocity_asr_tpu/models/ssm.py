@@ -119,6 +119,12 @@ class SSMBlock(nn.Module):
     dropout: float = 0.1
     scan_mode: str = "parallel"
     dtype: Any = jnp.float32
+    # Mixture-of-experts FFN (models/moe.py): >0 replaces the dense FFN
+    # with moe_experts expert FFNs behind a top-k router. Net-new scaling
+    # extension — the reference block is always dense (ssm.py:340-441).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -169,15 +175,29 @@ class SSMBlock(nn.Module):
 
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        h = nn.Dense(
-            self.d_model * self.expand_ratio, kernel_init=xavier_uniform(),
-            dtype=self.dtype, name="ffn_in",
-        )(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(
-            self.d_model, kernel_init=xavier_uniform(), dtype=self.dtype, name="ffn_out"
-        )(h)
+        if self.moe_experts > 0:
+            from .moe import MoEFFN
+
+            h = MoEFFN(
+                d_model=self.d_model,
+                hidden=self.d_model * self.expand_ratio,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="moe",
+            )(h, train)
+        else:
+            h = nn.Dense(
+                self.d_model * self.expand_ratio, kernel_init=xavier_uniform(),
+                dtype=self.dtype, name="ffn_in",
+            )(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = nn.Dense(
+                self.d_model, kernel_init=xavier_uniform(), dtype=self.dtype, name="ffn_out"
+            )(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         out = h + residual
         if return_state:
@@ -212,6 +232,9 @@ class LocalSSMProcessor(nn.Module):
     use_checkpoint: bool = False
     scan_mode: str = "parallel"
     dtype: Any = jnp.float32
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -251,6 +274,9 @@ class LocalSSMProcessor(nn.Module):
                 dropout=self.dropout,
                 scan_mode=self.scan_mode,
                 dtype=self.dtype,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"layers_{i}",
             )
             if return_state:
@@ -286,6 +312,12 @@ class LocalSSMProcessor(nn.Module):
                 "pipeline_parallel cannot nest with scan_mode='sp' (both "
                 "wrap the stack in shard_map); pick one axis per run"
             )
+        if self.moe_experts > 0:
+            raise ValueError(
+                "pipeline_parallel with a MoE stack is not supported: EP "
+                "and PP both consume the model mesh axis, and the pipelined "
+                "block apply would drop the sown load-balance loss"
+            )
         mesh, axis, microbatches = pp_ctx
         params_col = self.variables["params"]
         layer_params = [params_col[f"layers_{i}"] for i in range(self.num_layers)]
@@ -298,6 +330,9 @@ class LocalSSMProcessor(nn.Module):
             dropout=self.dropout,
             scan_mode=self.scan_mode,
             dtype=self.dtype,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             parent=None,
         )
         rng = None

@@ -30,6 +30,14 @@ TP_RULES: List[Tuple[Tuple[str, ...], P]] = [
     # CTC head: column-parallel over the vocab axis.
     (("ctc_head", "proj", "kernel"), P(None, MODEL_AXIS)),
     (("ctc_head", "proj", "bias"), P(MODEL_AXIS)),
+    # Expert parallelism (EP): MoE expert weights (models/moe.py) carry a
+    # leading num_experts axis — shard it over the same model axis. The
+    # router stays replicated; XLA's sharding propagation turns the
+    # dispatch einsum into the token all-to-all.
+    (("moe", "w_in"), P(MODEL_AXIS, None, None)),
+    (("moe", "b_in"), P(MODEL_AXIS, None)),
+    (("moe", "w_out"), P(MODEL_AXIS, None, None)),
+    (("moe", "b_out"), P(MODEL_AXIS, None)),
 ]
 
 

@@ -126,6 +126,10 @@ class TrainingConfig:
     # field). loss = ctc + lid_loss_weight * cross_entropy(lid_logits).
     # 0 disables (a labeled batch with weight 0 trains pure CTC).
     lid_loss_weight: float = 0.0
+    # MoE load-balance auxiliary weight (Switch aux, models/moe.py; only
+    # active when the model has moe_experts > 0). loss = ctc +
+    # moe_aux_weight * mean-over-MoE-layers(aux).
+    moe_aux_weight: float = 0.01
     # Append per-log-interval metrics as JSON lines (the reference's wandb
     # stanza was unimplemented; this is the lightweight observability sink).
     metrics_path: Optional[str] = None
@@ -337,6 +341,26 @@ class Trainer:
 
             self.quant_stats = init_quant_stats(model, self.params)
 
+        if getattr(model.config, "moe_experts", 0) > 0:
+            # Unsupported combinations are config errors, not silent
+            # degradations: QAT doesn't fake-quant the expert einsums, the
+            # streaming-aware objective and the pipelined stack would both
+            # drop the sown load-balance loss (and EP+PP fight over the
+            # model mesh axis).
+            if getattr(model.config, "qat", False):
+                raise ValueError("QAT + MoE is not supported")
+            if config.streaming_chunks:
+                raise ValueError(
+                    "the streaming-aware objective + MoE is not supported "
+                    "(streaming_forward does not thread the load-balance "
+                    "loss)"
+                )
+            if config.num_pipeline_stages > 1:
+                raise ValueError(
+                    "pipeline parallelism + MoE is not supported (EP and "
+                    "PP both consume the model mesh axis)"
+                )
+
         if config.lid_loss_weight > 0 and model.config.num_languages <= 0:
             # Misconfiguration, not a fallback: the LID loss needs the LID
             # head (model.num_languages > 0) or the term silently trains
@@ -527,11 +551,21 @@ class Trainer:
                 "feature_lengths": output_lengths,
             }
 
+        # MoE load-balance term: request the sown "losses" collection from
+        # the forward (one scalar per MoE layer; models/moe.py).
+        moe_aux_on = (
+            train
+            and getattr(self.model.config, "moe_experts", 0) > 0
+            and self.config.moe_aux_weight > 0
+        )
+
         new_stats = quant_stats
+        moe_aux_leaves = []
         if quant_stats is not None:
             # QAT forward: observers refresh inside the step; the mutated
             # stats are carried out as the aux output. Eval reads the
-            # stored stats (no mutation).
+            # stored stats (no mutation). (QAT + MoE is rejected in
+            # __init__.)
             variables = {"params": params, "quant_stats": quant_stats}
             rngs = ({"dropout": dropout_rng}
                     if train and dropout_rng is not None else {})
@@ -544,6 +578,14 @@ class Trainer:
             else:
                 logits = self.model.apply(variables, mel, train=False,
                                           **fwd_kw)
+        elif moe_aux_on:
+            rngs = ({"dropout": dropout_rng}
+                    if dropout_rng is not None else {})
+            logits, mutated = self.model.apply(
+                {"params": params}, mel, train=True, rngs=rngs,
+                mutable=["losses"], **fwd_kw,
+            )
+            moe_aux_leaves = jax.tree_util.tree_leaves(mutated["losses"])
         else:
             logits = forward(
                 self.model, params, mel, train=train,
@@ -553,6 +595,10 @@ class Trainer:
         if want_lid:
             logits, feats = logits
         loss = masked_ctc(logits)
+        if moe_aux_leaves:
+            loss = loss + self.config.moe_aux_weight * (
+                sum(moe_aux_leaves) / len(moe_aux_leaves)
+            )
 
         if want_lid:
             lid_logits = feats["lid_logits"].astype(jnp.float32)

@@ -47,6 +47,14 @@ def model_config_from_yaml(cfg: Dict[str, Any]) -> VelocityASRConfig:
         # Multilingual: >0 grows the language-ID head (models/model.py).
         num_languages=int(out.get("num_languages",
                                   model.get("num_languages", 0))),
+        # MoE FFN (models/moe.py): ssm.moe_experts / moe_top_k /
+        # moe_capacity_factor (top-level model.* spellings accepted too).
+        moe_experts=int(ssm.get("moe_experts", model.get("moe_experts", 0))),
+        moe_top_k=int(ssm.get("moe_top_k", model.get("moe_top_k", 2))),
+        moe_capacity_factor=float(
+            ssm.get("moe_capacity_factor",
+                    model.get("moe_capacity_factor", 1.25))
+        ),
     )
 
 
@@ -81,6 +89,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         streaming_chunks=int(trn.get("streaming_chunks", 0)),
         streaming_aux_weight=float(trn.get("streaming_aux_weight", 0.5)),
         lid_loss_weight=float(trn.get("lid_loss_weight", 0.0)),
+        moe_aux_weight=float(trn.get("moe_aux_weight", 0.01)),
         log_interval=int(log.get("log_interval", 100)),
         eval_interval=int(log.get("eval_interval", 1000)),
         save_interval=int(ckpt.get("save_interval", 5000)),
