@@ -50,6 +50,29 @@ def test_topk_all_experts_equals_dense_mixture():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_grouped_dispatch_matches_dense_mixture_with_padding():
+    """Small dispatch groups (T not divisible by S, so the last group is
+    padded) must not change the result when capacity never binds — the
+    router is per-token and padded slots are masked out of routing."""
+    d, h, E = 8, 16, 4
+    x = _x(t=19, d=d, seed=7)  # 19 % 8 != 0 -> padded final group
+    m = MoEFFN(d_model=d, hidden=h, num_experts=E, top_k=E,
+               capacity_factor=float(E), dropout=0.0, group_size=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply({"params": v["params"]}, x)
+    p = v["params"]
+    gates = jax.nn.softmax(x @ p["router"]["kernel"])
+    ref = jnp.zeros_like(x)
+    for e in range(E):
+        he = jax.nn.gelu(x @ p["w_in"][e] + p["b_in"][e], approximate=False)
+        ref = ref + gates[..., e : e + 1] * (he @ p["w_out"][e] + p["b_out"][e])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # aux loss from the padded apply is still the valid-token statistic
+    _, mut = m.apply({"params": v["params"]}, x, mutable=["losses"])
+    aux = jax.tree_util.tree_leaves(mut["losses"])
+    assert len(aux) == 1 and np.isfinite(float(aux[0]))
+
+
 def test_top1_routes_each_token_to_argmax_expert():
     d, h, E = 8, 16, 4
     x = _x(d=d, seed=3)

@@ -131,8 +131,9 @@ class VelocityASRConfig:
           reference documents as the production variant (model.py:46-48 —
           the CTC head alone adds ~9.6M params)
         - "moe": base encoder with an 8-expert top-2 MoE FFN in every
-          local SSM block (~4.9M extra params; experts shard over the
-          mesh's model axis via distributed.num_model_shards)
+          local SSM block (~8.1M extra expert params, 14.3M total;
+          experts shard over the mesh's model axis via
+          distributed.num_model_shards)
         """
         presets: Dict[str, Dict[str, Any]] = {
             "tiny": dict(d_model=128, ssm_layers=4, ssm_state_dim=32,
