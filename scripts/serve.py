@@ -169,16 +169,17 @@ class StreamPool:
     another shape to make room.
     """
 
-    def __init__(self, transcriber, max_streams: int = 2):
+    def __init__(self, transcriber, max_streams: int = 2, beam_scorers=None):
         self.transcriber = transcriber
         self.max_streams = max_streams
+        self.beam_scorers = beam_scorers  # [(scorer, weight)] for beam>1
         self._cv = threading.Condition()
         self._idle: dict = {}  # key -> [StreamingTranscriber]
         self._live = 0  # sessions in existence (idle + acquired)
 
-    def acquire(self, chunk_frames: int, lookahead: int,
+    def acquire(self, chunk_frames: int, lookahead: int, beam: int = 0,
                 timeout: float = 10.0):
-        key = (chunk_frames, lookahead)
+        key = (chunk_frames, lookahead, beam)
         deadline = time.monotonic() + timeout
         with self._cv:
             while True:
@@ -210,7 +211,8 @@ class StreamPool:
             return StreamingTranscriber(
                 self.transcriber.model, self.transcriber.params,
                 self.transcriber.decoder, chunk_frames=chunk_frames,
-                lookahead_chunks=lookahead,
+                lookahead_chunks=lookahead, beam_width=beam,
+                beam_scorers=self.beam_scorers if beam > 1 else None,
             )
         except BaseException:
             with self._cv:
@@ -219,7 +221,8 @@ class StreamPool:
             raise
 
     def release(self, st) -> None:
-        key = (st.chunk_frames, st.lookahead_chunks)
+        beam = st._sbeam.beam_width if st._sbeam is not None else 0
+        key = (st.chunk_frames, st.lookahead_chunks, beam)
         with self._cv:
             self._idle.setdefault(key, []).append(st)
             self._cv.notify()
@@ -276,7 +279,8 @@ class ASRService:
 
     def __init__(self, checkpoint: str, beam_width: int = 0,
                  max_batch: int = 8, batch_window_ms: float = 10.0,
-                 speaker_model: str = None, max_streams: int = 2):
+                 speaker_model: str = None, max_streams: int = 2,
+                 lm_path: str = None, lm_weight: float = 0.5):
         from velocity_asr_tpu.decode import CTCDecoder, create_default_vocabulary
         from velocity_asr_tpu.models.model import from_pretrained
         from scripts.transcribe import Transcriber
@@ -293,10 +297,24 @@ class ASRService:
             self.model, params, self.decoder, beam_width=beam_width
         )
         self.lock = threading.Lock()
+        # Optional char n-gram LM (scripts/train_lm.py artifact): shallow
+        # fusion on beam requests — /stream ?beam=N rescoring and offline
+        # beams alike.
+        self.lm = None
+        self.lm_weight = lm_weight
+        if lm_path:
+            from velocity_asr_tpu.lm import CharNGramLM
+
+            self.lm = CharNGramLM.load(lm_path)
+            logger.info("LM loaded: order-%d char n-gram, weight %.2f",
+                        self.lm.order, lm_weight)
         self.batcher = MicroBatcher(
             self.transcriber, max_batch=max_batch, window_ms=batch_window_ms
         )
-        self.stream_pool = StreamPool(self.transcriber, max_streams=max_streams)
+        self.stream_pool = StreamPool(
+            self.transcriber, max_streams=max_streams,
+            beam_scorers=[(self.lm, lm_weight)] if self.lm else None,
+        )
         # Default-cadence lookahead-0 /stream sessions are micro-batched
         # through ONE compiled chunk step (streaming.StreamSessionBatcher):
         # concurrent live streams share each device round trip instead of
@@ -366,25 +384,31 @@ class ASRService:
     #: step (seconds)
     STREAM_DEFAULT_CADENCE = 2.0
 
-    def open_stream(self, chunk_seconds: float, lookahead: int):
+    def open_stream(self, chunk_seconds: float, lookahead: int,
+                    beam: int = 0):
         """Validate /stream query knobs and acquire a session.
 
         chunk_seconds snaps to the nearest STREAM_CADENCES entry. The
-        default cadence with lookahead 0 gets a slot in the shared
-        StreamSessionBatcher (concurrent streams share one compiled device
-        call per chunk interval); other shapes use pooled per-session
-        transcribers."""
+        default cadence with lookahead 0 (greedy) gets a slot in the
+        shared StreamSessionBatcher (concurrent streams share one compiled
+        device call per chunk interval); other shapes — including ?beam>1
+        sessions, whose carried beam state lives per session — use pooled
+        per-session transcribers."""
         from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE
 
         if not 0.5 <= chunk_seconds <= 30.0:
             raise BadRequest("chunk_seconds must be in [0.5, 30]")
         if not 0 <= lookahead <= 4:
             raise BadRequest("lookahead must be in [0, 4]")
+        if not 0 <= beam <= 16:
+            raise BadRequest("beam must be in [0, 16]")
+        beam = 0 if beam <= 1 else beam
         chunk_seconds = min(self.STREAM_CADENCES,
                             key=lambda c: abs(c - chunk_seconds))
         frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
         frames += frames % 2  # StreamingTranscriber needs an even chunk
-        if chunk_seconds == self.STREAM_DEFAULT_CADENCE and lookahead == 0:
+        if (chunk_seconds == self.STREAM_DEFAULT_CADENCE and lookahead == 0
+                and beam == 0):
             from velocity_asr_tpu.streaming import StreamSessionBatcher
 
             with self._batcher_lock:
@@ -402,7 +426,7 @@ class ASRService:
                 raise ServiceBusy(str(e)) from e
             st._pooled = False
             return st
-        st = self.stream_pool.acquire(frames, lookahead)
+        st = self.stream_pool.acquire(frames, lookahead, beam)
         st._pooled = True
         return st
 
@@ -570,10 +594,16 @@ def make_handler(service: ASRService):
                 try:
                     chunk_seconds = float(q.get("chunk_seconds", ["2.0"])[0])
                     lookahead = int(q.get("lookahead", ["0"])[0])
+                    beam = int(q.get("beam", ["0"])[0])
                 except ValueError as e:
                     raise BadRequest(f"invalid query value: {e}") from e
                 timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
-                st = service.open_stream(chunk_seconds, lookahead)
+                if timestamps and beam > 1:
+                    raise BadRequest(
+                        "?timestamps needs the greedy frame-aligned "
+                        "decode; drop one of ?timestamps / ?beam"
+                    )
+                st = service.open_stream(chunk_seconds, lookahead, beam)
             except BadRequest as e:
                 self._send(400, {"error": str(e)})
                 return

@@ -27,6 +27,8 @@ entire stream.
 
 from __future__ import annotations
 
+import logging
+
 from typing import List, Optional
 
 import jax
@@ -366,6 +368,9 @@ class StreamingTranscriber:
         decoder: CTCDecoder,
         chunk_frames: int = 200,  # mel frames per step (2 s); must be even
         lookahead_chunks: int = 0,
+        beam_width: int = 0,
+        beam_scorers=None,  # [(scorer, weight)] n-best rescoring at finish
+        beam_cap: int = 256,
         _compile_steps: bool = True,  # False: a subclass routes the step
     ):
         assert chunk_frames % 2 == 0
@@ -374,6 +379,22 @@ class StreamingTranscriber:
         self.decoder = decoder
         self.chunk_frames = chunk_frames
         self.lookahead_chunks = lookahead_chunks
+        # Chunk-carried on-device beam search (VERDICT r3 item 3): each
+        # chunk's logits advance a carried beam state (beam.ctc_beam_resume,
+        # reference prefix-beam semantics, decode.py:128-217); the beams'
+        # common prefix is committed as finalized text every chunk, and at
+        # finish() the best suffix is chosen — optionally rescored by an LM
+        # / hotword booster over the n-best. Greedy (beam_width<=1) remains
+        # the low-latency default. Word timestamps/confidences require the
+        # greedy frame-aligned path and are unavailable with a beam.
+        self._sbeam = None
+        if beam_width and beam_width > 1:
+            from .beam import StreamingBeam
+
+            self._sbeam = StreamingBeam(
+                1, beam_width, cap=beam_cap,
+                blank_token=decoder.blank_token, scorers=beam_scorers,
+            )
         # normalize=False: chunks are normalized at decode time with
         # chunk-quantized stats (normalize_span); normalizing every feed
         # block with running stats would be discarded host work
@@ -395,6 +416,7 @@ class StreamingTranscriber:
         self._decoded_frames = 0  # absolute output frames decoded so far
         self._words_emitted = 0
         self._emitted_text = ""
+        self._beam_finalized = False
 
         def step(params, mel_chunk, state, offset):
             logits, new_state = model.apply(
@@ -434,33 +456,52 @@ class StreamingTranscriber:
         self._decoded_frames = 0
         self._words_emitted = 0
         self._emitted_text = ""
+        self._beam_finalized = False
+        if self._sbeam is not None:
+            self._sbeam.reset()
 
     def _init_state(self):
         return init_stream_state(self.model.config, 1)
 
     def _advance_chunk(self, chunk: np.ndarray, offset: int):
         """Run one padded (chunk_frames, mels) chunk through the advancing
-        step, mutating the carried state; returns (preds, frame_lp) over
-        the chunk's output frames. The seam StreamSessionBatcher sessions
-        override to route the step through a shared batched call."""
+        step, mutating the carried state; returns (preds, frame_lp, logits)
+        over the chunk's output frames — (argmax, max-log-posterior, None)
+        on the greedy path, (None, None, device logits) in beam mode. The
+        seam StreamSessionBatcher sessions override to route the step
+        through a shared batched call."""
         if self._state is None:
             self._state = self._init_state()
         logits, self._state = self._step(
             self.params, jnp.asarray(chunk[None]), self._state,
             jnp.asarray(offset, jnp.int32),
         )
+        if self._sbeam is not None:
+            # Beam mode: the logits stay on device and flow straight into
+            # the jitted beam resume; no argmax host transfer needed.
+            return None, None, logits
         lsm = jax.nn.log_softmax(logits[0].astype(jnp.float32))
         return (np.asarray(jnp.argmax(lsm, axis=-1)),
-                np.asarray(jnp.max(lsm, axis=-1)))
+                np.asarray(jnp.max(lsm, axis=-1)), None)
 
     def _decode_logits(self, logits, out_valid: int, base: int) -> None:
         """Collapse one chunk's logits (see _decode_tokens)."""
+        if self._sbeam is not None:
+            self._consume_beam(logits, out_valid)
+            return
         lsm = jax.nn.log_softmax(logits[0, :out_valid].astype(jnp.float32))
         self._decode_tokens(
             np.asarray(jnp.argmax(lsm, axis=-1)),
             np.asarray(jnp.max(lsm, axis=-1)),
             base,
         )
+
+    def _consume_beam(self, logits, out_valid: int) -> None:
+        """Advance the carried beam over one chunk's logits and commit the
+        beams' common prefix as finalized tokens (monotone emission)."""
+        self._sbeam.update(logits, out_valid)
+        new = self._sbeam.commit()[0]
+        self._tokens.extend(new)
 
     def _decode_tokens(self, preds: np.ndarray, frame_lp: np.ndarray,
                        base: int) -> None:
@@ -543,20 +584,37 @@ class StreamingTranscriber:
                     "valid": valid,
                     "frame_start": self._frame_cursor,
                 })
-            preds, frame_lp = self._advance_chunk(chunk, self._time_offset)
+            preds, frame_lp, logits = self._advance_chunk(
+                chunk, self._time_offset
+            )
             # (valid+1)//2 == valid//2 for even valid; odd only on final flush.
             out_valid = (valid + 1) // 2
             self._time_offset += out_valid
             self._frame_cursor += valid
             if self.lookahead_chunks == 0:
-                self._decode_tokens(preds[:out_valid], frame_lp[:out_valid],
-                                    self._time_offset - out_valid)
+                if self._sbeam is not None:
+                    self._consume_beam(logits, out_valid)
+                else:
+                    self._decode_tokens(preds[:out_valid],
+                                        frame_lp[:out_valid],
+                                        self._time_offset - out_valid)
             else:
                 while len(self._pending) > self.lookahead_chunks:
                     self._emit(self._pending.pop(0))
         if flush:
             while self._pending:
                 self._emit(self._pending.pop(0))
+            if self._sbeam is not None and not self._beam_finalized:
+                # Choose the best suffix among the live beams (rescored by
+                # any configured LM/hotword scorers over the full n-best).
+                self._tokens = self._sbeam.finalize()[0]
+                self._beam_finalized = True
+                if self._sbeam.overflowed:
+                    logging.getLogger(__name__).warning(
+                        "streaming beam prefix buffer overflowed (cap=%d); "
+                        "transcript may be truncated — raise beam_cap",
+                        self._sbeam.cap,
+                    )
         # Raw-mel history is only re-read for still-pending chunks; trim
         # everything older so a long-running session stays bounded.
         oldest = (self._pending[0]["frame_start"] if self._pending
@@ -589,6 +647,11 @@ class StreamingTranscriber:
         The LAST word may still grow — its final token's run can extend
         into the next chunk; take_new_words() handles that for live
         incremental emission."""
+        if self._sbeam is not None:
+            raise RuntimeError(
+                "word timestamps/confidences need the greedy frame-aligned "
+                "decode; construct the transcriber without beam_width"
+            )
         from .decode import words_with_timestamps
 
         stamps = [
@@ -646,6 +709,8 @@ class BatchedStreamingTranscriber:
         batch_size: int = 8,
         feed_block: Optional[int] = None,  # samples per StreamingMel feed
         lookahead_chunks: int = 0,
+        beam_width: int = 0,
+        beam_scorers=None,  # [(scorer, weight)] n-best rescoring per utt
     ):
         assert chunk_frames % 2 == 0
         self.model = model
@@ -654,6 +719,8 @@ class BatchedStreamingTranscriber:
         self.chunk_frames = chunk_frames
         self.batch_size = batch_size
         self.lookahead_chunks = lookahead_chunks
+        self.beam_width = beam_width if beam_width and beam_width > 1 else 0
+        self.beam_scorers = beam_scorers
         # retained for API compatibility: normalization is chunk-quantized
         # (feed-order invariant), so the mel no longer depends on how the
         # audio is fed
@@ -671,7 +738,8 @@ class BatchedStreamingTranscriber:
             new_state = jax.tree_util.tree_map(
                 lambda n, o: n.astype(o.dtype), new_state, state
             )
-            return jnp.argmax(logits, axis=-1), new_state
+            out = logits if self.beam_width else jnp.argmax(logits, axis=-1)
+            return out, new_state
 
         def emit_step(params, mel_chunk, state, offset):
             logits, _ = model.apply(
@@ -679,7 +747,7 @@ class BatchedStreamingTranscriber:
                 stream_state=state, time_offset=offset, return_state=True,
                 frozen_mem=True,
             )
-            return jnp.argmax(logits, axis=-1)
+            return logits if self.beam_width else jnp.argmax(logits, axis=-1)
 
         self._step = jax.jit(step)
         self._emit_step = jax.jit(emit_step)
@@ -759,6 +827,28 @@ class BatchedStreamingTranscriber:
         pending = []  # (chunk index, entry mel_carry, entry blocks)
         chunk_preds = []  # per-chunk (b, chunk_out) argmax token ids
 
+        sbeam = None
+        if self.beam_width:
+            from .beam import StreamingBeam
+
+            # No per-chunk commits needed for offline eval: size the prefix
+            # buffer for the whole utterance (<= its output frames), rounded
+            # up so XLA compiles a handful of cap shapes across groups.
+            cap = -(-max(out_frames + [1]) // 256) * 256
+            sbeam = StreamingBeam(
+                b, self.beam_width, cap=cap,
+                blank_token=self.decoder.blank_token,
+                scorers=self.beam_scorers,
+            )
+            valid_frames = np.zeros(b, np.int32)
+            valid_frames[:n] = out_frames
+
+        def feed_beam(logits_dev, c):
+            # Frames of chunk c past an utterance's own output length are
+            # padding: the valid mask keeps them out of its beam.
+            v = np.clip(valid_frames - c * chunk_out, 0, chunk_out)
+            sbeam.update(logits_dev, v)
+
         def emit(c, mel_carry, blocks, stats_upto_chunk):
             # Re-decode chunk c with its entry conv/SSM state (exact local
             # path), the CURRENT memory (includes chunks through the one
@@ -772,10 +862,14 @@ class BatchedStreamingTranscriber:
             st = {"mel_carry": mel_carry, "blocks": blocks,
                   "gc_mem": state["gc_mem"], "gc_blocks": state["gc_blocks"],
                   "gc_init": state["gc_init"]}
-            chunk_preds.append(self._emit_step(
+            out = self._emit_step(
                 self.params, jnp.asarray(buf), st,
                 jnp.asarray(c * chunk_out, jnp.int32),
-            ))
+            )
+            if sbeam is not None:
+                feed_beam(out, c)
+            else:
+                chunk_preds.append(out)
 
         for c in range(num_chunks):
             if L > 0:
@@ -788,11 +882,22 @@ class BatchedStreamingTranscriber:
             if L > 0:
                 if len(pending) > L:
                     emit(*pending.pop(0), stats_upto_chunk=c)
+            elif sbeam is not None:
+                feed_beam(preds_c, c)  # beam mode: preds_c IS the logits
             else:
                 chunk_preds.append(preds_c)
             offset += chunk_out
         while pending:
             emit(*pending.pop(0), stats_upto_chunk=num_chunks - 1)
+
+        if sbeam is not None:
+            best = sbeam.finalize()
+            if sbeam.overflowed:
+                logging.getLogger(__name__).warning(
+                    "streaming beam prefix buffer overflowed (cap=%d)",
+                    sbeam.cap,
+                )
+            return [self.decoder._tokens_to_text(t) for t in best[:n]]
 
         offset = 0
         for preds_dev in chunk_preds:
@@ -986,7 +1091,8 @@ class BatchedStreamSession(StreamingTranscriber):
         assert self._slot is not None, "session is closed"
         fut: Future = Future()
         self._batcher._q.put(("step", self._slot, chunk, offset, fut))
-        return fut.result()
+        preds, lps = fut.result()
+        return preds, lps, None
 
     def reset(self) -> None:
         """Recycle the slot for a new stream (state row re-initialized)."""
