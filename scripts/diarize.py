@@ -63,12 +63,16 @@ def cmd_train(args):
         utts_per_speaker=args.utts_per_speaker,
         split="train",
         seed=args.seed,
+        min_words=args.min_words,
+        max_words=args.max_words,
     )
     eval_ds = SyntheticSpeakerDataset(
         n_speakers=args.num_speakers,
         utts_per_speaker=max(args.utts_per_speaker // 10, 2),
         split="eval",  # same voices, unseen utterances
         seed=args.seed,
+        min_words=args.min_words,
+        max_words=args.max_words,
     )
     collator = ASRCollator(frame_bucket=args.frame_bucket, target_bucket=1)
     train_loader = DataLoader(
@@ -266,6 +270,13 @@ def main():
     t.add_argument("--frame-bucket", type=int, default=100)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--seed", type=int, default=1234)
+    # Utterance-length range in words (~0.3 s/word): the diarizer embeds
+    # windows from ~1.5 s up to whole 8 s speech regions, so the encoder
+    # must see BOTH short and long utterances in training — the round-3
+    # encoder trained only on 2-6-word (~1.5 s) clips and degraded on 8 s
+    # regions (unknown-count DER bottleneck; VERDICT r3 item 4).
+    t.add_argument("--min-words", type=int, default=2)
+    t.add_argument("--max-words", type=int, default=6)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="synthetic-conversation DER benchmark")

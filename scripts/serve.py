@@ -35,10 +35,16 @@ Endpoints:
       Content-Length); text increments are written back as the audio
       arrives. query: ?chunk_seconds=S (default 2.0) sets the decode
       cadence, ?lookahead=N delays each chunk's emission N chunks for
-      offline-like context (see StreamingTranscriber), ?timestamps=1
-      adds word-level timings to the increments (finalized words) and
-      the final line. Sessions are pooled: at most --max-streams run
-      concurrently (503 beyond that).
+      offline-like context (see StreamingTranscriber), ?beam=N decodes
+      with a chunk-carried beam search (finalized text is the beams'
+      common prefix; with --lm the n-best is LM-rescored at the end;
+      incompatible with ?timestamps), ?timestamps=1 adds word-level
+      timings to the increments (finalized words) and the final line.
+      Default-cadence sessions (any lookahead) are micro-batched through
+      one compiled step per lookahead value; ?beam and non-default
+      cadences use pooled per-session transcribers — at most
+      --max-streams concurrently (503 beyond that), serialized on the
+      device lock.
 
 Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
@@ -315,12 +321,17 @@ class ASRService:
             self.transcriber, max_streams=max_streams,
             beam_scorers=[(self.lm, lm_weight)] if self.lm else None,
         )
-        # Default-cadence lookahead-0 /stream sessions are micro-batched
-        # through ONE compiled chunk step (streaming.StreamSessionBatcher):
-        # concurrent live streams share each device round trip instead of
-        # serializing on it. Built lazily on the first such session; other
-        # cadences / lookahead fall back to per-session pooled transcribers.
-        self.stream_batcher = None
+        # Default-cadence /stream sessions (any ?lookahead) are
+        # micro-batched through ONE compiled chunk step per lookahead value
+        # (streaming.StreamSessionBatcher): concurrent live streams share
+        # each device round trip instead of serializing on it; lookahead
+        # batchers run the frozen-memory re-decodes as a second batched
+        # call. Built lazily on the first such session; non-default
+        # cadences and ?beam sessions fall back to per-session pooled
+        # transcribers (beam state and n-best rescoring are
+        # session-local) — at most --max-streams of those run con-
+        # currently and they serialize on the device lock.
+        self.stream_batchers = {}  # lookahead -> StreamSessionBatcher
         self._stream_batcher_slots = max_streams
         self._batcher_lock = threading.Lock()
         self.diarizer = None
@@ -407,21 +418,21 @@ class ASRService:
                             key=lambda c: abs(c - chunk_seconds))
         frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
         frames += frames % 2  # StreamingTranscriber needs an even chunk
-        if (chunk_seconds == self.STREAM_DEFAULT_CADENCE and lookahead == 0
-                and beam == 0):
+        if chunk_seconds == self.STREAM_DEFAULT_CADENCE and beam == 0:
             from velocity_asr_tpu.streaming import StreamSessionBatcher
 
             with self._batcher_lock:
-                if self.stream_batcher is None:
-                    self.stream_batcher = StreamSessionBatcher(
+                if lookahead not in self.stream_batchers:
+                    self.stream_batchers[lookahead] = StreamSessionBatcher(
                         self.transcriber.model, self.transcriber.params,
                         self.transcriber.decoder, chunk_frames=frames,
                         max_slots=self._stream_batcher_slots,
+                        lookahead=lookahead,
                     )
             from velocity_asr_tpu.streaming import StreamSlotsExhausted
 
             try:
-                st = self.stream_batcher.open()
+                st = self.stream_batchers[lookahead].open()
             except StreamSlotsExhausted as e:
                 raise ServiceBusy(str(e)) from e
             st._pooled = False
@@ -757,16 +768,25 @@ def main():
                              "enables POST /diarize")
     parser.add_argument("--max-streams", type=int, default=8,
                         help="concurrent POST /stream sessions (503 beyond "
-                             "this). Default-cadence sessions are "
-                             "micro-batched through one compiled step, so "
-                             "each extra slot costs only a small state row")
+                             "this). Default-cadence sessions (any "
+                             "?lookahead) are micro-batched through one "
+                             "compiled step, so each extra slot costs only "
+                             "a small state row; ?beam sessions and "
+                             "non-default cadences run per-session and "
+                             "serialize on the device — treat max-streams "
+                             "as a hard capacity for those")
+    parser.add_argument("--lm", default=None,
+                        help="char n-gram LM artifact (scripts/train_lm.py) "
+                             "for shallow fusion on ?beam requests")
+    parser.add_argument("--lm-weight", type=float, default=0.5)
     args = parser.parse_args()
 
     service = ASRService(args.checkpoint, beam_width=args.beam_width,
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
                          speaker_model=args.speaker_model,
-                         max_streams=args.max_streams)
+                         max_streams=args.max_streams,
+                         lm_path=args.lm, lm_weight=args.lm_weight)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     logger.info("Serving on http://%s:%d (POST /transcribe, POST /stream%s, "
                 "GET /health)", args.host, args.port,

@@ -351,7 +351,7 @@ def test_serve_stream_malformed_chunked_encoding(pipeline):
     svc.lock = threading.Lock()
     svc.diarizer = None
     svc.stream_pool = StreamPool(pipeline, max_streams=1)
-    svc.stream_batcher = None
+    svc.stream_batchers = {}
     svc._stream_batcher_slots = 2
     svc._batcher_lock = threading.Lock()
 
@@ -456,7 +456,7 @@ def test_serve_stream_concurrent_batched_sessions(pipeline):
     svc.lock = threading.Lock()
     svc.diarizer = None
     svc.stream_pool = StreamPool(pipeline, max_streams=1)
-    svc.stream_batcher = None
+    svc.stream_batchers = {}
     svc._stream_batcher_slots = 4
     svc._batcher_lock = threading.Lock()
 
@@ -503,12 +503,12 @@ def test_serve_stream_concurrent_batched_sessions(pipeline):
         assert not errs, errs
         # the default cadence really used the batcher (pool holds 1 slot;
         # two concurrent sessions would otherwise have 503'd)
-        assert svc.stream_batcher is not None
+        assert 0 in svc.stream_batchers
         for i in (0, 1):
             assert results[i]["final"] is True
             assert results[i]["text"] == expected[i]
         # all batcher slots returned
-        assert len(svc.stream_batcher._free) == 4
+        assert len(svc.stream_batchers[0]._free) == 4
     finally:
         server.shutdown()
         server.server_close()

@@ -772,3 +772,64 @@ def test_batched_sessions_match_dedicated_transcribers(tiny_model):
     assert s_new.text == expected[2][0]
     for s in (s_new, *sessions[1:]):
         s.close()
+
+
+def test_batched_sessions_lookahead_match_dedicated(tiny_model):
+    """Lookahead sessions through the shared batcher (entry states in the
+    device-side ring, frozen-memory re-decodes as a second batched call)
+    reproduce a dedicated lookahead StreamingTranscriber exactly —
+    concurrent sessions, different lengths, plus slot reuse via reset()
+    (VERDICT r3 item 9: lookahead /stream used to re-serialize on pooled
+    per-session transcribers)."""
+    from velocity_asr_tpu.streaming import StreamSessionBatcher
+
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    batcher = StreamSessionBatcher(
+        model, params, decoder, chunk_frames=50, max_slots=2,
+        window_ms=20.0, lookahead=1,
+    )
+
+    rng = np.random.default_rng(31)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (22000, 13000)
+    ]
+
+    ref = StreamingTranscriber(model, params, decoder, chunk_frames=50,
+                               lookahead_chunks=1)
+    expected = []
+    for a in audios:
+        ref.reset()
+        ref.feed(a)
+        ref.finish()
+        expected.append(ref.text)
+
+    sessions = [batcher.open() for _ in audios]
+    errs = []
+
+    def run(sess, audio):
+        try:
+            for i in range(0, len(audio), 4000):
+                sess.feed(audio[i:i + 4000])
+            sess.finish()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s, a))
+               for s, a in zip(sessions, audios)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for sess, text in zip(sessions, expected):
+        assert sess.text == text
+
+    # slot reuse: reset() recycles the ring bookkeeping too
+    sessions[0].reset()
+    sessions[0].feed(audios[1])
+    sessions[0].finish()
+    assert sessions[0].text == expected[1]
+    for s in sessions:
+        s.close()

@@ -530,6 +530,39 @@ class StreamingTranscriber:
             self._prev_token = tok
         self._decoded_frames = max(self._decoded_frames, base + out_valid)
 
+    def _pending_entry(self, valid: int) -> dict:
+        """Record the entry (pre-advance) local state for a lookahead
+        chunk. The batched-session subclass stores the state in the shared
+        batcher's device-side ring instead and records only the ring slot."""
+        return {
+            "mel_carry": self._state["mel_carry"],
+            "blocks": self._state["blocks"],
+            "offset": self._time_offset,
+            "valid": valid,
+            "frame_start": self._frame_cursor,
+        }
+
+    def _emit_forward(self, chunk: np.ndarray, p: dict):
+        """Frozen-memory re-decode of a pending chunk; same return
+        contract as _advance_chunk. The batched-session subclass routes
+        this through the shared batcher's emit call."""
+        state = {
+            "mel_carry": p["mel_carry"],
+            "blocks": p["blocks"],
+            "gc_mem": self._state["gc_mem"],
+            "gc_blocks": self._state["gc_blocks"],
+            "gc_init": self._state["gc_init"],
+        }
+        logits, _ = self._emit_step(
+            self.params, jnp.asarray(chunk[None]), state,
+            jnp.asarray(p["offset"], jnp.int32),
+        )
+        if self._sbeam is not None:
+            return None, None, logits
+        lsm = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+        return (np.asarray(jnp.argmax(lsm, axis=-1)),
+                np.asarray(jnp.max(lsm, axis=-1)), None)
+
     def _emit(self, p: dict) -> None:
         """Lookahead emission of a pending chunk (frozen-memory re-decode).
 
@@ -542,18 +575,13 @@ class StreamingTranscriber:
         )
         if chunk.shape[0] < self.chunk_frames:
             chunk = np.pad(chunk, ((0, self.chunk_frames - chunk.shape[0]), (0, 0)))
-        state = {
-            "mel_carry": p["mel_carry"],
-            "blocks": p["blocks"],
-            "gc_mem": self._state["gc_mem"],
-            "gc_blocks": self._state["gc_blocks"],
-            "gc_init": self._state["gc_init"],
-        }
-        logits, _ = self._emit_step(
-            self.params, jnp.asarray(chunk[None]), state,
-            jnp.asarray(p["offset"], jnp.int32),
-        )
-        self._decode_logits(logits, (p["valid"] + 1) // 2, int(p["offset"]))
+        preds, frame_lp, logits = self._emit_forward(chunk, p)
+        out_valid = (p["valid"] + 1) // 2
+        if self._sbeam is not None:
+            self._consume_beam(logits, out_valid)
+        else:
+            self._decode_tokens(preds[:out_valid], frame_lp[:out_valid],
+                                int(p["offset"]))
 
     def _run_chunks(self, flush: bool = False) -> str:
         while True:
@@ -577,13 +605,7 @@ class StreamingTranscriber:
             if self.lookahead_chunks > 0:
                 if self._state is None:
                     self._state = self._init_state()
-                self._pending.append({
-                    "mel_carry": self._state["mel_carry"],
-                    "blocks": self._state["blocks"],
-                    "offset": self._time_offset,
-                    "valid": valid,
-                    "frame_start": self._frame_cursor,
-                })
+                self._pending.append(self._pending_entry(valid))
             preds, frame_lp, logits = self._advance_chunk(
                 chunk, self._time_offset
             )
@@ -936,13 +958,21 @@ class StreamSessionBatcher:
 
     This is the streaming analog of serve's MicroBatcher for /transcribe.
     open() -> BatchedStreamSession (the StreamingTranscriber API);
-    lookahead is not supported (it needs per-session frozen-memory
-    re-decodes); close() frees the slot.
+    close() frees the slot.
+
+    lookahead > 0 (VERDICT r3 item 9 — lookahead sessions used to fall
+    back to pooled per-session transcribers, re-serializing on the device
+    lock): each session's pending-chunk ENTRY states live in a device-side
+    ring `(max_slots, lookahead+1, ...)` written by the batched advance
+    step itself, and the frozen-memory re-decodes run as a second batched
+    call per chunk interval — 2 shared device round trips instead of 2 per
+    session. Beam sessions stay per-session (their carried beam state and
+    n-best rescoring are session-local; serve pools them instead).
     """
 
     def __init__(self, model: VelocityASR, params, decoder: CTCDecoder,
                  chunk_frames: int = 200, max_slots: int = 8,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, lookahead: int = 0):
         import queue as queue_mod
         import threading
 
@@ -953,15 +983,19 @@ class StreamSessionBatcher:
         self.chunk_frames = chunk_frames
         self.max_slots = max_slots
         self.window = window_ms / 1e3
+        self.lookahead = lookahead
         self._mels = model.config.mel_bins
         # The dispatcher thread is the sole owner of the stacked states
         # (resets arrive through the same queue as steps), so donated
         # buffers are never raced.
         self._states = init_stream_state(model.config, max_slots)
         self._init1 = init_stream_state(model.config, 1)
+        self._pend = self._init_pend() if lookahead > 0 else None
         self._free = list(range(max_slots))
         self._lock = threading.Lock()
         self._q: "queue_mod.Queue" = queue_mod.Queue()
+
+        rows = jnp.arange(max_slots)
 
         def step(params, chunks, states, offsets, active):
             logits, new_states = model.apply(
@@ -977,15 +1011,61 @@ class StreamSessionBatcher:
             lsm = jax.nn.log_softmax(logits.astype(jnp.float32))
             return jnp.argmax(lsm, -1), jnp.max(lsm, -1), new_states
 
+        def step_la(params, chunks, states, offsets, active, pend, widx):
+            # Record each active row's ENTRY (pre-advance) local state
+            # into its ring slot — the state the frozen-memory re-decode
+            # of this chunk will resume from at emission time.
+            def rec(p, leaf):
+                cand = p.at[rows, widx].set(leaf)
+                a = active.reshape((-1, 1) + (1,) * (leaf.ndim - 1))
+                return jnp.where(a, cand, p)
+
+            new_pend = jax.tree_util.tree_map(
+                rec, pend,
+                {"mel_carry": states["mel_carry"], "blocks": states["blocks"]},
+            )
+            preds, lps, new_states = step(params, chunks, states, offsets,
+                                          active)
+            return preds, lps, new_states, new_pend
+
+        def emit_la(params, chunks, states, offsets, ridx, pend):
+            entry = jax.tree_util.tree_map(lambda p: p[rows, ridx], pend)
+            st = {
+                "mel_carry": entry["mel_carry"],
+                "blocks": entry["blocks"],
+                "gc_mem": states["gc_mem"],
+                "gc_blocks": states["gc_blocks"],
+                "gc_init": states["gc_init"],
+            }
+            logits, _ = model.apply(
+                {"params": params}, chunks, train=False,
+                stream_state=st, time_offset=offsets, return_state=True,
+                frozen_mem=True,
+            )
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return jnp.argmax(lsm, -1), jnp.max(lsm, -1)
+
         def reset_row(states, slot, init1):
             return jax.tree_util.tree_map(
                 lambda s, i: s.at[slot].set(i[0]), states, init1
             )
 
-        self._step = jax.jit(step, donate_argnums=(2,))
+        if lookahead > 0:
+            self._step_la = jax.jit(step_la, donate_argnums=(2, 5))
+            self._emit_la = jax.jit(emit_la)
+        else:
+            self._step = jax.jit(step, donate_argnums=(2,))
         self._reset_row = jax.jit(reset_row, donate_argnums=(0,))
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _init_pend(self):
+        full = init_stream_state(self.model.config, self.max_slots)
+        d = self.lookahead + 1
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((x.shape[0], d) + x.shape[1:], x.dtype),
+            {"mel_carry": full["mel_carry"], "blocks": full["blocks"]},
+        )
 
     def open(self) -> "BatchedStreamSession":
         """Acquire a slot (its state row is reset) and return a session."""
@@ -1028,40 +1108,68 @@ class StreamSessionBatcher:
             try:
                 # A session submits one chunk at a time and blocks on its
                 # future (_run_chunks is sequential), so a slot appears at
-                # most once per group.
+                # most once per group and kind (a step and its emit are
+                # never co-queued: the session waits on the step first).
                 for kind, slot, fut in (g for g in group if g[0] == "reset"):
                     self._states = self._reset_row(
                         self._states, jnp.asarray(slot, jnp.int32), self._init1
                     )
                     fut.set_result(None)
-                steps = [g for g in group if g[0] == "step"]
-                if steps:
+
+                def gather(reqs):
                     chunks = np.zeros(
                         (self.max_slots, self.chunk_frames, self._mels),
                         np.float32,
                     )
                     offsets = np.zeros((self.max_slots,), np.int32)
                     active = np.zeros((self.max_slots,), bool)
-                    for _, slot, chunk, offset, _fut in steps:
+                    ring = np.zeros((self.max_slots,), np.int32)
+                    for _, slot, chunk, offset, r, _fut in reqs:
                         chunks[slot] = chunk
                         offsets[slot] = offset
                         active[slot] = True
-                    preds, lps, self._states = self._step(
+                        ring[slot] = r
+                    return chunks, offsets, active, ring
+
+                steps = [g for g in group if g[0] == "step"]
+                if steps:
+                    chunks, offsets, active, widx = gather(steps)
+                    if self.lookahead > 0:
+                        preds, lps, self._states, self._pend = self._step_la(
+                            self.params, jnp.asarray(chunks), self._states,
+                            jnp.asarray(offsets), jnp.asarray(active),
+                            self._pend, jnp.asarray(widx),
+                        )
+                    else:
+                        preds, lps, self._states = self._step(
+                            self.params, jnp.asarray(chunks), self._states,
+                            jnp.asarray(offsets), jnp.asarray(active),
+                        )
+                    preds, lps = np.asarray(preds), np.asarray(lps)
+                    for g in steps:
+                        g[-1].set_result((preds[g[1]], lps[g[1]]))
+
+                emits = [g for g in group if g[0] == "emit"]
+                if emits:
+                    chunks, offsets, _active, ridx = gather(emits)
+                    preds, lps = self._emit_la(
                         self.params, jnp.asarray(chunks), self._states,
-                        jnp.asarray(offsets), jnp.asarray(active),
+                        jnp.asarray(offsets), jnp.asarray(ridx), self._pend,
                     )
                     preds, lps = np.asarray(preds), np.asarray(lps)
-                    for _, slot, _c, _o, fut in steps:
-                        fut.set_result((preds[slot], lps[slot]))
+                    for g in emits:
+                        g[-1].set_result((preds[g[1]], lps[g[1]]))
             except Exception as e:  # pragma: no cover - device failure
-                # _step/_reset_row donate the stacked states, so after a
-                # failed call the old buffers may be gone — rebuild fresh
-                # states to keep the batcher alive (the failed group's
-                # sessions get the exception and end; rows are re-reset by
-                # the next open()).
+                # _step*/_reset_row donate the stacked states (and pending
+                # ring), so after a failed call the old buffers may be
+                # gone — rebuild fresh ones to keep the batcher alive (the
+                # failed group's sessions get the exception and end; rows
+                # are re-reset by the next open()).
                 self._states = init_stream_state(
                     self.model.config, self.max_slots
                 )
+                if self.lookahead > 0:
+                    self._pend = self._init_pend()
                 for g in group:
                     if not g[-1].done():
                         g[-1].set_exception(e)
@@ -1079,18 +1187,44 @@ class BatchedStreamSession(StreamingTranscriber):
     def __init__(self, batcher: StreamSessionBatcher, slot: int):
         super().__init__(
             batcher.model, batcher.params, batcher.decoder,
-            chunk_frames=batcher.chunk_frames, lookahead_chunks=0,
+            chunk_frames=batcher.chunk_frames,
+            lookahead_chunks=batcher.lookahead,
             _compile_steps=False,
         )
         self._batcher = batcher
         self._slot = slot
+        # Device-side pending ring bookkeeping (lookahead batchers): the
+        # advance step records this session's entry state at _step_widx;
+        # each pending entry remembers its ring slot for the emit.
+        self._ring_next = 0
+        self._step_widx = 0
+
+    def _pending_entry(self, valid: int) -> dict:
+        idx = self._ring_next
+        self._ring_next = (idx + 1) % (self._batcher.lookahead + 1)
+        self._step_widx = idx
+        return {"ring": idx, "offset": self._time_offset, "valid": valid,
+                "frame_start": self._frame_cursor}
 
     def _advance_chunk(self, chunk: np.ndarray, offset: int):
         from concurrent.futures import Future
 
         assert self._slot is not None, "session is closed"
         fut: Future = Future()
-        self._batcher._q.put(("step", self._slot, chunk, offset, fut))
+        self._batcher._q.put(
+            ("step", self._slot, chunk, offset, self._step_widx, fut)
+        )
+        preds, lps = fut.result()
+        return preds, lps, None
+
+    def _emit_forward(self, chunk: np.ndarray, p: dict):
+        from concurrent.futures import Future
+
+        assert self._slot is not None, "session is closed"
+        fut: Future = Future()
+        self._batcher._q.put(
+            ("emit", self._slot, chunk, p["offset"], p["ring"], fut)
+        )
         preds, lps = fut.result()
         return preds, lps, None
 
@@ -1099,6 +1233,8 @@ class BatchedStreamSession(StreamingTranscriber):
         from concurrent.futures import Future
 
         super().reset()
+        self._ring_next = 0
+        self._step_widx = 0
         if self._slot is not None:
             fut: Future = Future()
             self._batcher._q.put(("reset", self._slot, fut))
