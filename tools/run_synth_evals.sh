@@ -1,13 +1,15 @@
 #!/bin/bash
-# Round-2 held-out eval suite over the synthetic test set (1000 unseen
-# utterances): FP32, INT8-dynamic, INT8-static (calibrated), streaming,
-# and beam-search decoding — the accuracy deltas the reference reports
+# Held-out eval suite over the synthetic test set (1000 unseen
+# utterances): FP32, INT8-dynamic, INT8-static (calibrated), beam search
+# (plain / +LM fusion), and the streaming path (greedy, lookahead, and
+# chunk-carried beam +/- LM) — the accuracy deltas the reference reports
 # (README.md:255, 274-275) reproduced on the in-container corpus.
 #
-# Usage: tools/run_synth_evals.sh <checkpoint_dir> [outdir]
+# Usage: tools/run_synth_evals.sh <checkpoint_dir> [outdir] [lm_path]
 set -e
-CKPT=${1:?usage: run_synth_evals.sh <checkpoint_dir> [outdir]}
+CKPT=${1:?usage: run_synth_evals.sh <checkpoint_dir> [outdir] [lm_path]}
 OUT=${2:-checkpoints/synth_run}
+LM=${3:-checkpoints/synth_run/lm.json.gz}
 TEST=data/synth_test/test_manifest.jsonl
 cd "$(dirname "$0")/.."
 
@@ -22,9 +24,13 @@ run fp32_final
 run int8_dynamic --int8
 run int8_static --int8-static --calib-batches 8
 run beam8 --beam-width 8
+run beam8_lm --beam-width 8 --lm "$LM"
 run streaming --streaming
 run streaming_la1 --streaming --lookahead 1
 run streaming_la2 --streaming --lookahead 2
+run streaming_beam8 --streaming --beam-width 8
+run streaming_beam8_lm --streaming --beam-width 8 --lm "$LM"
+run streaming_la1_beam8_lm --streaming --lookahead 1 --beam-width 8 --lm "$LM"
 echo "=== summary ==="
 OUT="$OUT" python - <<'EOF'
 import glob, json, os

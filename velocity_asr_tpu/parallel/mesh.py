@@ -22,7 +22,11 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def order_devices_hierarchical(devices: Sequence) -> list:
+def _default_slice_index(d) -> Optional[int]:
+    return getattr(d, "slice_index", None)
+
+
+def order_devices_hierarchical(devices: Sequence, slice_index_of=None) -> list:
     """Order devices slice-major for a multi-slice (DCN-connected) pod.
 
     On multi-slice TPU deployments `jax.devices()` carries a
@@ -38,9 +42,14 @@ def order_devices_hierarchical(devices: Sequence) -> list:
 
     Pure list manipulation so it is unit-testable without multi-slice
     hardware (tests/test_parallel.py stubs `slice_index`).
+
+    slice_index_of (optional): override for reading a device's slice index
+    — lets tests and the driver dryrun simulate a multi-slice topology on
+    the virtual CPU mesh (e.g. `lambda d: d.id // 4` = 2 slices of 4).
     """
+    slice_index_of = slice_index_of or _default_slice_index
     devices = list(devices)
-    keyed = [(getattr(d, "slice_index", None), getattr(d, "id", i), d)
+    keyed = [(slice_index_of(d), getattr(d, "id", i), d)
              for i, d in enumerate(devices)]
     if any(k[0] is None for k in keyed):
         return devices  # no slice topology exposed: keep caller's order
@@ -60,21 +69,25 @@ def create_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    slice_index_of=None,
 ) -> Mesh:
     """Create a (data, model) mesh over the available devices.
 
     Multi-slice pods are handled transparently: devices are ordered
     slice-major (see order_devices_hierarchical) so the data axis spans
     slices on its outer stride and the model axis stays intra-slice.
+    slice_index_of overrides slice discovery (simulated multi-slice on the
+    virtual CPU mesh; see order_devices_hierarchical).
     """
+    slice_of = slice_index_of or _default_slice_index
     devices = list(devices if devices is not None else jax.devices())
-    devices = order_devices_hierarchical(devices)
+    devices = order_devices_hierarchical(devices, slice_index_of=slice_of)
     if n_data is None:
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
         f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
     )
-    slice_sizes = {getattr(d, "slice_index", 0) for d in devices}
+    slice_sizes = {slice_of(d) or 0 for d in devices}
     if n_model > 1 and len(slice_sizes) > 1:
         per_slice = len(devices) // len(slice_sizes)
         assert per_slice % n_model == 0, (
