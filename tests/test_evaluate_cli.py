@@ -101,9 +101,16 @@ def test_streaming_flag_combos_rejected(checkpoint_and_manifest):
     with pytest.raises(SystemExit):
         _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
                        "--streaming", "--int8-static"])
+    # beam (+LM) with --streaming is SUPPORTED since r4 (chunk-carried
+    # beam); what stays rejected is the per-batch oracle-hotword mode
+    # (it needs the offline batched beam) and LM without a beam.
     with pytest.raises(SystemExit):
         _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
-                       "--streaming", "--beam-width", "4"])
+                       "--streaming", "--hotwords-oracle",
+                       "--beam-width", "4"])
+    with pytest.raises(SystemExit):
+        _run_evaluate(["--checkpoint", ckpt, "--test-set", manifest,
+                       "--streaming", "--lm", "nonexistent.json.gz"])
 
 
 def test_streaming_on_manifest(checkpoint_and_manifest):

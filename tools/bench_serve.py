@@ -57,7 +57,9 @@ def bench_stream(args):
         conn = http.client.HTTPConnection("127.0.0.1", args.port, timeout=600)
         t0 = time.perf_counter()
         conn.request(
-            "POST", f"/stream?chunk_seconds={args.chunk_seconds}",
+            "POST",
+            f"/stream?chunk_seconds={args.chunk_seconds}"
+            f"&lookahead={args.lookahead}",
             body=blocks(), headers={"Transfer-Encoding": "chunked"},
             encode_chunked=True,
         )
@@ -94,7 +96,8 @@ def bench_stream(args):
     ttft = np.asarray([r[1] for r in results if r[1] is not None])
     audio_s = args.seconds * len(results)
     print(f"streams={args.clients} utterance={args.seconds:.0f}s "
-          f"chunk={args.chunk_seconds:.1f}s (firehose upload)")
+          f"chunk={args.chunk_seconds:.1f}s lookahead={args.lookahead} "
+          f"(firehose upload)")
     print(f"per-stream throughput RTF p50={np.median(walls) / args.seconds:.3f} "
           f"max={walls.max() / args.seconds:.3f} (live mic needs <= 1)")
     if ttft.size:
@@ -114,6 +117,9 @@ def main():
     ap.add_argument("--stream", action="store_true",
                     help="bench POST /stream (concurrent live sessions)")
     ap.add_argument("--chunk-seconds", type=float, default=2.0)
+    ap.add_argument("--lookahead", type=int, default=0,
+                    help="--stream only: ?lookahead=N per session "
+                         "(measures the batched lookahead serving path)")
     args = ap.parse_args()
 
     cmd = [sys.executable, "/root/repo/scripts/serve.py",
