@@ -278,15 +278,33 @@ def extra_configs(params, batched_pipeline):
     # reference parallel mode: 0.2-0.3 s/step (configs/model.yaml notes)
     emit("train_step_seconds", step_s, "s_per_step", 0.25)
 
-    # Train-step MFU from the compiled step's own XLA FLOP count.
+    # Device-resident step: the same compiled step fed an already-placed
+    # batch — separates the tunnel's host->device batch transfer (which
+    # the production path shrinks via int16-PCM device_mel + prefetch)
+    # from the math (BENCH_DETAILS_r04 train-step attribution).
     sharded, nv = trainer.shard_batch(batch)
-    flops = compiled_flops(
-        trainer._train_step, trainer.params, trainer.opt_state,
-        trainer.quant_stats, sharded, trainer._rng, nv,
-    )
+    # _train_step donates (params, opt_state, quant_stats): thread the
+    # returned trees through the loop like the real train loop does.
+    p, o, q = trainer.params, trainer.opt_state, trainer.quant_stats
+    p, o, q, loss = trainer._train_step(p, o, q, sharded, trainer._rng, nv)
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        p, o, q, loss = trainer._train_step(p, o, q, sharded, trainer._rng, nv)
+    np.asarray(loss)
+    compute_s = (time.perf_counter() - t0) / 5
+    emit("train_step_device_seconds", compute_s, "s_per_step")
+
+    # Train-step MFU from the compiled step's own XLA FLOP count — both
+    # against the end-to-end wall (what a user sees) and the
+    # device-resident wall (what the chip is doing).
+    flops = compiled_flops(trainer._train_step, p, o, q, sharded,
+                           trainer._rng, nv)
     if flops:
         peak, kind = device_peak_flops()
         emit("train_mfu", flops / step_s / peak, f"fraction_of_{kind}_bf16_peak")
+        emit("train_mfu_device", flops / compute_s / peak,
+             f"fraction_of_{kind}_bf16_peak")
 
 
 if __name__ == "__main__":
