@@ -31,6 +31,25 @@ run streaming_la2 --streaming --lookahead 2
 run streaming_beam8 --streaming --beam-width 8
 run streaming_beam8_lm --streaming --beam-width 8 --lm "$LM"
 run streaming_la1_beam8_lm --streaming --lookahead 1 --beam-width 8 --lm "$LM"
+
+# Optional legs:
+#   TFLITE=1  — export + evaluate the edge artifacts on the full set
+#               (CPU-bound; tools/eval_tflite.py)
+#   The MoE artifact runs the SAME battery:
+#     tools/run_synth_evals.sh checkpoints/moe_run/final_pretrained \
+#         checkpoints/moe_run
+if [ -n "$TFLITE" ]; then
+  for variant in dynamic float16; do
+    tag=$([ "$variant" = dynamic ] && echo int8 || echo fp16)
+    echo "=== tflite_${tag} ==="
+    python scripts/export_model.py --checkpoint "$CKPT" \
+      --output-dir "export_tfl_${tag}" --frames 704 --tflite "$variant" \
+      2>&1 | tail -2
+    python tools/eval_tflite.py --tflite "export_tfl_${tag}/velocity_asr.tflite" \
+      --checkpoint "$CKPT" --max-utts 0 \
+      --output "$OUT/eval_tflite_${tag}_full.json" 2>&1 | tail -2
+  done
+fi
 echo "=== summary ==="
 OUT="$OUT" python - <<'EOF'
 import glob, json, os
