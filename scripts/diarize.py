@@ -88,6 +88,7 @@ def cmd_train(args):
         warmup_steps=min(500, args.steps // 10),
         max_steps=args.steps,
         batch_size=args.batch_size,
+        gradient_accumulation_steps=args.grad_accum,
         log_interval=50,
         eval_interval=max(args.steps // 6, 100),
         save_interval=max(args.steps // 2, 500),
@@ -263,6 +264,11 @@ def main():
     t.add_argument("--utts-per-speaker", type=int, default=200)
     t.add_argument("--steps", type=int, default=3000)
     t.add_argument("--batch-size", type=int, default=32)
+    # Long mixed-length utterances (--max-words ~24 -> ~8 s) blow HBM at
+    # batch 32 with the parallel-scan tier (it materializes (B,L,D,N)
+    # buffers): drop batch-size and raise grad-accum to keep the
+    # effective batch.
+    t.add_argument("--grad-accum", type=int, default=1)
     t.add_argument("--lr", type=float, default=3e-4)
     t.add_argument("--d-model", type=int, default=128)
     t.add_argument("--layers", type=int, default=4)
