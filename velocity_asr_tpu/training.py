@@ -746,6 +746,17 @@ class Trainer:
         dev_iter = self._device_batches()
         tracing = False
         t0 = time.perf_counter()
+        rss_warned = False
+
+        def _rss_gb() -> float:
+            try:
+                with open("/proc/self/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            return int(line.split()[1]) / 1e6
+            except OSError:
+                pass
+            return 0.0
 
         start = self.global_step
         for step in range(start, self.config.max_steps):
@@ -777,6 +788,21 @@ class Trainer:
                 )
                 history["train_loss"].append(avg)
                 history["lr"].append(lr)
+                # Host-RSS watchdog: very long runs through the remote-TPU
+                # tunnel leak ~one staging buffer per step client-side
+                # (observed ~10 MB/step at the pretrain shape — a 14k-step
+                # run OOM-killed a 125 GB host at step ~12.8k). Warn early
+                # so the user splits the run into resumed segments
+                # (save/load_checkpoint) instead of losing it.
+                if not rss_warned:
+                    rss = _rss_gb()
+                    if rss > 60.0:
+                        rss_warned = True
+                        logger.warning(
+                            "host RSS %.0f GB and growing (tunnel staging "
+                            "leak?); consider splitting this run into "
+                            "shorter --resume segments", rss,
+                        )
                 if self.config.metrics_path:
                     import json as _json
 
