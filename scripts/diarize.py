@@ -57,6 +57,7 @@ def cmd_train(args):
         ssm_layers=args.layers,
         embedding_dim=args.embedding_dim,
         dtype="bfloat16" if args.bf16 else "float32",
+        scan_mode=args.scan_mode,
     )
     train_ds = SyntheticSpeakerDataset(
         n_speakers=args.num_speakers,
@@ -269,6 +270,12 @@ def main():
     # buffers): drop batch-size and raise grad-accum to keep the
     # effective batch.
     t.add_argument("--grad-accum", type=int, default=1)
+    # scan tier for the speaker backbone. "pallas" streams chunks through
+    # VMEM instead of materializing the parallel tier's (B, L, D, N)
+    # products — the memory difference that decides whether 8 s windows
+    # fit at batch 32 (the r4 v2 attempt OOM'd HBM on "parallel").
+    t.add_argument("--scan-mode", default="parallel",
+                   choices=["sequential", "parallel", "pallas"])
     t.add_argument("--lr", type=float, default=3e-4)
     t.add_argument("--d-model", type=int, default=128)
     t.add_argument("--layers", type=int, default=4)

@@ -544,3 +544,30 @@ def test_reassign_never_undercuts_pinned_count():
     finally:
         dz.spectral_cluster_embeddings = orig_cluster
         diar.embed_windows = orig_embed
+
+
+def test_speaker_backbone_pallas_matches_parallel():
+    """The speaker backbone runs on the Pallas scan tier (interpret mode
+    on CPU) and matches the parallel tier — the r4-validated unblock for
+    mixed-length v2 training: on hardware, pallas streams chunks through
+    VMEM where the parallel tier's (B, L, D, N) buffers OOM HBM at
+    batch 32 x 8 s windows (BENCH_DETAILS_r04 'Speaker encoder v2')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from velocity_asr_tpu.diarize import SpeakerClassifier, SpeakerEncoderConfig
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 96, 80)), jnp.float32)
+    lens = jnp.asarray([96, 64], jnp.int32)
+
+    embs = {}
+    for mode in ("parallel", "pallas"):
+        cfg = SpeakerEncoderConfig(n_speakers=8, scan_mode=mode)
+        model = SpeakerClassifier(config=cfg)
+        params = model.init(jax.random.PRNGKey(0), mel, lens, train=False)["params"]
+        emb, _ = model.apply({"params": params}, mel, lens, train=False)
+        embs[mode] = np.asarray(emb)
+    np.testing.assert_allclose(embs["pallas"], embs["parallel"],
+                               rtol=2e-4, atol=2e-4)
