@@ -188,7 +188,6 @@ def ctc_beam_resume(
             new = _beam_frame_step(st, lp_t, blank_token)
             # Overflow: a kept hypothesis extended while its buffer was
             # already full — the scatter dropped the token.
-            _, lengths_o, _, _, _, _ = st
             dropped = jnp.any(new[1] > cap)
             active = t < v
             merged = tuple(
