@@ -120,11 +120,14 @@ def __getattr__(name):
         from . import data
 
         return getattr(data, name)
-    if name in ("ctc_beam_search_jax", "beams_to_token_lists"):
+    if name in ("ctc_beam_search_jax", "beams_to_token_lists",
+                "StreamingBeam", "ctc_beam_resume", "beam_state_init",
+                "beam_commit", "beam_finalize"):
         from . import beam
 
         return getattr(beam, name)
-    if name in ("StreamingTranscriber", "StreamingMel"):
+    if name in ("StreamingTranscriber", "StreamingMel",
+                "BatchedStreamingTranscriber", "StreamSessionBatcher"):
         from . import streaming
 
         return getattr(streaming, name)
