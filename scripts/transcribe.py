@@ -378,15 +378,20 @@ class Transcriber:
 
 
 def make_streaming_transcriber(model, params, decoder, chunk_seconds=2.0,
-                               lookahead=0):
+                               lookahead=0, beam_width=0, beam_scorers=None):
     """Build one StreamingTranscriber for a batch of files: its jitted
-    chunk step compiles once; reset() starts each new session."""
+    chunk step compiles once; reset() starts each new session.
+    beam_width > 1 decodes with the chunk-carried beam (beam_scorers =
+    [(scorer, weight)] rescores the n-best at finish — LM fusion /
+    hotword boosting on the live path)."""
     from velocity_asr_tpu.streaming import StreamingTranscriber
 
     frames = round(chunk_seconds * 100)
     frames += frames % 2  # even chunk contract
     return StreamingTranscriber(model, params, decoder, chunk_frames=frames,
-                                lookahead_chunks=lookahead)
+                                lookahead_chunks=lookahead,
+                                beam_width=beam_width,
+                                beam_scorers=beam_scorers)
 
 
 def transcribe_streaming(st, path, timestamps=False):
@@ -487,9 +492,6 @@ def main():
         parser.error("provide an audio file or --input-dir")
     # Reject flag combinations that would otherwise be silently dropped
     # (same convention as evaluate.py / serve.py).
-    if args.streaming and args.beam_width > 1:
-        parser.error("--beam-width is not supported with --streaming "
-                     "(streaming decodes greedily per chunk)")
     if args.lookahead and not args.streaming:
         parser.error("--lookahead requires --streaming")
     if args.timestamps and args.beam_width > 1:
@@ -501,9 +503,6 @@ def main():
     if args.lm and args.beam_width <= 1:
         parser.error("--lm fuses into the beam search; add --beam-width "
                      "(e.g. --beam-width 8)")
-    if args.lm and args.streaming:
-        parser.error("--lm is not supported with --streaming (streaming "
-                     "decodes greedily per chunk)")
     if args.identify_language and args.streaming:
         parser.error("--identify-language is not supported with --streaming "
                      "(the LID head pools over the full utterance)")
@@ -565,7 +564,8 @@ def main():
     if args.streaming:
         streamer = make_streaming_transcriber(
             model, params, decoder, args.chunk_seconds,
-            lookahead=args.lookahead,
+            lookahead=args.lookahead, beam_width=args.beam_width,
+            beam_scorers=[(scorer, scorer_weight)] if scorer else None,
         )
 
     files = [args.audio] if args.audio else collect_files(args.input_dir)
