@@ -241,3 +241,28 @@ def test_beam_words_raises(tiny_model):
     st.feed(np.zeros(16000, np.float32))
     with pytest.raises(RuntimeError):
         st.words()
+
+
+def test_transcribe_streaming_beam_factory(tiny_model):
+    """scripts/transcribe.make_streaming_transcriber wires beam_width and
+    scorers into the StreamingTranscriber (the CLI's --streaming
+    --beam-width --lm path)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.transcribe import make_streaming_transcriber
+
+    model, params, decoder = tiny_model
+
+    class Zero:
+        def score(self, toks):
+            return 0.0
+
+    st = make_streaming_transcriber(model, params, decoder,
+                                    chunk_seconds=0.5, beam_width=4,
+                                    beam_scorers=[(Zero(), 0.5)])
+    assert st._sbeam is not None and st._sbeam.beam_width == 4
+    assert st.chunk_frames == 50
+    audio = np.zeros(12000, np.float32)
+    text = st.feed(audio) + st.finish()
+    assert isinstance(text, str)
