@@ -106,6 +106,33 @@ def test_overflow_flag_on_tiny_cap():
     assert bool(np.asarray(overflow)[0])
 
 
+def test_overflow_degrades_to_clean_truncation():
+    """Post-overflow output is a clean truncation: lengths are clamped at
+    cap, so finalize/commit never emit the buffer's -1 padding slots
+    (advisor r4: unclamped lengths rendered '<unk>' garbage)."""
+    logits = np.full((1, 60, 4), -5.0, np.float32)
+    logits[0, ::2, 1] = 5.0
+    logits[0, 1::2, 2] = 5.0
+    cap = 4
+    state = beam_state_init(1, 3, cap=cap)
+    committed = []
+    for c in range(6):
+        state = ctc_beam_resume(
+            state, jnp.asarray(logits[:, c * 10 : (c + 1) * 10]),
+            jnp.full((1,), 10, jnp.int32),
+        )
+        assert int(np.asarray(state["lengths"]).max()) <= cap
+        state, nc, toks = beam_commit(state)
+        nc, toks = np.asarray(nc), np.asarray(toks)
+        new = toks[0, : nc[0]].tolist()
+        assert all(t >= 0 for t in new)
+        committed.extend(new)
+    beams, overflow = beam_finalize(state)
+    assert bool(np.asarray(overflow)[0])
+    for suffix, _ in beams[0]:
+        assert all(t >= 0 for t in suffix)
+
+
 def test_streaming_beam_rescoring_picks_lm_favorite():
     """finalize() ranks the n-best by acoustic + weight * scorer score."""
 

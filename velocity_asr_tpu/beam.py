@@ -34,6 +34,13 @@ def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int):
     buffer capacity `cap` is whatever the caller allocated (the one-shot
     search uses cap = T; the streaming resume path keeps a smaller rolling
     buffer and commits the beams' common prefix out of it).
+
+    Returns (new_state, dropped) where `dropped` is a scalar bool: some
+    kept hypothesis tried to extend past `cap`. Lengths are clamped to
+    `cap` so buffer content and lengths stay consistent — overflow
+    degrades to clean truncation (no -1 padding slots ever fall inside a
+    reported length), and the caller surfaces `dropped` as
+    state["overflow"].
     """
     prefixes, lengths, scores, last, h1, h2 = state
     k, cap = prefixes.shape
@@ -79,16 +86,19 @@ def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int):
     new_last = tok
     p_len = lengths[parent]
     p_extends = (tok != blank_token) & (tok != last[parent])
-    new_len = p_len + p_extends.astype(jnp.int32)
+    new_len_raw = p_len + p_extends.astype(jnp.int32)
+    dropped = jnp.any(new_len_raw > cap)
+    new_len = jnp.minimum(new_len_raw, cap)
 
     # Prefix buffer: copy parent, scatter the new token at p_len
-    # where extended.
+    # where extended (a p_len == cap write position matches no slot, so
+    # the token is dropped and new_len stays clamped at cap).
     new_prefixes = prefixes[parent]
     pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
     write = (pos == p_len[:, None]) & p_extends[:, None]
     new_prefixes = jnp.where(write, tok[:, None], new_prefixes)
 
-    return (new_prefixes, new_len, new_scores, new_last, new_h1, new_h2)
+    return (new_prefixes, new_len, new_scores, new_last, new_h1, new_h2), dropped
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank_token"))
@@ -121,7 +131,8 @@ def ctc_beam_search_jax(
         h2 = jnp.zeros((k,), jnp.uint32)
 
         def step(state, lp_t):
-            return _beam_frame_step(state, lp_t, blank_token), None
+            new, _ = _beam_frame_step(state, lp_t, blank_token)
+            return new, None  # cap == T: one-shot search cannot overflow
 
         state = (prefixes, lengths, scores, last, h1, h2)
         (prefixes, lengths, scores, last, h1, h2), _ = jax.lax.scan(
@@ -180,15 +191,13 @@ def ctc_beam_resume(
     t_chunk = lp.shape[1]
 
     def per_item(prefixes, lengths, scores, last, h1, h2, overflow, lp_i, v):
-        cap = prefixes.shape[1]
-
         def step(carry, inp):
             lp_t, t = inp
             st = carry[:6]
-            new = _beam_frame_step(st, lp_t, blank_token)
-            # Overflow: a kept hypothesis extended while its buffer was
-            # already full — the scatter dropped the token.
-            dropped = jnp.any(new[1] > cap)
+            # `dropped`: a kept hypothesis extended while its buffer was
+            # already full — the scatter dropped the token and the length
+            # was clamped at cap (clean truncation).
+            new, dropped = _beam_frame_step(st, lp_t, blank_token)
             active = t < v
             merged = tuple(
                 jnp.where(active, n, o) for n, o in zip(new, st)
