@@ -40,8 +40,9 @@ Endpoints:
       common prefix; with --lm the n-best is LM-rescored at the end;
       incompatible with ?timestamps), ?timestamps=1 adds word-level
       timings to the increments (finalized words) and the final line.
-      Default-cadence sessions (any lookahead) are micro-batched through
-      one compiled step per lookahead value; ?beam and non-default
+      Default-cadence sessions — greedy, ?lookahead, and ?beam alike —
+      are micro-batched through one compiled step per (lookahead, beam)
+      shape, all drawing from one --max-streams budget; non-default
       cadences use pooled per-session transcribers — at most
       --max-streams concurrently (503 beyond that), serialized on the
       device lock.
@@ -321,18 +322,23 @@ class ASRService:
             self.transcriber, max_streams=max_streams,
             beam_scorers=[(self.lm, lm_weight)] if self.lm else None,
         )
-        # Default-cadence /stream sessions (any ?lookahead) are
-        # micro-batched through ONE compiled chunk step per lookahead value
-        # (streaming.StreamSessionBatcher): concurrent live streams share
-        # each device round trip instead of serializing on it; lookahead
-        # batchers run the frozen-memory re-decodes as a second batched
-        # call. Built lazily on the first such session; non-default
-        # cadences and ?beam sessions fall back to per-session pooled
-        # transcribers (beam state and n-best rescoring are
-        # session-local) — at most --max-streams of those run con-
-        # currently and they serialize on the device lock.
-        self.stream_batchers = {}  # lookahead -> StreamSessionBatcher
+        # Default-cadence /stream sessions (any ?lookahead, any ?beam) are
+        # micro-batched through ONE compiled chunk step per
+        # (lookahead, beam) shape (streaming.StreamSessionBatcher):
+        # concurrent live streams share each device round trip instead of
+        # serializing on it; lookahead batchers run the frozen-memory
+        # re-decodes as a second batched call, and beam batchers fuse the
+        # chunk-carried beam resume + commit into the same call (VERDICT
+        # r4 item 4 — beam sessions used to serialize via the pool). Built
+        # lazily on the first such session. ALL batchers draw from ONE
+        # shared --max-streams budget (advisor r4: per-shape batchers must
+        # not multiply the cap), though each constructed shape keeps its
+        # own (small) device state rows. Non-default cadences fall back to
+        # per-session pooled transcribers — at most --max-streams of
+        # those run concurrently and they serialize on the device lock.
+        self.stream_batchers = {}  # (lookahead, beam) -> StreamSessionBatcher
         self._stream_batcher_slots = max_streams
+        self._batched_live = 0  # sessions across ALL batchers (shared cap)
         self._batcher_lock = threading.Lock()
         self.diarizer = None
         if speaker_model:
@@ -400,11 +406,11 @@ class ASRService:
         """Validate /stream query knobs and acquire a session.
 
         chunk_seconds snaps to the nearest STREAM_CADENCES entry. The
-        default cadence with lookahead 0 (greedy) gets a slot in the
-        shared StreamSessionBatcher (concurrent streams share one compiled
-        device call per chunk interval); other shapes — including ?beam>1
-        sessions, whose carried beam state lives per session — use pooled
-        per-session transcribers."""
+        default cadence — greedy, ?lookahead, and ?beam alike — gets a
+        slot in the shared per-shape StreamSessionBatcher (concurrent
+        streams share one compiled device call per chunk interval; all
+        shapes draw from one --max-streams budget); non-default cadences
+        use pooled per-session transcribers."""
         from velocity_asr_tpu.audio import HOP_LENGTH, SAMPLE_RATE
 
         if not 0.5 <= chunk_seconds <= 30.0:
@@ -418,23 +424,42 @@ class ASRService:
                             key=lambda c: abs(c - chunk_seconds))
         frames = int(round(chunk_seconds * SAMPLE_RATE / HOP_LENGTH))
         frames += frames % 2  # StreamingTranscriber needs an even chunk
-        if chunk_seconds == self.STREAM_DEFAULT_CADENCE and beam == 0:
-            from velocity_asr_tpu.streaming import StreamSessionBatcher
+        if chunk_seconds == self.STREAM_DEFAULT_CADENCE:
+            from velocity_asr_tpu.streaming import (
+                StreamSessionBatcher,
+                StreamSlotsExhausted,
+            )
 
+            key = (lookahead, beam)
             with self._batcher_lock:
-                if lookahead not in self.stream_batchers:
-                    self.stream_batchers[lookahead] = StreamSessionBatcher(
+                if self._batched_live >= self._stream_batcher_slots:
+                    raise ServiceBusy(
+                        f"all {self._stream_batcher_slots} batched stream "
+                        "slots are in use; retry later or raise "
+                        "--max-streams"
+                    )
+                if key not in self.stream_batchers:
+                    self.stream_batchers[key] = StreamSessionBatcher(
                         self.transcriber.model, self.transcriber.params,
                         self.transcriber.decoder, chunk_frames=frames,
                         max_slots=self._stream_batcher_slots,
-                        lookahead=lookahead,
+                        lookahead=lookahead, beam_width=beam,
+                        beam_scorers=(
+                            [(self.lm, self.lm_weight)]
+                            if beam and self.lm else None
+                        ),
                     )
-            from velocity_asr_tpu.streaming import StreamSlotsExhausted
-
+                self._batched_live += 1
             try:
-                st = self.stream_batchers[lookahead].open()
+                st = self.stream_batchers[key].open()
             except StreamSlotsExhausted as e:
+                with self._batcher_lock:
+                    self._batched_live -= 1
                 raise ServiceBusy(str(e)) from e
+            except BaseException:
+                with self._batcher_lock:
+                    self._batched_live -= 1
+                raise
             st._pooled = False
             return st
         st = self.stream_pool.acquire(frames, lookahead, beam)
@@ -446,6 +471,8 @@ class ASRService:
             self.stream_pool.release(st)
         else:
             st.close()
+            with self._batcher_lock:
+                self._batched_live -= 1
 
     def stream_feed(self, st, pcm) -> str:
         if st._pooled:
@@ -769,12 +796,14 @@ def main():
     parser.add_argument("--max-streams", type=int, default=8,
                         help="concurrent POST /stream sessions (503 beyond "
                              "this). Default-cadence sessions (any "
-                             "?lookahead) are micro-batched through one "
-                             "compiled step, so each extra slot costs only "
-                             "a small state row; ?beam sessions and "
-                             "non-default cadences run per-session and "
-                             "serialize on the device — treat max-streams "
-                             "as a hard capacity for those")
+                             "?lookahead / ?beam) are micro-batched through "
+                             "one compiled step per shape and share ONE "
+                             "budget of this many slots across all shapes; "
+                             "each extra slot costs only a small state row. "
+                             "Non-default cadences run per-session from a "
+                             "separate pool of the same size and serialize "
+                             "on the device — treat max-streams as a hard "
+                             "capacity for those")
     parser.add_argument("--lm", default=None,
                         help="char n-gram LM artifact (scripts/train_lm.py) "
                              "for shallow fusion on ?beam requests")

@@ -353,6 +353,7 @@ def test_serve_stream_malformed_chunked_encoding(pipeline):
     svc.stream_pool = StreamPool(pipeline, max_streams=1)
     svc.stream_batchers = {}
     svc._stream_batcher_slots = 2
+    svc._batched_live = 0
     svc._batcher_lock = threading.Lock()
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
@@ -458,6 +459,7 @@ def test_serve_stream_concurrent_batched_sessions(pipeline):
     svc.stream_pool = StreamPool(pipeline, max_streams=1)
     svc.stream_batchers = {}
     svc._stream_batcher_slots = 4
+    svc._batched_live = 0
     svc._batcher_lock = threading.Lock()
 
     rng = np.random.default_rng(29)
@@ -503,12 +505,68 @@ def test_serve_stream_concurrent_batched_sessions(pipeline):
         assert not errs, errs
         # the default cadence really used the batcher (pool holds 1 slot;
         # two concurrent sessions would otherwise have 503'd)
-        assert 0 in svc.stream_batchers
+        assert (0, 0) in svc.stream_batchers
         for i in (0, 1):
             assert results[i]["final"] is True
             assert results[i]["text"] == expected[i]
-        # all batcher slots returned
-        assert len(svc.stream_batchers[0]._free) == 4
+        # all batcher slots returned, and the shared budget drained
+        assert len(svc.stream_batchers[(0, 0)]._free) == 4
+        assert svc._batched_live == 0
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_stream_beam_batched_and_shared_budget(pipeline):
+    """Default-cadence ?beam=N sessions run through a shared
+    StreamSessionBatcher (VERDICT r4 item 4: they used to serialize via
+    pooled per-session transcribers), and ALL batched shapes draw from
+    one --max-streams budget (advisor r4: per-shape batchers must not
+    multiply the cap)."""
+    from scripts.serve import ASRService, ServiceBusy, StreamPool
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    svc = ASRService.__new__(ASRService)
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.lm = None
+    svc.lm_weight = 0.5
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+    svc.stream_batchers = {}
+    svc._stream_batcher_slots = 1
+    svc._batched_live = 0
+    svc._batcher_lock = threading.Lock()
+
+    # a greedy batched session holds the single shared slot...
+    st = svc.open_stream(2.0, 0, 0)
+    assert not st._pooled
+    # ...so a ?beam session (a DIFFERENT batcher shape) is refused: the
+    # budget is global, not per shape
+    with pytest.raises(ServiceBusy):
+        svc.open_stream(2.0, 0, 4)
+    svc.release_stream(st)
+    assert svc._batched_live == 0
+
+    # now the beam session gets the slot, runs through a batcher (not the
+    # pool), and matches a dedicated beam transcriber
+    stb = svc.open_stream(2.0, 0, 4)
+    assert not stb._pooled
+    assert (0, 4) in svc.stream_batchers
+    assert svc.stream_batchers[(0, 4)].beam_width == 4
+
+    rng = np.random.default_rng(53)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    ref = StreamingTranscriber(
+        pipeline.model, pipeline.params, pipeline.decoder,
+        chunk_frames=stb.chunk_frames, beam_width=4,
+    )
+    ref.feed(audio)
+    expected = ref.text + ref.finish()
+
+    stb.feed(audio)
+    stb.finish()
+    assert stb.text == expected
+    svc.release_stream(stb)
+    assert svc._batched_live == 0

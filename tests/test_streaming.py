@@ -833,3 +833,80 @@ def test_batched_sessions_lookahead_match_dedicated(tiny_model):
     assert sessions[0].text == expected[1]
     for s in sessions:
         s.close()
+
+
+class _FavorToken:
+    """Toy scorer: +1 per occurrence of a favored token (exercises the
+    finalize-time n-best rescoring path end to end)."""
+
+    def __init__(self, tok):
+        self.tok = tok
+
+    def score(self, tokens):
+        return float(sum(1.0 for t in tokens if t == self.tok))
+
+
+@pytest.mark.parametrize("lookahead", [0, 1])
+def test_batched_beam_sessions_match_dedicated(tiny_model, lookahead):
+    """Beam sessions through the shared batcher (beam state stacked as a
+    (slots, k, ...) device pytree, resume + commit fused into the batched
+    chunk call) reproduce a dedicated beam StreamingTranscriber exactly —
+    concurrent sessions, different lengths, n-best rescoring, and slot
+    reuse (VERDICT r4 item 4: serve's ?beam sessions used to serialize
+    via pooled per-session transcribers)."""
+    from velocity_asr_tpu.streaming import StreamSessionBatcher
+
+    model, params = tiny_model
+    decoder = CTCDecoder(create_default_vocabulary(30))
+    scorers = [(_FavorToken(5), 0.7)]
+    batcher = StreamSessionBatcher(
+        model, params, decoder, chunk_frames=50, max_slots=2,
+        window_ms=20.0, lookahead=lookahead, beam_width=4,
+        beam_scorers=scorers,
+    )
+
+    rng = np.random.default_rng(47)
+    audios = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (22000, 13000)
+    ]
+
+    ref = StreamingTranscriber(
+        model, params, decoder, chunk_frames=50, lookahead_chunks=lookahead,
+        beam_width=4, beam_scorers=scorers,
+    )
+    expected = []
+    for a in audios:
+        ref.reset()
+        ref.feed(a)
+        ref.finish()
+        expected.append(ref.text)
+
+    sessions = [batcher.open() for _ in audios]
+    errs = []
+
+    def run(sess, audio):
+        try:
+            for i in range(0, len(audio), 4000):
+                sess.feed(audio[i:i + 4000])
+            sess.finish()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s, a))
+               for s, a in zip(sessions, audios)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for sess, text in zip(sessions, expected):
+        assert sess.text == text
+
+    # slot reuse: reset() recycles the shared beam row too
+    sessions[0].reset()
+    sessions[0].feed(audios[1])
+    sessions[0].finish()
+    assert sessions[0].text == expected[1]
+    for s in sessions:
+        s.close()

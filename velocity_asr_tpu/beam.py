@@ -339,13 +339,6 @@ class StreamingBeam:
             out.append(new)
         return out
 
-    def _rescore(self, tokens: List[int], acoustic: float) -> float:
-        total = acoustic
-        for scorer, weight in self.scorers:
-            fn = getattr(scorer, "total_score", None) or scorer.score
-            total += weight * fn(tokens)
-        return total
-
     def finalize(self) -> List[List[int]]:
         """Best full token sequence per stream: committed prefix + the
         best live beam's suffix, ranked by acoustic score plus any
@@ -353,17 +346,35 @@ class StreamingBeam:
         beams, overflow = beam_finalize(self._state)
         if np.asarray(overflow).any():
             self.overflowed = True
-        out = []
-        for b in range(self.batch):
-            cands = [
-                (self.committed[b] + suffix, ac) for suffix, ac in beams[b]
-            ] or [(list(self.committed[b]), 0.0)]
-            if self.scorers:
-                best = max(cands, key=lambda p: self._rescore(p[0], p[1]))
-            else:
-                best = max(cands, key=lambda p: p[1])
-            out.append(best[0])
-        return out
+        return [
+            rescore_pick_best(self.committed[b], beams[b], self.scorers)
+            for b in range(self.batch)
+        ]
+
+
+def rescore_pick_best(committed, beams, scorers) -> List[int]:
+    """Pick the best full token sequence for one stream at finalize time.
+
+    `committed` is the already-finalized prefix, `beams` the live
+    (suffix tokens, acoustic score) n-best, `scorers` [(scorer, weight)]
+    pairs applied to the FULL sequence (LM shallow fusion / hotword
+    boosting) — the same rescoring approximation the offline jax beam
+    backend documents (decode.CTCDecoder.decode_beam_search). Shared by
+    StreamingBeam and the batched serve sessions whose beam state lives
+    in a StreamSessionBatcher's stacked pytree."""
+    cands = [(list(committed) + suffix, ac) for suffix, ac in beams] \
+        or [(list(committed), 0.0)]
+    if scorers:
+        def total(pair):
+            toks, acoustic = pair
+            t = acoustic
+            for scorer, weight in scorers:
+                fn = getattr(scorer, "total_score", None) or scorer.score
+                t += weight * fn(toks)
+            return t
+
+        return max(cands, key=total)[0]
+    return max(cands, key=lambda p: p[1])[0]
 
 
 def beams_to_token_lists(

@@ -463,13 +463,17 @@ class StreamingTranscriber:
     def _init_state(self):
         return init_stream_state(self.model.config, 1)
 
-    def _advance_chunk(self, chunk: np.ndarray, offset: int):
+    def _advance_chunk(self, chunk: np.ndarray, offset: int,
+                       valid: Optional[int] = None):
         """Run one padded (chunk_frames, mels) chunk through the advancing
         step, mutating the carried state; returns (preds, frame_lp, logits)
         over the chunk's output frames — (argmax, max-log-posterior, None)
         on the greedy path, (None, None, device logits) in beam mode. The
         seam StreamSessionBatcher sessions override to route the step
-        through a shared batched call."""
+        through a shared batched call. `valid` is the chunk's real frame
+        count (< chunk_frames only on the final flush) — unused here (the
+        dedicated beam applies it at _consume_beam), but the batched beam
+        resume needs it inside the shared device call."""
         if self._state is None:
             self._state = self._init_state()
         logits, self._state = self._step(
@@ -607,7 +611,7 @@ class StreamingTranscriber:
                     self._state = self._init_state()
                 self._pending.append(self._pending_entry(valid))
             preds, frame_lp, logits = self._advance_chunk(
-                chunk, self._time_offset
+                chunk, self._time_offset, valid
             )
             # (valid+1)//2 == valid//2 for even valid; odd only on final flush.
             out_valid = (valid + 1) // 2
@@ -966,13 +970,27 @@ class StreamSessionBatcher:
     ring `(max_slots, lookahead+1, ...)` written by the batched advance
     step itself, and the frozen-memory re-decodes run as a second batched
     call per chunk interval — 2 shared device round trips instead of 2 per
-    session. Beam sessions stay per-session (their carried beam state and
-    n-best rescoring are session-local; serve pools them instead).
+    session.
+
+    beam_width > 1 (VERDICT r4 item 4 — beam sessions used to fall back
+    to pooled per-session transcribers, re-serializing the
+    highest-quality live path): the sessions' chunk-carried beam states
+    live stacked on device as one (max_slots, k, ...) pytree
+    (beam.beam_state_init), and the batched chunk call fuses the model
+    step, the beam resume (beam.ctc_beam_resume masks inactive rows via
+    valid=0), and the common-prefix commit into ONE compiled device call;
+    only (max_slots, cap) committed tokens come back to the host. With
+    lookahead too, the beam resume rides the batched frozen-memory EMIT
+    call (matching the dedicated transcriber, whose beam consumes emit
+    logits). LM/hotword n-best rescoring stays host-side per session at
+    finalize (beam.rescore_pick_best).
     """
 
     def __init__(self, model: VelocityASR, params, decoder: CTCDecoder,
                  chunk_frames: int = 200, max_slots: int = 8,
-                 window_ms: float = 5.0, lookahead: int = 0):
+                 window_ms: float = 5.0, lookahead: int = 0,
+                 beam_width: int = 0, beam_cap: int = 256,
+                 beam_scorers=None):
         import queue as queue_mod
         import threading
 
@@ -984,6 +1002,9 @@ class StreamSessionBatcher:
         self.max_slots = max_slots
         self.window = window_ms / 1e3
         self.lookahead = lookahead
+        self.beam_width = beam_width if beam_width and beam_width > 1 else 0
+        self.beam_cap = beam_cap
+        self.beam_scorers = beam_scorers
         self._mels = model.config.mel_bins
         # The dispatcher thread is the sole owner of the stacked states
         # (resets arrive through the same queue as steps), so donated
@@ -991,6 +1012,12 @@ class StreamSessionBatcher:
         self._states = init_stream_state(model.config, max_slots)
         self._init1 = init_stream_state(model.config, 1)
         self._pend = self._init_pend() if lookahead > 0 else None
+        self._beam = None
+        if self.beam_width:
+            from .beam import beam_state_init
+
+            self._beam = beam_state_init(max_slots, self.beam_width, beam_cap)
+            self._binit1 = beam_state_init(1, self.beam_width, beam_cap)
         self._free = list(range(max_slots))
         self._lock = threading.Lock()
         self._q: "queue_mod.Queue" = queue_mod.Queue()
@@ -1050,7 +1077,73 @@ class StreamSessionBatcher:
                 lambda s, i: s.at[slot].set(i[0]), states, init1
             )
 
-        if lookahead > 0:
+        if self.beam_width:
+            from .beam import beam_commit as _bcommit
+            from .beam import ctc_beam_resume as _bresume
+
+            blank = decoder.blank_token
+
+            def beam_advance(beam, logits, active, ovalid):
+                # Inactive rows: valid=0 frames -> ctc_beam_resume leaves
+                # their beams untouched and beam_commit emits 0 tokens
+                # (the post-commit common prefix is empty by construction).
+                v = jnp.where(active, ovalid, 0)
+                beam = _bresume(beam, logits, v, blank_token=blank)
+                return _bcommit(beam)
+
+            def step_b(params, chunks, states, offsets, active, ovalid,
+                       beam):
+                logits, new_states = model.apply(
+                    {"params": params}, chunks, train=False,
+                    stream_state=states, time_offset=offsets,
+                    return_state=True,
+                )
+
+                def keep(n, o):
+                    a = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                    return jnp.where(a, n.astype(o.dtype), o)
+
+                new_states = jax.tree_util.tree_map(keep, new_states, states)
+                beam, nc, toks = beam_advance(beam, logits, active, ovalid)
+                return nc, toks, new_states, beam
+
+            def emit_la_b(params, chunks, states, offsets, ridx, pend,
+                          active, ovalid, beam):
+                entry = jax.tree_util.tree_map(lambda p: p[rows, ridx], pend)
+                st = {
+                    "mel_carry": entry["mel_carry"],
+                    "blocks": entry["blocks"],
+                    "gc_mem": states["gc_mem"],
+                    "gc_blocks": states["gc_blocks"],
+                    "gc_init": states["gc_init"],
+                }
+                logits, _ = model.apply(
+                    {"params": params}, chunks, train=False,
+                    stream_state=st, time_offset=offsets, return_state=True,
+                    frozen_mem=True,
+                )
+                beam, nc, toks = beam_advance(beam, logits, active, ovalid)
+                return nc, toks, beam
+
+            def reset_row_b(states, beam, slot, init1, binit1):
+                states = jax.tree_util.tree_map(
+                    lambda s, i: s.at[slot].set(i[0]), states, init1
+                )
+                beam = jax.tree_util.tree_map(
+                    lambda s, i: s.at[slot].set(i[0]), beam, binit1
+                )
+                return states, beam
+
+            self._reset_row_b = jax.jit(reset_row_b, donate_argnums=(0, 1))
+            if lookahead > 0:
+                # beam consumes the frozen-memory EMIT logits (like the
+                # dedicated transcriber); the advance step only moves the
+                # model state + entry ring.
+                self._step_la = jax.jit(step_la, donate_argnums=(2, 5))
+                self._emit_la_b = jax.jit(emit_la_b, donate_argnums=(8,))
+            else:
+                self._step_b = jax.jit(step_b, donate_argnums=(2, 6))
+        elif lookahead > 0:
             self._step_la = jax.jit(step_la, donate_argnums=(2, 5))
             self._emit_la = jax.jit(emit_la)
         else:
@@ -1111,9 +1204,17 @@ class StreamSessionBatcher:
                 # most once per group and kind (a step and its emit are
                 # never co-queued: the session waits on the step first).
                 for kind, slot, fut in (g for g in group if g[0] == "reset"):
-                    self._states = self._reset_row(
-                        self._states, jnp.asarray(slot, jnp.int32), self._init1
-                    )
+                    if self.beam_width:
+                        self._states, self._beam = self._reset_row_b(
+                            self._states, self._beam,
+                            jnp.asarray(slot, jnp.int32),
+                            self._init1, self._binit1,
+                        )
+                    else:
+                        self._states = self._reset_row(
+                            self._states, jnp.asarray(slot, jnp.int32),
+                            self._init1,
+                        )
                     fut.set_result(None)
 
                 def gather(reqs):
@@ -1124,55 +1225,138 @@ class StreamSessionBatcher:
                     offsets = np.zeros((self.max_slots,), np.int32)
                     active = np.zeros((self.max_slots,), bool)
                     ring = np.zeros((self.max_slots,), np.int32)
-                    for _, slot, chunk, offset, r, _fut in reqs:
+                    ovalid = np.zeros((self.max_slots,), np.int32)
+                    for _, slot, chunk, offset, r, valid, _fut in reqs:
                         chunks[slot] = chunk
                         offsets[slot] = offset
                         active[slot] = True
                         ring[slot] = r
-                    return chunks, offsets, active, ring
+                        ovalid[slot] = (valid + 1) // 2  # output frames
+                    return chunks, offsets, active, ring, ovalid
+
+                def send_committed(reqs, nc, toks):
+                    nc, toks = np.asarray(nc), np.asarray(toks)
+                    for g in reqs:
+                        g[-1].set_result(toks[g[1], : nc[g[1]]].tolist())
 
                 steps = [g for g in group if g[0] == "step"]
                 if steps:
-                    chunks, offsets, active, widx = gather(steps)
+                    chunks, offsets, active, widx, ovalid = gather(steps)
                     if self.lookahead > 0:
                         preds, lps, self._states, self._pend = self._step_la(
                             self.params, jnp.asarray(chunks), self._states,
                             jnp.asarray(offsets), jnp.asarray(active),
                             self._pend, jnp.asarray(widx),
                         )
+                    elif self.beam_width:
+                        nc, toks, self._states, self._beam = self._step_b(
+                            self.params, jnp.asarray(chunks), self._states,
+                            jnp.asarray(offsets), jnp.asarray(active),
+                            jnp.asarray(ovalid), self._beam,
+                        )
+                        send_committed(steps, nc, toks)
+                        steps = []
                     else:
                         preds, lps, self._states = self._step(
                             self.params, jnp.asarray(chunks), self._states,
                             jnp.asarray(offsets), jnp.asarray(active),
                         )
-                    preds, lps = np.asarray(preds), np.asarray(lps)
-                    for g in steps:
-                        g[-1].set_result((preds[g[1]], lps[g[1]]))
+                    if steps:
+                        preds, lps = np.asarray(preds), np.asarray(lps)
+                        for g in steps:
+                            g[-1].set_result((preds[g[1]], lps[g[1]]))
 
                 emits = [g for g in group if g[0] == "emit"]
                 if emits:
-                    chunks, offsets, _active, ridx = gather(emits)
-                    preds, lps = self._emit_la(
-                        self.params, jnp.asarray(chunks), self._states,
-                        jnp.asarray(offsets), jnp.asarray(ridx), self._pend,
+                    chunks, offsets, active, ridx, ovalid = gather(emits)
+                    if self.beam_width:
+                        nc, toks, self._beam = self._emit_la_b(
+                            self.params, jnp.asarray(chunks), self._states,
+                            jnp.asarray(offsets), jnp.asarray(ridx),
+                            self._pend, jnp.asarray(active),
+                            jnp.asarray(ovalid), self._beam,
+                        )
+                        send_committed(emits, nc, toks)
+                    else:
+                        preds, lps = self._emit_la(
+                            self.params, jnp.asarray(chunks), self._states,
+                            jnp.asarray(offsets), jnp.asarray(ridx),
+                            self._pend,
+                        )
+                        preds, lps = np.asarray(preds), np.asarray(lps)
+                        for g in emits:
+                            g[-1].set_result((preds[g[1]], lps[g[1]]))
+
+                # Finalize AFTER emits: a session only queues bfinal once
+                # its own futures resolved, but another session's emit in
+                # the same group must not see a torn beam pytree.
+                for kind, slot, fut in (g for g in group if g[0] == "bfinal"):
+                    from .beam import beam_finalize
+
+                    row = jax.tree_util.tree_map(
+                        lambda v: v[slot : slot + 1], self._beam
                     )
-                    preds, lps = np.asarray(preds), np.asarray(lps)
-                    for g in emits:
-                        g[-1].set_result((preds[g[1]], lps[g[1]]))
+                    beams, overflow = beam_finalize(row)
+                    fut.set_result((beams[0], bool(np.asarray(overflow)[0])))
             except Exception as e:  # pragma: no cover - device failure
                 # _step*/_reset_row donate the stacked states (and pending
-                # ring), so after a failed call the old buffers may be
-                # gone — rebuild fresh ones to keep the batcher alive (the
-                # failed group's sessions get the exception and end; rows
-                # are re-reset by the next open()).
+                # ring / beam pytree), so after a failed call the old
+                # buffers may be gone — rebuild fresh ones to keep the
+                # batcher alive (the failed group's sessions get the
+                # exception and end; rows are re-reset by the next open()).
                 self._states = init_stream_state(
                     self.model.config, self.max_slots
                 )
                 if self.lookahead > 0:
                     self._pend = self._init_pend()
+                if self.beam_width:
+                    from .beam import beam_state_init
+
+                    self._beam = beam_state_init(
+                        self.max_slots, self.beam_width, self.beam_cap
+                    )
                 for g in group:
                     if not g[-1].done():
                         g[-1].set_exception(e)
+
+
+class _SharedBeamRow:
+    """StreamingBeam-shaped facade for a BatchedStreamSession.
+
+    The device beam state is row `slot` of the owning batcher's stacked
+    (max_slots, k, ...) pytree; update + commit happen INSIDE the shared
+    batched device call (StreamSessionBatcher step_b / emit_la_b), so only
+    the committed-token bookkeeping, finalize-time n-best rescoring
+    (beam.rescore_pick_best — identical to StreamingBeam.finalize), and
+    the overflow flag live here."""
+
+    def __init__(self, batcher: StreamSessionBatcher,
+                 session: "BatchedStreamSession"):
+        self._batcher = batcher
+        self._session = session
+        self.beam_width = batcher.beam_width
+        self.cap = batcher.beam_cap
+        self.scorers = batcher.beam_scorers or []
+        self.committed = [[]]
+        self.overflowed = False
+
+    def reset(self) -> None:
+        # the device row is reset by the batcher's reset request
+        self.committed = [[]]
+        self.overflowed = False
+
+    def finalize(self):
+        from concurrent.futures import Future
+
+        from .beam import rescore_pick_best
+
+        assert self._session._slot is not None, "session is closed"
+        fut: Future = Future()
+        self._batcher._q.put(("bfinal", self._session._slot, fut))
+        beams, overflow = fut.result()
+        if overflow:
+            self.overflowed = True
+        return [rescore_pick_best(self.committed[0], beams, self.scorers)]
 
 
 class BatchedStreamSession(StreamingTranscriber):
@@ -1193,6 +1377,10 @@ class BatchedStreamSession(StreamingTranscriber):
         )
         self._batcher = batcher
         self._slot = slot
+        # Beam batcher: this session's beam state is a row of the shared
+        # device pytree; the facade routes finalize through the batcher.
+        if batcher.beam_width:
+            self._sbeam = _SharedBeamRow(batcher, self)
         # Device-side pending ring bookkeeping (lookahead batchers): the
         # advance step records this session's entry state at _step_widx;
         # each pending entry remembers its ring slot for the emit.
@@ -1206,27 +1394,38 @@ class BatchedStreamSession(StreamingTranscriber):
         return {"ring": idx, "offset": self._time_offset, "valid": valid,
                 "frame_start": self._frame_cursor}
 
-    def _advance_chunk(self, chunk: np.ndarray, offset: int):
+    def _submit(self, kind, chunk, offset, ring, valid):
         from concurrent.futures import Future
 
         assert self._slot is not None, "session is closed"
         fut: Future = Future()
         self._batcher._q.put(
-            ("step", self._slot, chunk, offset, self._step_widx, fut)
+            (kind, self._slot, chunk, offset, ring, valid, fut)
         )
-        preds, lps = fut.result()
+        return fut.result()
+
+    def _advance_chunk(self, chunk: np.ndarray, offset: int,
+                       valid: Optional[int] = None):
+        valid = self.chunk_frames if valid is None else valid
+        res = self._submit("step", chunk, offset, self._step_widx, valid)
+        if self._batcher.beam_width and self._batcher.lookahead == 0:
+            return None, None, res  # res IS the newly committed tokens
+        preds, lps = res
         return preds, lps, None
 
     def _emit_forward(self, chunk: np.ndarray, p: dict):
-        from concurrent.futures import Future
-
-        assert self._slot is not None, "session is closed"
-        fut: Future = Future()
-        self._batcher._q.put(
-            ("emit", self._slot, chunk, p["offset"], p["ring"], fut)
-        )
-        preds, lps = fut.result()
+        res = self._submit("emit", chunk, p["offset"], p["ring"], p["valid"])
+        if self._batcher.beam_width:
+            return None, None, res  # res IS the newly committed tokens
+        preds, lps = res
         return preds, lps, None
+
+    def _consume_beam(self, payload, out_valid: int) -> None:
+        # The batched device call already advanced + committed this row's
+        # beam; `payload` is the newly committed token list (mirrors
+        # StreamingBeam.commit's bookkeeping).
+        self._sbeam.committed[0].extend(payload)
+        self._tokens.extend(payload)
 
     def reset(self) -> None:
         """Recycle the slot for a new stream (state row re-initialized)."""
