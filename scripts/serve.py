@@ -37,9 +37,10 @@ Endpoints:
       cadence, ?lookahead=N delays each chunk's emission N chunks for
       offline-like context (see StreamingTranscriber), ?beam=N decodes
       with a chunk-carried beam search (finalized text is the beams'
-      common prefix; with --lm the n-best is LM-rescored at the end;
-      incompatible with ?timestamps), ?timestamps=1 adds word-level
-      timings to the increments (finalized words) and the final line.
+      common prefix; with --lm the n-best is LM-rescored at the end),
+      ?timestamps=1 adds word-level timings to the increments
+      (finalized words) and the final line — composes with ?beam via
+      the in-beam span tracker.
       Default-cadence sessions — greedy, ?lookahead, and ?beam alike —
       are micro-batched through one compiled step per (lookahead, beam)
       shape, all drawing from one --max-streams budget; non-default
@@ -492,9 +493,6 @@ class ASRService:
     def transcribe_bytes(self, data: bytes, timestamps: bool, beam: int,
                          hotwords: str = "", hotword_weight: float = 2.0,
                          identify_language: bool = False):
-        if timestamps and beam > 1:
-            raise BadRequest("beam search with timestamps is not supported; "
-                             "drop one of ?timestamps / ?beam")
         if identify_language and self.transcriber.num_languages <= 0:
             raise BadRequest("?identify_language needs a model with a LID "
                              "head (trained with num_languages > 0)")
@@ -636,11 +634,6 @@ def make_handler(service: ASRService):
                 except ValueError as e:
                     raise BadRequest(f"invalid query value: {e}") from e
                 timestamps = q.get("timestamps", ["0"])[0] in ("1", "true")
-                if timestamps and beam > 1:
-                    raise BadRequest(
-                        "?timestamps needs the greedy frame-aligned "
-                        "decode; drop one of ?timestamps / ?beam"
-                    )
                 st = service.open_stream(chunk_seconds, lookahead, beam)
             except BadRequest as e:
                 self._send(400, {"error": str(e)})

@@ -289,3 +289,33 @@ def test_token_logprobs_from_frames():
     assert abs(lps[0] - math.log(0.9)) < 1e-6
     assert abs(lps[1] - math.log(0.3)) < 1e-6
     assert abs(lps[2] - math.log(0.6)) < 1e-6  # empty span clamps to 1 frame
+
+
+def test_align_tokens_to_frames_matches_greedy_on_peaked_logits():
+    """CTC Viterbi forced alignment (the offline beam+timestamps path,
+    VERDICT r4 item 7) reproduces the greedy collapse spans and token
+    posteriors exactly when the aligned sequence is the argmax path —
+    including a duplicate token separated by a blank."""
+    from velocity_asr_tpu.decode import (
+        _log_softmax_np,
+        align_tokens_to_frames,
+        timestamps_from_predictions,
+        token_logprobs_from_frames,
+    )
+
+    preds = np.array([0, 4, 4, 0, 5, 5, 3, 0, 3, 3, 0, 0], np.int64)
+    V = 8
+    logits = np.full((len(preds), V), -6.0, np.float32)
+    logits[np.arange(len(preds)), preds] = 6.0
+    lsm = _log_softmax_np(logits)
+
+    tokens, stamps = timestamps_from_predictions(preds[None])[0]
+    assert tokens == [4, 5, 3, 3]
+    a_stamps, a_lp = align_tokens_to_frames(lsm, tokens)
+    assert a_stamps == [tuple(s) for s in stamps]
+    want_lp = token_logprobs_from_frames(lsm.max(-1), stamps)
+    np.testing.assert_allclose(a_lp, want_lp, atol=1e-5)
+
+    # unalignable sequences fail loudly, not silently
+    with pytest.raises(ValueError):
+        align_tokens_to_frames(lsm[:3], [1, 1, 1, 1])

@@ -570,3 +570,79 @@ def test_serve_stream_beam_batched_and_shared_budget(pipeline):
     assert stb.text == expected
     svc.release_stream(stb)
     assert svc._batched_live == 0
+
+
+def test_transcribe_array_beam_timestamps(pipeline):
+    """--timestamps composes with --beam-width (VERDICT r4 item 7): the
+    beam picks the text, CTC Viterbi alignment pins the word timings. On
+    agreeing transcripts the timings equal the greedy frame path exactly
+    (the argmax path IS the Viterbi path for its own collapse)."""
+    rng = np.random.default_rng(71)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    g = pipeline.transcribe_array(audio, timestamps=True)
+    b = pipeline.transcribe_array(audio, timestamps=True, beam_width=4)
+    assert b["text"] == g["text"]
+    assert len(b["words"]) == len(g["words"]) > 0
+    for gw, bw in zip(g["words"], b["words"]):
+        assert (bw["word"], bw["start"], bw["end"]) == \
+            (gw["word"], gw["start"], gw["end"])
+        assert bw["confidence"] == pytest.approx(gw["confidence"], abs=1e-4)
+
+
+def test_serve_stream_beam_timestamps(pipeline):
+    """/stream?beam=N&timestamps=1 (previously refused): word timings
+    ride the NDJSON increments through the BATCHED beam path and the
+    final line's words equal a dedicated beam transcriber's words()."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from scripts.serve import ASRService, StreamPool, make_handler
+    from velocity_asr_tpu.streaming import StreamingTranscriber
+
+    svc = ASRService.__new__(ASRService)
+    svc.transcriber = pipeline
+    svc.model = pipeline.model
+    svc.lock = threading.Lock()
+    svc.diarizer = None
+    svc.lm = None
+    svc.lm_weight = 0.5
+    svc.stream_pool = StreamPool(pipeline, max_streams=1)
+    svc.stream_batchers = {}
+    svc._stream_batcher_slots = 2
+    svc._batched_live = 0
+    svc._batcher_lock = threading.Lock()
+
+    rng = np.random.default_rng(83)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+
+    ref = StreamingTranscriber(
+        pipeline.model, pipeline.params, pipeline.decoder, chunk_frames=200,
+        beam_width=4,
+    )
+    ref.feed(np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0)
+    ref.finish()
+    expected_words = ref.words()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/stream?beam=4&timestamps=1", body=pcm)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        lines = [json.loads(l) for l in resp.read().decode().splitlines()]
+        conn.close()
+        final = lines[-1]
+        assert final.get("final") is True
+        assert final["text"] == ref.text
+        assert len(final["words"]) == len(expected_words) > 0
+        for g, w in zip(final["words"], expected_words):
+            assert (g["word"], g["start"], g["end"]) == \
+                (w["word"], w["start"], w["end"])
+        assert (0, 4) in svc.stream_batchers  # rode the batched beam path
+    finally:
+        server.shutdown()
+        server.server_close()

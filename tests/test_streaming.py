@@ -880,7 +880,7 @@ def test_batched_beam_sessions_match_dedicated(tiny_model, lookahead):
         ref.reset()
         ref.feed(a)
         ref.finish()
-        expected.append(ref.text)
+        expected.append((ref.text, ref.words()))
 
     sessions = [batcher.open() for _ in audios]
     errs = []
@@ -900,13 +900,21 @@ def test_batched_beam_sessions_match_dedicated(tiny_model, lookahead):
     for t in threads:
         t.join()
     assert not errs, errs
-    for sess, text in zip(sessions, expected):
+    for sess, (text, words) in zip(sessions, expected):
         assert sess.text == text
+        # beam word timestamps flow through the batched commit path too
+        got = sess.words()
+        assert len(got) == len(words)
+        for g, w in zip(got, words):
+            assert (g["word"], g["start"], g["end"]) == \
+                (w["word"], w["start"], w["end"])
+            assert g["confidence"] == pytest.approx(w["confidence"],
+                                                    abs=1e-6)
 
     # slot reuse: reset() recycles the shared beam row too
     sessions[0].reset()
     sessions[0].feed(audios[1])
     sessions[0].finish()
-    assert sessions[0].text == expected[1]
+    assert sessions[0].text == expected[1][0]
     for s in sessions:
         s.close()

@@ -27,7 +27,8 @@ _P1 = jnp.uint32(1000003)
 _P2 = jnp.uint32(998244353)
 
 
-def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int):
+def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int,
+                     t=None, track: Tuple = None):
     """One frame of the prefix beam, on per-item (k, ...) state arrays.
 
     state = (prefixes (k, cap), lengths, scores, last, h1, h2); the prefix
@@ -35,11 +36,23 @@ def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int):
     search uses cap = T; the streaming resume path keeps a smaller rolling
     buffer and commits the beams' common prefix out of it).
 
-    Returns (new_state, dropped) where `dropped` is a scalar bool: some
-    kept hypothesis tried to extend past `cap`. Lengths are clamped to
-    `cap` so buffer content and lengths stay consistent — overflow
-    degrades to clean truncation (no -1 padding slots ever fall inside a
-    reported length), and the caller surfaces `dropped` as
+    track (optional, with `t` the absolute frame index) carries per-token
+    frame spans + log posteriors along each hypothesis's own trajectory:
+    (starts, ends, lp_sum, lp_n) each (k, cap) aligned with the prefix
+    buffer, plus (tail_end, tail_lp, tail_n) each (k,) for frames that
+    extend the last COMMITTED token (its slot was shifted out by
+    beam_commit, so the run continuation has nowhere else to land). Span
+    semantics match the greedy collapse exactly when the hypothesis's
+    per-frame choices match the argmax: start = emission frame, end =
+    last consecutive frame of the token + 1 (a repeat keeps the run
+    open; blank freezes it) — this is what lets --timestamps compose
+    with the beam (VERDICT r4 item 7).
+
+    Returns (new_state, dropped, new_track) where `dropped` is a scalar
+    bool: some kept hypothesis tried to extend past `cap`. Lengths are
+    clamped to `cap` so buffer content and lengths stay consistent —
+    overflow degrades to clean truncation (no -1 padding slots ever fall
+    inside a reported length), and the caller surfaces `dropped` as
     state["overflow"].
     """
     prefixes, lengths, scores, last, h1, h2 = state
@@ -98,7 +111,39 @@ def _beam_frame_step(state: Tuple, lp_t: jnp.ndarray, blank_token: int):
     write = (pos == p_len[:, None]) & p_extends[:, None]
     new_prefixes = jnp.where(write, tok[:, None], new_prefixes)
 
-    return (new_prefixes, new_len, new_scores, new_last, new_h1, new_h2), dropped
+    new_state = (new_prefixes, new_len, new_scores, new_last, new_h1, new_h2)
+    new_track = None
+    if track is not None:
+        starts, ends, lp_sum, lp_n, tail_end, tail_lp, tail_n = track
+        t32 = jnp.asarray(t, jnp.int32)
+        chosen_lp = lp_t[tok]  # (k,) log posterior of each kept choice
+        # A repeat of the parent's last token keeps that token's run open
+        # (greedy-collapse semantics along this hypothesis's trajectory).
+        is_rep = (tok != blank_token) & (tok == last[parent])
+        write_rep = (pos == (p_len - 1)[:, None]) & is_rep[:, None]
+        p_starts, p_ends = starts[parent], ends[parent]
+        p_lp_sum, p_lp_n = lp_sum[parent], lp_n[parent]
+        new_starts = jnp.where(write, t32, p_starts)
+        new_ends = jnp.where(write | write_rep, t32 + 1, p_ends)
+        new_lp_sum = jnp.where(
+            write, chosen_lp[:, None],
+            jnp.where(write_rep, p_lp_sum + chosen_lp[:, None], p_lp_sum),
+        )
+        new_lp_n = jnp.where(
+            write, 1, jnp.where(write_rep, p_lp_n + 1, p_lp_n)
+        )
+        # Repeat with an EMPTY suffix buffer: the run continues the last
+        # committed token — record it in the tail so the host can extend
+        # that token's already-emitted span.
+        rep_tail = is_rep & (p_len == 0)
+        new_tail_end = jnp.where(rep_tail, t32 + 1, tail_end[parent])
+        new_tail_lp = jnp.where(rep_tail, tail_lp[parent] + chosen_lp,
+                                tail_lp[parent])
+        new_tail_n = jnp.where(rep_tail, tail_n[parent] + 1, tail_n[parent])
+        new_track = (new_starts, new_ends, new_lp_sum, new_lp_n,
+                     new_tail_end, new_tail_lp, new_tail_n)
+
+    return new_state, dropped, new_track
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank_token"))
@@ -131,7 +176,7 @@ def ctc_beam_search_jax(
         h2 = jnp.zeros((k,), jnp.uint32)
 
         def step(state, lp_t):
-            new, _ = _beam_frame_step(state, lp_t, blank_token)
+            new, _, _ = _beam_frame_step(state, lp_t, blank_token)
             return new, None  # cap == T: one-shot search cannot overflow
 
         state = (prefixes, lengths, scores, last, h1, h2)
@@ -163,15 +208,31 @@ def beam_state_init(batch: int, beam_width: int, cap: int) -> dict:
         "last": jnp.full((batch, k), -1, jnp.int32),
         "h1": jnp.zeros((batch, k), jnp.uint32),
         "h2": jnp.zeros((batch, k), jnp.uint32),
+        # Per-token frame spans + log posteriors along each hypothesis
+        # (see _beam_frame_step `track`) — what makes ?beam=N compose
+        # with ?timestamps=1 on the live path.
+        "starts": jnp.zeros((batch, k, cap), jnp.int32),
+        "ends": jnp.zeros((batch, k, cap), jnp.int32),
+        "lp_sum": jnp.zeros((batch, k, cap), jnp.float32),
+        "lp_n": jnp.zeros((batch, k, cap), jnp.int32),
+        "tail_end": jnp.zeros((batch, k), jnp.int32),
+        "tail_lp": jnp.zeros((batch, k), jnp.float32),
+        "tail_n": jnp.zeros((batch, k), jnp.int32),
         # Set if any hypothesis ever tried to write past `cap` (tokens were
         # dropped); hosts should treat the transcript as truncated.
         "overflow": jnp.zeros((batch,), bool),
     }
 
 
+_RESUME_KEYS = ("prefixes", "lengths", "scores", "last", "h1", "h2",
+                "starts", "ends", "lp_sum", "lp_n",
+                "tail_end", "tail_lp", "tail_n", "overflow")
+
+
 @functools.partial(jax.jit, static_argnames=("blank_token",))
 def ctc_beam_resume(
-    state: dict, logits: jnp.ndarray, valid: jnp.ndarray, blank_token: int = 0
+    state: dict, logits: jnp.ndarray, valid: jnp.ndarray,
+    blank_token: int = 0, frame_base: jnp.ndarray = None
 ) -> dict:
     """Advance carried beam state over one chunk of logits.
 
@@ -186,37 +247,47 @@ def ctc_beam_resume(
         valid: (batch,) int32 — frames [0, valid) of each row are real;
             the rest leave that row's beams untouched (padding chunks of
             shorter utterances in a batched stream group).
+        frame_base: optional (batch,) int32 — each row's absolute output
+            frame index of this chunk's first frame; recorded spans
+            (state["starts"]/["ends"]) are absolute. Defaults to 0.
     """
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     t_chunk = lp.shape[1]
+    if frame_base is None:
+        frame_base = jnp.zeros((lp.shape[0],), jnp.int32)
 
-    def per_item(prefixes, lengths, scores, last, h1, h2, overflow, lp_i, v):
+    def per_item(prefixes, lengths, scores, last, h1, h2,
+                 starts, ends, lp_sum, lp_n, tail_end, tail_lp, tail_n,
+                 overflow, lp_i, v, base):
         def step(carry, inp):
             lp_t, t = inp
-            st = carry[:6]
+            st, trk = carry[:6], carry[6:13]
             # `dropped`: a kept hypothesis extended while its buffer was
             # already full — the scatter dropped the token and the length
             # was clamped at cap (clean truncation).
-            new, dropped = _beam_frame_step(st, lp_t, blank_token)
+            new, dropped, new_trk = _beam_frame_step(
+                st, lp_t, blank_token, t=base + t, track=trk
+            )
             active = t < v
             merged = tuple(
-                jnp.where(active, n, o) for n, o in zip(new, st)
+                jnp.where(active, n, o)
+                for n, o in zip(new + new_trk, st + trk)
             )
-            ov = carry[6] | (active & dropped)
+            ov = carry[13] | (active & dropped)
             return merged + (ov,), None
 
-        init = (prefixes, lengths, scores, last, h1, h2, overflow)
+        init = (prefixes, lengths, scores, last, h1, h2,
+                starts, ends, lp_sum, lp_n, tail_end, tail_lp, tail_n,
+                overflow)
         out, _ = jax.lax.scan(
             step, init, (lp_i, jnp.arange(t_chunk, dtype=jnp.int32))
         )
         return out
 
     out = jax.vmap(per_item)(
-        state["prefixes"], state["lengths"], state["scores"], state["last"],
-        state["h1"], state["h2"], state["overflow"], lp, valid,
+        *(state[k] for k in _RESUME_KEYS), lp, valid, frame_base,
     )
-    keys = ("prefixes", "lengths", "scores", "last", "h1", "h2", "overflow")
-    return dict(zip(keys, out))
+    return dict(zip(_RESUME_KEYS, out))
 
 
 @jax.jit
@@ -229,12 +300,18 @@ def beam_commit(state: dict) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
     buffer keeps a long-running session's state bounded (the divergence
     window between beams is short in practice).
 
-    Returns (new_state, ncommit (batch,), committed (batch, cap)) where
-    committed[:, :ncommit] are the newly finalized tokens (from the best
-    beam, which all live beams agree with on that span).
+    Returns (new_state, ncommit (batch,), info) where info is a dict of
+    committed data from the best beam (which all live beams agree with on
+    the committed span): "tokens"/"starts"/"ends"/"lp_sum"/"lp_n" each
+    (batch, cap) with the first ncommit entries meaningful, plus
+    "tail_end"/"tail_lp"/"tail_n" (batch,) — frames since the LAST commit
+    that extended the previously committed token's run (the host extends
+    that token's span/posterior; tails reset on every commit).
     """
 
-    def per_item(prefixes, lengths, scores, last, h1, h2, overflow):
+    def per_item(prefixes, lengths, scores, last, h1, h2,
+                 starts, ends, lp_sum, lp_n, tail_end, tail_lp, tail_n,
+                 overflow):
         k, cap = prefixes.shape
         live = scores > NEG_INF / 2
         ref = prefixes[0]  # rows are sorted best-first; row 0 is live
@@ -246,20 +323,32 @@ def beam_commit(state: dict) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
         )
         c = jnp.sum(jnp.cumprod(col_ok.astype(jnp.int32)))
 
-        padded = jnp.concatenate(
-            [prefixes, jnp.full((k, cap), -1, jnp.int32)], axis=1
-        )
-        new_prefixes = jax.lax.dynamic_slice_in_dim(padded, c, cap, axis=1)
-        new_lengths = jnp.maximum(lengths - c, 0)
-        return (new_prefixes, new_lengths, scores, last, h1, h2, overflow,
-                c, ref)
+        def shift(buf, fill):
+            padded = jnp.concatenate(
+                [buf, jnp.full((k, cap), fill, buf.dtype)], axis=1
+            )
+            return jax.lax.dynamic_slice_in_dim(padded, c, cap, axis=1)
 
-    out = jax.vmap(per_item)(
-        state["prefixes"], state["lengths"], state["scores"], state["last"],
-        state["h1"], state["h2"], state["overflow"],
-    )
-    keys = ("prefixes", "lengths", "scores", "last", "h1", "h2", "overflow")
-    return dict(zip(keys, out[:7])), out[7], out[8]
+        new_prefixes = shift(prefixes, -1)
+        new_lengths = jnp.maximum(lengths - c, 0)
+        zeros_k = jnp.zeros_like(tail_end)
+        new_state = (
+            new_prefixes, new_lengths, scores, last, h1, h2,
+            shift(starts, 0), shift(ends, 0),
+            shift(lp_sum, 0), shift(lp_n, 0),
+            zeros_k, jnp.zeros_like(tail_lp), zeros_k,
+            overflow,
+        )
+        info = (ref, starts[0], ends[0], lp_sum[0], lp_n[0],
+                tail_end[0], tail_lp[0], tail_n[0])
+        return new_state + (c,) + info
+
+    out = jax.vmap(per_item)(*(state[k] for k in _RESUME_KEYS))
+    n = len(_RESUME_KEYS)
+    info_keys = ("tokens", "starts", "ends", "lp_sum", "lp_n",
+                 "tail_end", "tail_lp", "tail_n")
+    return (dict(zip(_RESUME_KEYS, out[:n])), out[n],
+            dict(zip(info_keys, out[n + 1 :])))
 
 
 def beam_finalize(state: dict):
@@ -280,6 +369,43 @@ def beam_finalize(state: dict):
         ]
         out.append(beams)
     return out, overflow
+
+
+def beam_finalize_full(state: dict):
+    """beam_finalize plus per-beam suffix frame spans and token log
+    posteriors: per item, a list of dicts {"tokens", "score",
+    "stamps" [(start, end), ...], "lp" [[lp_sum, n_frames], ...]} for
+    every live beam (best first), and the (batch,) overflow flags.
+    Spans are absolute output frames (frame_base fed to
+    ctc_beam_resume)."""
+    prefixes = np.asarray(state["prefixes"])
+    lengths = np.asarray(state["lengths"])
+    scores = np.asarray(state["scores"])
+    starts = np.asarray(state["starts"])
+    ends = np.asarray(state["ends"])
+    lp_sum = np.asarray(state["lp_sum"])
+    lp_n = np.asarray(state["lp_n"])
+    out = []
+    for b in range(prefixes.shape[0]):
+        beams = []
+        for i in range(prefixes.shape[1]):
+            if scores[b, i] <= NEG_INF / 2:
+                continue
+            n = lengths[b, i]
+            beams.append({
+                "tokens": prefixes[b, i, :n].tolist(),
+                "score": float(scores[b, i]),
+                "stamps": [
+                    (int(s), int(e))
+                    for s, e in zip(starts[b, i, :n], ends[b, i, :n])
+                ],
+                "lp": [
+                    [float(s), int(c)]
+                    for s, c in zip(lp_sum[b, i, :n], lp_n[b, i, :n])
+                ],
+            })
+        out.append(beams)
+    return out, np.asarray(state["overflow"])
 
 
 class StreamingBeam:
@@ -317,26 +443,55 @@ class StreamingBeam:
         self._state = beam_state_init(self.batch, self.beam_width, self.cap)
         self.overflowed = False
 
-    def update(self, logits, valid) -> None:
+    def update(self, logits, valid, frame_base=0) -> None:
         """Advance over one chunk. logits: (batch, T_chunk, vocab) device
-        array; valid: int or (batch,) — frames beyond it are padding."""
+        array; valid: int or (batch,) — frames beyond it are padding.
+        frame_base (int or (batch,)): absolute output frame of this
+        chunk's first frame, for span tracking (?beam + ?timestamps)."""
         v = jnp.full((self.batch,), valid, jnp.int32) if np.isscalar(valid) \
             else jnp.asarray(valid, jnp.int32)
+        fb = jnp.full((self.batch,), frame_base, jnp.int32) \
+            if np.isscalar(frame_base) else jnp.asarray(frame_base, jnp.int32)
         self._state = ctc_beam_resume(
-            self._state, logits, v, blank_token=self.blank_token
+            self._state, logits, v, blank_token=self.blank_token,
+            frame_base=fb,
         )
 
-    def commit(self) -> List[List[int]]:
+    def commit(self) -> List[dict]:
         """Emit newly finalized tokens per stream (appended to
-        self.committed) and shift them out of the device buffers."""
-        self._state, nc, toks = beam_commit(self._state)
+        self.committed) and shift them out of the device buffers.
+
+        Returns one dict per stream: "tokens" (the newly committed ids),
+        "stamps" [(start, end) absolute output frames], "lp"
+        [[lp_sum, n_frames]] per token, and "tail" (end, lp_sum, n) —
+        frames since the last commit that extended the PREVIOUSLY
+        committed token's run (None if none)."""
+        self._state, nc, info = beam_commit(self._state)
         nc = np.asarray(nc)
-        toks = np.asarray(toks)
+        info = {k: np.asarray(v) for k, v in info.items()}
         out = []
         for b in range(self.batch):
-            new = toks[b, : nc[b]].tolist()
+            n = nc[b]
+            new = info["tokens"][b, :n].tolist()
             self.committed[b].extend(new)
-            out.append(new)
+            tail = None
+            if info["tail_n"][b] > 0:
+                tail = (int(info["tail_end"][b]),
+                        float(info["tail_lp"][b]), int(info["tail_n"][b]))
+            out.append({
+                "tokens": new,
+                "stamps": [
+                    (int(s), int(e))
+                    for s, e in zip(info["starts"][b, :n],
+                                    info["ends"][b, :n])
+                ],
+                "lp": [
+                    [float(s), int(c)]
+                    for s, c in zip(info["lp_sum"][b, :n],
+                                    info["lp_n"][b, :n])
+                ],
+                "tail": tail,
+            })
         return out
 
     def finalize(self) -> List[List[int]]:
@@ -351,8 +506,22 @@ class StreamingBeam:
             for b in range(self.batch)
         ]
 
+    def finalize_full(self) -> List[dict]:
+        """finalize() plus the chosen beam's suffix frame spans: one dict
+        per stream {"tokens" (full sequence), "suffix_stamps",
+        "suffix_lp"} — the suffix fields align with the tokens AFTER the
+        committed prefix (the caller holds the committed spans from its
+        commit() calls)."""
+        beams_full, overflow = beam_finalize_full(self._state)
+        if np.asarray(overflow).any():
+            self.overflowed = True
+        return [
+            finalize_pick(self.committed[b], beams_full[b], self.scorers)
+            for b in range(self.batch)
+        ]
 
-def rescore_pick_best(committed, beams, scorers) -> List[int]:
+
+def rescore_pick_best(committed, beams, scorers, return_index: bool = False):
     """Pick the best full token sequence for one stream at finalize time.
 
     `committed` is the already-finalized prefix, `beams` the live
@@ -361,20 +530,43 @@ def rescore_pick_best(committed, beams, scorers) -> List[int]:
     boosting) — the same rescoring approximation the offline jax beam
     backend documents (decode.CTCDecoder.decode_beam_search). Shared by
     StreamingBeam and the batched serve sessions whose beam state lives
-    in a StreamSessionBatcher's stacked pytree."""
-    cands = [(list(committed) + suffix, ac) for suffix, ac in beams] \
-        or [(list(committed), 0.0)]
+    in a StreamSessionBatcher's stacked pytree.
+
+    return_index=True also returns the chosen beam's index into `beams`
+    (None if `beams` is empty), so the caller can pull that hypothesis's
+    frame spans."""
+    cands = [(i, list(committed) + suffix, ac)
+             for i, (suffix, ac) in enumerate(beams)] \
+        or [(None, list(committed), 0.0)]
     if scorers:
-        def total(pair):
-            toks, acoustic = pair
+        def total(cand):
+            _, toks, acoustic = cand
             t = acoustic
             for scorer, weight in scorers:
                 fn = getattr(scorer, "total_score", None) or scorer.score
                 t += weight * fn(toks)
             return t
 
-        return max(cands, key=total)[0]
-    return max(cands, key=lambda p: p[1])[0]
+        best = max(cands, key=total)
+    else:
+        best = max(cands, key=lambda p: p[2])
+    if return_index:
+        return best[1], best[0]
+    return best[1]
+
+
+def finalize_pick(committed, beams_full, scorers) -> dict:
+    """rescore_pick_best over beam_finalize_full entries; returns
+    {"tokens" (full sequence incl. committed), "suffix_stamps",
+    "suffix_lp"} for the chosen hypothesis (empty span lists when no live
+    beam exists)."""
+    pairs = [(d["tokens"], d["score"]) for d in beams_full]
+    tokens, idx = rescore_pick_best(committed, pairs, scorers,
+                                    return_index=True)
+    if idx is None:
+        return {"tokens": tokens, "suffix_stamps": [], "suffix_lp": []}
+    return {"tokens": tokens, "suffix_stamps": beams_full[idx]["stamps"],
+            "suffix_lp": beams_full[idx]["lp"]}
 
 
 def beams_to_token_lists(

@@ -385,8 +385,8 @@ class StreamingTranscriber:
         # common prefix is committed as finalized text every chunk, and at
         # finish() the best suffix is chosen — optionally rescored by an LM
         # / hotword booster over the n-best. Greedy (beam_width<=1) remains
-        # the low-latency default. Word timestamps/confidences require the
-        # greedy frame-aligned path and are unavailable with a beam.
+        # the low-latency default. Word timestamps/confidences compose
+        # with the beam via the in-beam span tracker (VERDICT r4 item 7).
         self._sbeam = None
         if beam_width and beam_width > 1:
             from .beam import StreamingBeam
@@ -491,7 +491,7 @@ class StreamingTranscriber:
     def _decode_logits(self, logits, out_valid: int, base: int) -> None:
         """Collapse one chunk's logits (see _decode_tokens)."""
         if self._sbeam is not None:
-            self._consume_beam(logits, out_valid)
+            self._consume_beam(logits, out_valid, base)
             return
         lsm = jax.nn.log_softmax(logits[0, :out_valid].astype(jnp.float32))
         self._decode_tokens(
@@ -500,12 +500,31 @@ class StreamingTranscriber:
             base,
         )
 
-    def _consume_beam(self, logits, out_valid: int) -> None:
+    def _consume_beam(self, logits, out_valid: int, base: int) -> None:
         """Advance the carried beam over one chunk's logits and commit the
-        beams' common prefix as finalized tokens (monotone emission)."""
-        self._sbeam.update(logits, out_valid)
-        new = self._sbeam.commit()[0]
-        self._tokens.extend(new)
+        beams' common prefix as finalized tokens (monotone emission).
+        `base` is the chunk's first absolute output frame — the in-beam
+        span tracker records absolute frames so ?timestamps composes."""
+        self._sbeam.update(logits, out_valid, frame_base=base)
+        self._apply_beam_commit(self._sbeam.commit()[0])
+
+    def _apply_beam_commit(self, info: dict) -> None:
+        """Fold one commit's tokens + frame spans + posteriors into the
+        same _tokens/_stamps/_stamp_lp tracks the greedy path fills, so
+        words()/take_new_words() work identically in beam mode."""
+        tail = info.get("tail")
+        if tail and self._stamps:
+            # frames that extended the previously committed token's run
+            end, lp, n = tail
+            self._stamps[-1][1] = max(self._stamps[-1][1], end)
+            self._stamp_lp[-1][0] += lp
+            self._stamp_lp[-1][1] += n
+            self._decoded_frames = max(self._decoded_frames, end)
+        self._tokens.extend(info["tokens"])
+        for (s, e), lp in zip(info["stamps"], info["lp"]):
+            self._stamps.append([s, e])
+            self._stamp_lp.append(list(lp))
+            self._decoded_frames = max(self._decoded_frames, e)
 
     def _decode_tokens(self, preds: np.ndarray, frame_lp: np.ndarray,
                        base: int) -> None:
@@ -582,7 +601,7 @@ class StreamingTranscriber:
         preds, frame_lp, logits = self._emit_forward(chunk, p)
         out_valid = (p["valid"] + 1) // 2
         if self._sbeam is not None:
-            self._consume_beam(logits, out_valid)
+            self._consume_beam(logits, out_valid, int(p["offset"]))
         else:
             self._decode_tokens(preds[:out_valid], frame_lp[:out_valid],
                                 int(p["offset"]))
@@ -619,7 +638,8 @@ class StreamingTranscriber:
             self._frame_cursor += valid
             if self.lookahead_chunks == 0:
                 if self._sbeam is not None:
-                    self._consume_beam(logits, out_valid)
+                    self._consume_beam(logits, out_valid,
+                                       self._time_offset - out_valid)
                 else:
                     self._decode_tokens(preds[:out_valid],
                                         frame_lp[:out_valid],
@@ -632,8 +652,16 @@ class StreamingTranscriber:
                 self._emit(self._pending.pop(0))
             if self._sbeam is not None and not self._beam_finalized:
                 # Choose the best suffix among the live beams (rescored by
-                # any configured LM/hotword scorers over the full n-best).
-                self._tokens = self._sbeam.finalize()[0]
+                # any configured LM/hotword scorers over the full n-best);
+                # its frame spans extend the committed stamps so
+                # words()/take_new_words() cover the whole stream.
+                fin = self._sbeam.finalize_full()[0]
+                self._tokens = fin["tokens"]
+                for (s, e), lp in zip(fin["suffix_stamps"],
+                                      fin["suffix_lp"]):
+                    self._stamps.append([s, e])
+                    self._stamp_lp.append(list(lp))
+                    self._decoded_frames = max(self._decoded_frames, e)
                 self._beam_finalized = True
                 if self._sbeam.overflowed:
                     logging.getLogger(__name__).warning(
@@ -672,12 +700,10 @@ class StreamingTranscriber:
         (decode.words_with_timestamps; frame -> seconds = frame*2*hop/sr).
         The LAST word may still grow — its final token's run can extend
         into the next chunk; take_new_words() handles that for live
-        incremental emission."""
-        if self._sbeam is not None:
-            raise RuntimeError(
-                "word timestamps/confidences need the greedy frame-aligned "
-                "decode; construct the transcriber without beam_width"
-            )
+        incremental emission. In beam mode the spans come from the
+        in-beam tracker (emission frame + run length along the winning
+        hypothesis — identical to the greedy collapse wherever the
+        hypothesis's per-frame choices match the argmax)."""
         from .decode import words_with_timestamps
 
         stamps = [
@@ -1083,12 +1109,15 @@ class StreamSessionBatcher:
 
             blank = decoder.blank_token
 
-            def beam_advance(beam, logits, active, ovalid):
+            def beam_advance(beam, logits, active, ovalid, offsets):
                 # Inactive rows: valid=0 frames -> ctc_beam_resume leaves
                 # their beams untouched and beam_commit emits 0 tokens
                 # (the post-commit common prefix is empty by construction).
+                # offsets double as the absolute frame base for the
+                # in-beam span tracker (?beam + ?timestamps).
                 v = jnp.where(active, ovalid, 0)
-                beam = _bresume(beam, logits, v, blank_token=blank)
+                beam = _bresume(beam, logits, v, blank_token=blank,
+                                frame_base=offsets)
                 return _bcommit(beam)
 
             def step_b(params, chunks, states, offsets, active, ovalid,
@@ -1104,8 +1133,9 @@ class StreamSessionBatcher:
                     return jnp.where(a, n.astype(o.dtype), o)
 
                 new_states = jax.tree_util.tree_map(keep, new_states, states)
-                beam, nc, toks = beam_advance(beam, logits, active, ovalid)
-                return nc, toks, new_states, beam
+                beam, nc, info = beam_advance(beam, logits, active, ovalid,
+                                              offsets)
+                return nc, info, new_states, beam
 
             def emit_la_b(params, chunks, states, offsets, ridx, pend,
                           active, ovalid, beam):
@@ -1122,8 +1152,9 @@ class StreamSessionBatcher:
                     stream_state=st, time_offset=offsets, return_state=True,
                     frozen_mem=True,
                 )
-                beam, nc, toks = beam_advance(beam, logits, active, ovalid)
-                return nc, toks, beam
+                beam, nc, info = beam_advance(beam, logits, active, ovalid,
+                                              offsets)
+                return nc, info, beam
 
             def reset_row_b(states, beam, slot, init1, binit1):
                 states = jax.tree_util.tree_map(
@@ -1234,10 +1265,30 @@ class StreamSessionBatcher:
                         ovalid[slot] = (valid + 1) // 2  # output frames
                     return chunks, offsets, active, ring, ovalid
 
-                def send_committed(reqs, nc, toks):
-                    nc, toks = np.asarray(nc), np.asarray(toks)
+                def send_committed(reqs, nc, info):
+                    nc = np.asarray(nc)
+                    info = {k: np.asarray(v) for k, v in info.items()}
                     for g in reqs:
-                        g[-1].set_result(toks[g[1], : nc[g[1]]].tolist())
+                        b, n = g[1], np.asarray(nc)[g[1]]
+                        tail = None
+                        if info["tail_n"][b] > 0:
+                            tail = (int(info["tail_end"][b]),
+                                    float(info["tail_lp"][b]),
+                                    int(info["tail_n"][b]))
+                        g[-1].set_result({
+                            "tokens": info["tokens"][b, :n].tolist(),
+                            "stamps": [
+                                (int(s), int(e))
+                                for s, e in zip(info["starts"][b, :n],
+                                                info["ends"][b, :n])
+                            ],
+                            "lp": [
+                                [float(s), int(c)]
+                                for s, c in zip(info["lp_sum"][b, :n],
+                                                info["lp_n"][b, :n])
+                            ],
+                            "tail": tail,
+                        })
 
                 steps = [g for g in group if g[0] == "step"]
                 if steps:
@@ -1249,12 +1300,12 @@ class StreamSessionBatcher:
                             self._pend, jnp.asarray(widx),
                         )
                     elif self.beam_width:
-                        nc, toks, self._states, self._beam = self._step_b(
+                        nc, binfo, self._states, self._beam = self._step_b(
                             self.params, jnp.asarray(chunks), self._states,
                             jnp.asarray(offsets), jnp.asarray(active),
                             jnp.asarray(ovalid), self._beam,
                         )
-                        send_committed(steps, nc, toks)
+                        send_committed(steps, nc, binfo)
                         steps = []
                     else:
                         preds, lps, self._states = self._step(
@@ -1270,13 +1321,13 @@ class StreamSessionBatcher:
                 if emits:
                     chunks, offsets, active, ridx, ovalid = gather(emits)
                     if self.beam_width:
-                        nc, toks, self._beam = self._emit_la_b(
+                        nc, binfo, self._beam = self._emit_la_b(
                             self.params, jnp.asarray(chunks), self._states,
                             jnp.asarray(offsets), jnp.asarray(ridx),
                             self._pend, jnp.asarray(active),
                             jnp.asarray(ovalid), self._beam,
                         )
-                        send_committed(emits, nc, toks)
+                        send_committed(emits, nc, binfo)
                     else:
                         preds, lps = self._emit_la(
                             self.params, jnp.asarray(chunks), self._states,
@@ -1291,12 +1342,12 @@ class StreamSessionBatcher:
                 # its own futures resolved, but another session's emit in
                 # the same group must not see a torn beam pytree.
                 for kind, slot, fut in (g for g in group if g[0] == "bfinal"):
-                    from .beam import beam_finalize
+                    from .beam import beam_finalize_full
 
                     row = jax.tree_util.tree_map(
                         lambda v: v[slot : slot + 1], self._beam
                     )
-                    beams, overflow = beam_finalize(row)
+                    beams, overflow = beam_finalize_full(row)
                     fut.set_result((beams[0], bool(np.asarray(overflow)[0])))
             except Exception as e:  # pragma: no cover - device failure
                 # _step*/_reset_row donate the stacked states (and pending
@@ -1345,18 +1396,21 @@ class _SharedBeamRow:
         self.committed = [[]]
         self.overflowed = False
 
-    def finalize(self):
+    def finalize_full(self):
         from concurrent.futures import Future
 
-        from .beam import rescore_pick_best
+        from .beam import finalize_pick
 
         assert self._session._slot is not None, "session is closed"
         fut: Future = Future()
         self._batcher._q.put(("bfinal", self._session._slot, fut))
-        beams, overflow = fut.result()
+        beams_full, overflow = fut.result()
         if overflow:
             self.overflowed = True
-        return [rescore_pick_best(self.committed[0], beams, self.scorers)]
+        return [finalize_pick(self.committed[0], beams_full, self.scorers)]
+
+    def finalize(self):
+        return [d["tokens"] for d in self.finalize_full()]
 
 
 class BatchedStreamSession(StreamingTranscriber):
@@ -1420,12 +1474,12 @@ class BatchedStreamSession(StreamingTranscriber):
         preds, lps = res
         return preds, lps, None
 
-    def _consume_beam(self, payload, out_valid: int) -> None:
+    def _consume_beam(self, payload, out_valid: int, base: int) -> None:
         # The batched device call already advanced + committed this row's
-        # beam; `payload` is the newly committed token list (mirrors
-        # StreamingBeam.commit's bookkeeping).
-        self._sbeam.committed[0].extend(payload)
-        self._tokens.extend(payload)
+        # beam; `payload` is the commit-info dict (tokens, frame spans,
+        # posteriors, tail — mirrors StreamingBeam.commit's bookkeeping).
+        self._sbeam.committed[0].extend(payload["tokens"])
+        self._apply_beam_commit(payload)
 
     def reset(self) -> None:
         """Recycle the slot for a new stream (state row re-initialized)."""
