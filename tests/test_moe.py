@@ -137,10 +137,11 @@ def test_aux_loss_sown_once_per_layer_and_uniform_floor():
 
 def _tiny_moe_cfg(**kw):
     kw.setdefault("dropout", 0.0)
+    kw.setdefault("vocab_size", 32)
     return VelocityASRConfig(
         d_model=16, ssm_layers=2, ssm_state_dim=8, global_ssm_layers=1,
         global_ssm_state_dim=4, attention_heads=2, attention_dim=8,
-        vocab_size=32, moe_experts=4, moe_top_k=2, **kw,
+        moe_experts=4, moe_top_k=2, **kw,
     )
 
 
@@ -253,9 +254,6 @@ def test_moe_unsupported_combinations_raise():
     with pytest.raises(ValueError, match="QAT"):
         Trainer(qat_model, TrainingConfig(max_steps=1, warmup_steps=1),
                 iter(()))
-    with pytest.raises(ValueError, match="streaming"):
-        Trainer(model, TrainingConfig(streaming_chunks=8, max_steps=1,
-                                      warmup_steps=1), iter(()))
 
 
 def test_upcycle_dense_to_moe_preserves_forward():
@@ -296,3 +294,79 @@ def test_moe_config_yaml_mapping():
     assert tcfg.moe_aux_weight == 0.1
     # preset
     assert VelocityASRConfig.from_preset("moe").moe_experts == 8
+
+
+def test_streaming_forward_collect_losses_matches_plain():
+    """streaming_forward(collect_losses=True) returns the same logits as
+    the plain call plus a positive Switch aux (mean over chunks of the
+    mean over MoE layers) — the hook that lets the streaming-aware
+    objective compose with MoE (VERDICT r4 item 3a)."""
+    from velocity_asr_tpu.streaming import streaming_forward
+
+    cfg = _tiny_moe_cfg()
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=16)
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 64, 80)), jnp.float32
+    )
+    plain = streaming_forward(model, params, mel, 32)
+    logits, aux = streaming_forward(model, params, mel, 32,
+                                    collect_losses=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(logits))
+    # Switch aux is E * sum(f_e * p_e) >= 1 at any routing
+    assert float(aux) >= 1.0 - 1e-5
+
+
+@pytest.mark.slow
+def test_trainer_moe_streaming_objective_step():
+    """The streaming-aware objective composes with MoE (the r4 guard is
+    gone): the mixed loss consumes the streaming term's own sown aux and
+    the step optimizes."""
+    from velocity_asr_tpu.data import ASRCollator
+    from velocity_asr_tpu.synth import SyntheticSpeechDataset
+
+    cfg = _tiny_moe_cfg(vocab_size=31)
+    model = create_model(cfg)
+    ds = SyntheticSpeechDataset(8, split="dev", seed=9, device_mel=True)
+    batch = ASRCollator(frame_bucket=200)([ds[i] for i in range(8)])
+
+    def batches():
+        while True:
+            yield batch
+
+    tconf = TrainingConfig(
+        learning_rate=1e-3, warmup_steps=1, max_steps=4,
+        streaming_chunks=100, streaming_aux_weight=0.5,
+        log_interval=1000, eval_interval=10**9, save_interval=10**9,
+    )
+    trainer = Trainer(model, tconf, batches())
+    losses = [float(trainer._train_step_device(batch)) for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0]  # it optimizes
+
+
+def test_moe_int8_inference_matches_fp32():
+    """int8 x MoE correctness (VERDICT r4 item 3b): the int8 path
+    quantizes the attention/head stack and never the expert einsums, so
+    an int8 MoE forward must stay close to fp32 with matching argmax on
+    most frames. The r4 TPU-tunnel compile wedge was a compile-time
+    pathology; this pins the numerics somewhere that always runs (CPU)."""
+    cfg = _tiny_moe_cfg()
+    model = create_model(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), example_frames=16)
+    mel = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 64, 80)), jnp.float32
+    )
+    ref = np.asarray(forward(model, params, mel))
+
+    int8_model = create_model(
+        dataclasses.replace(_tiny_moe_cfg(), int8_inference=True)
+    )
+    got = np.asarray(forward(int8_model, params, mel))
+    assert np.isfinite(got).all()
+    # int8 quantization error bound: logits stay close...
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 0.15, err
+    # ...and the decode-relevant argmax agrees on nearly every frame
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.9, agree

@@ -31,6 +31,7 @@ run streaming_la2 --streaming --lookahead 2
 run streaming_beam8 --streaming --beam-width 8
 run streaming_beam8_lm --streaming --beam-width 8 --lm "$LM"
 run streaming_la1_beam8_lm --streaming --lookahead 1 --beam-width 8 --lm "$LM"
+run streaming_la2_beam8_lm --streaming --lookahead 2 --beam-width 8 --lm "$LM"
 
 # Optional legs:
 #   TFLITE=1  — export + evaluate the edge artifacts on the full set

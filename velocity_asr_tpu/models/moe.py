@@ -193,6 +193,12 @@ class MoEFFN(nn.Module):
         )  # (E,)
         aux = n_exp * jnp.sum(f_frac * p_mean)
         self.sow("losses", "moe_aux", aux)
+        # Per-expert first-choice dispatch fractions (E,), for router
+        # utilization diagnostics (tools/router_stats.py — e.g. the
+        # per-language specialization evidence VERDICT r4 item 6 asks
+        # for). Only materialized when the caller requests the
+        # "router_stats" collection; a plain apply ignores the sow.
+        self.sow("router_stats", "f_frac", f_frac)
 
         # Expert-stacked weights: leading E axis shards over MODEL_AXIS
         # (parallel/tp.py EP rules). xavier fans are the last two dims, so

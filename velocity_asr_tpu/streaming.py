@@ -286,7 +286,8 @@ def streaming_forward(
     chunk_frames: int,
     train: bool = False,
     dropout_rng=None,
-) -> jnp.ndarray:
+    collect_losses: bool = False,
+):
     """Full-utterance logits computed BY THE STREAMING PATH: a lax.scan of
     the chunked step (carried conv/SSM state, incremental global context,
     rolling memory) over the time axis.
@@ -298,6 +299,13 @@ def streaming_forward(
     runtime evaluates under. mel's time axis must be a multiple of
     chunk_frames (the collator's frame bucket guarantees it when
     frame_bucket % chunk_frames == 0). Returns (batch, t//2, vocab).
+
+    collect_losses=True also threads the sown "losses" collection (the
+    MoE Switch load-balance aux, models/moe.py) out of every chunk step
+    and returns (logits, aux) — aux is the mean over chunks of the mean
+    over MoE layers, matching the offline objective's aggregation. This
+    is what lets the streaming-aware objective compose with MoE
+    (VERDICT r4 item 3a).
     """
     b, t, m = mel.shape
     assert t % chunk_frames == 0, (t, chunk_frames)
@@ -314,22 +322,36 @@ def streaming_forward(
         else:
             chunk, offset, r = inp
             step_rngs = {"dropout": r}
-        logits, new_state = model.apply(
-            {"params": params}, chunk, train=train,
-            stream_state=state, time_offset=offset, return_state=True,
-            rngs=step_rngs,
-        )
+        if collect_losses:
+            (logits, new_state), mutated = model.apply(
+                {"params": params}, chunk, train=train,
+                stream_state=state, time_offset=offset, return_state=True,
+                rngs=step_rngs, mutable=["losses"],
+            )
+            leaves = jax.tree_util.tree_leaves(mutated["losses"])
+            aux = (sum(leaves) / len(leaves) if leaves
+                   else jnp.zeros((), jnp.float32))
+        else:
+            logits, new_state = model.apply(
+                {"params": params}, chunk, train=train,
+                stream_state=state, time_offset=offset, return_state=True,
+                rngs=step_rngs,
+            )
         # Under mixed precision the model emits bf16 activations (conv
         # carry); keep the scan carry at init_stream_state's dtypes (fp32)
         # so the lax.scan carry signature is stable. Lossless upcast.
         new_state = jax.tree_util.tree_map(
             lambda n, o: n.astype(o.dtype), new_state, state
         )
-        return new_state, logits
+        return new_state, (logits, aux) if collect_losses else logits
 
     xs = (chunks, offsets) if rngs is None else (chunks, offsets, rngs)
-    _, logits = jax.lax.scan(body, state0, xs)
-    return logits.transpose(1, 0, 2, 3).reshape(b, t // 2, -1)
+    _, out = jax.lax.scan(body, state0, xs)
+    if collect_losses:
+        logits, aux = out
+        return (logits.transpose(1, 0, 2, 3).reshape(b, t // 2, -1),
+                jnp.mean(aux))
+    return out.transpose(1, 0, 2, 3).reshape(b, t // 2, -1)
 
 
 class StreamingTranscriber:

@@ -343,18 +343,14 @@ class Trainer:
 
         if getattr(model.config, "moe_experts", 0) > 0:
             # Unsupported combinations are config errors, not silent
-            # degradations: QAT doesn't fake-quant the expert einsums, the
-            # streaming-aware objective and the pipelined stack would both
-            # drop the sown load-balance loss (and EP+PP fight over the
-            # model mesh axis).
+            # degradations: QAT doesn't fake-quant the expert einsums and
+            # the pipelined stack would drop the sown load-balance loss
+            # (and EP+PP fight over the model mesh axis). The
+            # streaming-aware objective DOES compose: streaming_forward
+            # threads the sown aux out of every chunk step
+            # (collect_losses=True, r5 — VERDICT r4 item 3a).
             if getattr(model.config, "qat", False):
                 raise ValueError("QAT + MoE is not supported")
-            if config.streaming_chunks:
-                raise ValueError(
-                    "the streaming-aware objective + MoE is not supported "
-                    "(streaming_forward does not thread the load-balance "
-                    "loss)"
-                )
             if config.num_pipeline_stages > 1:
                 raise ValueError(
                     "pipeline parallelism + MoE is not supported (EP and "
@@ -633,13 +629,27 @@ class Trainer:
                 smel = spec_augment(
                     smel, aug_rng, self.config.augment, input_lengths
                 )
-            slogits = streaming_forward(
-                self.model, params, smel, self.config.streaming_chunks,
-                train=train,
-                dropout_rng=dropout_rng if train else None,
-            )
+            if moe_aux_on:
+                # MoE: the streaming term carries its own load-balance
+                # aux (sown inside every chunk step), mirroring the
+                # offline term's ctc + aux_w * aux composition.
+                slogits, s_aux = streaming_forward(
+                    self.model, params, smel, self.config.streaming_chunks,
+                    train=train,
+                    dropout_rng=dropout_rng if train else None,
+                    collect_losses=True,
+                )
+                s_loss = (masked_ctc(slogits)
+                          + self.config.moe_aux_weight * s_aux)
+            else:
+                slogits = streaming_forward(
+                    self.model, params, smel, self.config.streaming_chunks,
+                    train=train,
+                    dropout_rng=dropout_rng if train else None,
+                )
+                s_loss = masked_ctc(slogits)
             w = self.config.streaming_aux_weight
-            loss = (1.0 - w) * loss + w * masked_ctc(slogits)
+            loss = (1.0 - w) * loss + w * s_loss
         return loss, new_stats
 
     def _build_train_step(self):
