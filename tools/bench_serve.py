@@ -59,7 +59,7 @@ def bench_stream(args):
         conn.request(
             "POST",
             f"/stream?chunk_seconds={args.chunk_seconds}"
-            f"&lookahead={args.lookahead}",
+            f"&lookahead={args.lookahead}&beam={args.beam}",
             body=blocks(), headers={"Transfer-Encoding": "chunked"},
             encode_chunked=True,
         )
@@ -97,7 +97,7 @@ def bench_stream(args):
     audio_s = args.seconds * len(results)
     print(f"streams={args.clients} utterance={args.seconds:.0f}s "
           f"chunk={args.chunk_seconds:.1f}s lookahead={args.lookahead} "
-          f"(firehose upload)")
+          f"beam={args.beam} (firehose upload)")
     print(f"per-stream throughput RTF p50={np.median(walls) / args.seconds:.3f} "
           f"max={walls.max() / args.seconds:.3f} (live mic needs <= 1)")
     if ttft.size:
@@ -120,6 +120,10 @@ def main():
     ap.add_argument("--lookahead", type=int, default=0,
                     help="--stream only: ?lookahead=N per session "
                          "(measures the batched lookahead serving path)")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="--stream only: ?beam=N per session (measures the "
+                         "batched beam serving path — VERDICT r4 item 4's "
+                         "aggregate-throughput row)")
     args = ap.parse_args()
 
     cmd = [sys.executable, "/root/repo/scripts/serve.py",
