@@ -11,7 +11,7 @@ with no code; velocity_asr_tpu.diarize implements it. Modes:
   python scripts/diarize.py train --checkpoint-dir checkpoints/speaker_run
 
   # DER benchmark on held-out synthetic conversations (unseen voices)
-  python scripts/diarize.py eval --speaker-model checkpoints/speaker_run/final_speaker
+  python scripts/diarize.py eval --speaker-model checkpoints/speaker_v2p/final_speaker
 
   # diarize files; --asr-model adds per-segment transcripts
   python scripts/diarize.py files --speaker-model DIR [--asr-model CKPT] a.wav b.flac

@@ -52,7 +52,7 @@ Example:
   python scripts/serve.py --checkpoint ckpts/final_pretrained --port 8570
   curl -s --data-binary @utt.flac localhost:8570/transcribe
   python scripts/serve.py --checkpoint ... \
-      --speaker-model checkpoints/speaker_run/final_speaker
+      --speaker-model checkpoints/speaker_v2p/final_speaker
   curl -s --data-binary @meeting.wav 'localhost:8570/diarize?transcripts=1'
   # live microphone -> captions (any tool that emits 16 kHz mono s16le)
   arecord -f S16_LE -r 16000 -c 1 -t raw | \
@@ -784,7 +784,7 @@ def main():
                         help="how long to wait to coalesce concurrent requests")
     parser.add_argument("--speaker-model",
                         help="speaker-embedding artifact dir (e.g. "
-                             "checkpoints/speaker_run/final_speaker); "
+                             "checkpoints/speaker_v2p/final_speaker); "
                              "enables POST /diarize")
     parser.add_argument("--max-streams", type=int, default=8,
                         help="concurrent POST /stream sessions (503 beyond "
